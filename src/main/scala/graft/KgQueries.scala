@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.corpus.CorpusGen
+import graft.pipeline.Pipeline
+
+/** KG-construction pipeline entries for the driver contract. These run on
+  * the deterministic synthetic corpus (FIXTURES.md) — not SQL-expressible,
+  * so the driver records rows-only checks; the real correctness gates are
+  * the scalatest P/R harnesses (PipelineSpec).
+  */
+object KgQueries {
+
+  private val nPages = 400L
+
+  def kgMentions(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    val umls = Pipeline.broadcastUmls(spark)
+    Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, nPages), umls), umls)
+  }
+
+  def kgTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    Pipeline.run(CorpusGen.pages(spark, nPages))
+  }
+
+  def kgGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    val umls = Pipeline.broadcastUmls(spark)
+    Pipeline.graph(Pipeline.run(CorpusGen.pages(spark, nPages)), umls)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_mentions" -> (kgMentions _),
+    "kg_triples" -> (kgTriples _),
+    "kg_graph" -> (kgGraph _))
+}

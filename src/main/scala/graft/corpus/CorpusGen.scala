@@ -1,0 +1,249 @@
+package graft.corpus
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.pipeline.Page
+
+/** Expected mention for the oracle P/R harness (FIXTURES.md §3). */
+final case class ExpectedMention(url: String, sentNo: Int, start: Int, len: Int,
+    cui: String, score: Int, negated: Boolean)
+
+/** Expected triple for the oracle P/R harness. */
+final case class ExpectedTriple(subj_cui: String, pred: String, obj_cui: String,
+    url: String, sentNo: Int)
+
+/** Deterministic synthetic web-page corpus + closed-form oracle
+  * expectations (FIXTURES.md §1, §3).
+  *
+  * Pages 0-8 are the reference's embedded regression cases (PMID cases
+  * preserved as comments in the reference source, SURVEY §5.4) with
+  * hand-derived expectations; pages >= 9 are templated bulk sentences whose
+  * expected mentions and triples are computable in closed form from the
+  * mini-semnet. Everything derives from the page index via splitmix64 —
+  * no RNG state, so generation is distributed and repartition-invariant.
+  *
+  * The `text` column is the exact expected extraction of `html`
+  * (byte-identical invariant, BASELINE.json input_hint).
+  */
+object CorpusGen {
+
+  // splitmix64 (public-domain algorithm) for deterministic per-index draws
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def pick[A](xs: Vector[A], seed: Long): A =
+    xs(((mix(seed) >>> 1) % xs.length).toInt)
+
+  // bulk surface inventories: single-word, single-CUI, exact-match strings
+  final case class Surf(word: String, cui: String, st: String)
+  val DSYN: Vector[Surf] = Vector(
+    Surf("pneumonia", "C0032285", "dsyn"), Surf("asthma", "C0004096", "dsyn"),
+    Surf("psoriasis", "C0033860", "dsyn"), Surf("arthritis", "C0003864", "dsyn"),
+    Surf("influenza", "C0021400", "dsyn"), Surf("hypertension", "C0020538", "dsyn"),
+    Surf("diabetes", "C0011849", "dsyn"), Surf("stroke", "C0038454", "dsyn"),
+    Surf("anemia", "C0002871", "dsyn"))
+  val SOSY: Vector[Surf] = Vector(
+    Surf("fever", "C0015967", "sosy"), Surf("headache", "C0018681", "sosy"),
+    Surf("nausea", "C0027497", "sosy"), Surf("vomiting", "C0042963", "sosy"),
+    Surf("dyspnea", "C0013404", "sosy"), Surf("pain", "C0030193", "sosy"),
+    Surf("edema", "C0013604", "sosy"))
+  val PHSU: Vector[Surf] = Vector(
+    Surf("aspirin", "C0004057", "phsu"), Surf("insulin", "C0021641", "phsu"))
+  val BPOC: Vector[Surf] = Vector(
+    Surf("heart", "C0018787", "bpoc"), Surf("liver", "C0023884", "bpoc"),
+    Surf("lung", "C0024109", "bpoc"), Surf("kidney", "C0022646", "bpoc"),
+    Surf("stomach", "C0038351", "bpoc"), Surf("brain", "C0006104", "bpoc"),
+    Surf("chest", "C0817096", "blor"))
+
+  /** One generated sentence with its closed-form expectations (offsets are
+    * relative to the sentence text; the page assembler shifts them).
+    */
+  final case class GenSent(text: String,
+      mentions: Vector[(Int, Int, String, Int, Boolean)], // start,len,cui,score,negated
+      triples: Vector[(String, String, String)])
+
+  private def cap(s: String): String = s.substring(0, 1).toUpperCase + s.substring(1)
+
+  /** Bulk templates T1/T2/T4/T5/T7/T8 (scores from the §2.7 formulas; see
+    * scaladoc derivations in OracleSpec).
+    */
+  def bulkSentence(seed: Long): GenSent = {
+    val t = ((mix(seed) >>> 3) % 6).toInt
+    t match {
+      case 0 => // T1: dsyn + sosy -> causes + manifestation_of
+        val a = pick(DSYN, seed * 7 + 1); val b = pick(SOSY, seed * 7 + 2)
+        val text = s"The patient had ${a.word} and ${b.word}."
+        val aOff = 16; val bOff = 16 + a.word.length + 5
+        GenSent(text,
+          Vector((aOff, a.word.length, a.cui, 1000, false),
+            (bOff, b.word.length, b.cui, 1000, false)),
+          Vector((a.cui, "causes", b.cui), (b.cui, "manifestation_of", a.cui)))
+      case 1 => // T2: Dsyn was treated with phsu -> treats (reverse direction)
+        val a = pick(DSYN, seed * 7 + 3); val b = pick(PHSU, seed * 7 + 4)
+        val text = s"${cap(a.word)} was treated with ${b.word}."
+        val bOff = a.word.length + 18
+        GenSent(text,
+          Vector((0, a.word.length, a.cui, 1000, false),
+            (bOff, b.word.length, b.cui, 1000, false)),
+          Vector((b.cui, "treats", a.cui)))
+      case 2 => // T4: adjective-modified mention, score 861
+        val a = pick(DSYN, seed * 7 + 5)
+        val text = s"He developed severe ${a.word} during the study."
+        GenSent(text, Vector((20, a.word.length, a.cui, 861, false)), Vector.empty)
+      case 3 => // T5: negation suppresses the pair
+        val a = pick(DSYN, seed * 7 + 6)
+        val b = pick(DSYN.filterNot(_ == a), seed * 7 + 7)
+        val text = s"The patient had ${a.word} but no ${b.word}."
+        val bOff = 16 + a.word.length + 8
+        GenSent(text,
+          Vector((16, a.word.length, a.cui, 1000, false),
+            (bOff, b.word.length, b.cui, 1000, true)),
+          Vector.empty)
+      case 4 => // T7: bpoc in modifier position (694) + sosy -> location_of
+        val c = pick(BPOC, seed * 7 + 8); val b = pick(SOSY, seed * 7 + 9)
+        val text = s"The ${c.word} examination revealed ${b.word}."
+        val bOff = 4 + c.word.length + 22
+        GenSent(text,
+          Vector((4, c.word.length, c.cui, 694, false),
+            (bOff, b.word.length, b.cui, 1000, false)),
+          Vector((c.cui, "location_of", b.cui)))
+      case _ => // T8: no mentions
+        GenSent("They reported the results of the study.", Vector.empty, Vector.empty)
+    }
+  }
+
+  /** Special regression pages (hand-derived expectations; see the
+    * derivations in src/test/scala/graft/KernelSpec.scala).
+    */
+  val specialPages: Vector[(Vector[String], Vector[ExpectedMention], Vector[(String, String, String, Int)])] = {
+    def m(s: Int, st: Int, l: Int, cui: String, sc: Int, neg: Boolean = false) =
+      ExpectedMention("", s, st, l, cui, sc, neg)
+    Vector(
+      // P0: AA definition + reuse (aadef/aa, text_object_tokens.pl:162-190)
+      (Vector("Coronary artery (CA) disease.", "CA was severe."),
+        Vector(m(0, 0, 15, "C0205042", 1000), m(0, 17, 2, "C0205042", 944),
+          m(1, 0, 2, "C0205042", 944)),
+        Vector.empty),
+      // P1: plain multiword mention via best mapping ("last year" would
+      // extend the NP and dilute coverage — kept as its own sentence)
+      (Vector("The patient had a heart attack.", "It happened last year."),
+        Vector(m(0, 18, 12, "C0027051", 1000)), Vector.empty),
+      // P2: nega trigger + composite of-phrase gluing
+      (Vector("No evidence of myocardial infarction."),
+        Vector(m(0, 15, 21, "C0027051", 735, neg = true)), Vector.empty),
+      // P3: possessive + post-trigger negation
+      (Vector("Crohn's disease was ruled out."),
+        Vector(m(0, 0, 15, "C0010346", 1000, neg = true)), Vector.empty),
+      // P4: WSD ambiguity - dsyn prior beats npop on tie
+      (Vector("The patient had a cold and fever."),
+        Vector(m(0, 18, 4, "C0009443", 1000), m(0, 27, 5, "C0015967", 1000)),
+        Vector(("C0009443", "causes", "C0015967", 0),
+          ("C0015967", "manifestation_of", "C0009443", 0))),
+      // P5: "OGTT, n = 8" spurious-token case (text_objects.pl:1913-1917)
+      (Vector("The OGTT, n = 8, was normal."),
+        Vector(m(0, 4, 4, "C0029161", 1000)), Vector.empty),
+      // P6: uninversion target "Cancer, Liver" + tied mappings union
+      (Vector("Liver cancer was confirmed."),
+        Vector(m(0, 0, 12, "C0345904", 1000), m(0, 0, 5, "C0023884", 694),
+          m(0, 6, 6, "C0006826", 861)),
+        Vector(("C0023884", "location_of", "C0006826", 0))),
+      // P7: composite phrase "pain on the left side of the chest"
+      (Vector("The patient reported pain on the left side of the chest."),
+        Vector(m(0, 21, 4, "C0030193", 1000), m(0, 50, 5, "C0817096", 660)),
+        Vector(("C0817096", "location_of", "C0030193", 0))),
+      // P8: conj case "lung and liver cancer"
+      (Vector("The patient had lung and liver cancer."),
+        Vector(m(0, 16, 4, "C0024109", 1000), m(0, 25, 12, "C0345904", 1000),
+          m(0, 25, 5, "C0023884", 694), m(0, 31, 6, "C0006826", 861)),
+        Vector(("C0024109", "location_of", "C0006826", 0),
+          ("C0024109", "location_of", "C0345904", 0),
+          ("C0023884", "location_of", "C0006826", 0))))
+  }
+
+  val nSpecial: Int = specialPages.length
+
+  def urlOf(n: Long): String = s"https://ex.test/p/$n"
+
+  /** Page assembly: title + body sentences; html wraps each line in <p>
+    * with entity-encoded specials; `text` is the exact expected extraction.
+    */
+  private def assemble(n: Long, title: String, sents: Vector[String], lang: String): Page = {
+    val lines = title +: sents
+    val text = lines.mkString("\n")
+    val enc = lines.map(_.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
+    val html = new StringBuilder()
+    html.append("<html><head><title>").append(enc.head).append("</title>")
+    html.append("<script>var x = 1;</script></head><body>")
+    enc.tail.foreach(s => html.append("<p>").append(s).append("</p>"))
+    html.append("</body></html>")
+    Page(urlOf(n), new Timestamp(1700000000000L + n * 1000L),
+      html.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), text, lang)
+  }
+
+  /** Generate one page with its expectations. Title is sentence 0 and
+    * yields no mentions; body sentence j is sentNo j+1. Every 17th bulk
+    * page is marked non-English and must produce nothing.
+    */
+  def genPage(n: Long): (Page, Vector[ExpectedMention], Vector[ExpectedTriple]) = {
+    val url = urlOf(n)
+    if (n < nSpecial) {
+      val (sents, ms, ts) = specialPages(n.toInt)
+      val page = assemble(n, s"Clinical note $n", sents, "en")
+      // shift: sentence j text begins after title + j preceding sentences
+      val offsets = sents.scanLeft(s"Clinical note $n".length + 1)((acc, s) => acc + s.length + 1)
+      val ems = ms.map(m => m.copy(url = url, sentNo = m.sentNo + 1,
+        start = m.start + offsets(m.sentNo)))
+      val ets = ts.map { case (s, p, o, sn) => ExpectedTriple(s, p, o, url, sn + 1) }
+      (page, ems, ets)
+    } else {
+      val lang = if (n % 17 == 3) "es" else "en"
+      val k = 2 + ((mix(n * 131 + 7) >>> 5) % 3).toInt
+      val gs = (0 until k).map(j => bulkSentence(n * 1009 + j * 31 + 11)).toVector
+      val title = if (n % 23 == 5) s"Cafe study $n" else s"Case report $n"
+      // non-ASCII exercise: the html title carries an accented char whose
+      // folded form is the expected text
+      val page0 = assemble(n, title, gs.map(_.text), lang)
+      val page = if (n % 23 == 5) {
+        val html = new String(page0.html, java.nio.charset.StandardCharsets.UTF_8)
+          .replaceFirst("Cafe", "Caf&#233;")
+        page0.copy(html = html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else page0
+      if (lang != "en") (page, Vector.empty, Vector.empty)
+      else {
+        val offsets = gs.map(_.text).scanLeft(title.length + 1)((acc, s) => acc + s.length + 1)
+        val ems = gs.zipWithIndex.flatMap { case (g, j) =>
+          g.mentions.map { case (st, len, cui, sc, neg) =>
+            ExpectedMention(url, j + 1, offsets(j) + st, len, cui, sc, neg)
+          }
+        }
+        val ets = gs.zipWithIndex.flatMap { case (g, j) =>
+          g.triples.map { case (s, p, o) => ExpectedTriple(s, p, o, url, j + 1) }
+        }
+        (page, ems, ets)
+      }
+    }
+  }
+
+  /** Distributed corpus generation: no driver-side loops, no RNG state —
+    * scales to any page count (spark.range is evenly partitioned).
+    */
+  def pages(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i => genPage(i)._1)
+  }
+
+  def expectedMentions(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[ExpectedMention] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).flatMap(i => genPage(i)._2)
+  }
+
+  def expectedTriples(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[ExpectedTriple] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).flatMap(i => genPage(i)._3).distinct()
+  }
+}

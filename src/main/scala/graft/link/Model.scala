@@ -1,0 +1,45 @@
+package graft.link
+
+/** A phrase word with its char span in the utterance text. */
+final case class PWord(word: String, start: Int, end: Int)
+
+/** A phrase produced by the minimal-commitment chunker
+  * (lib/mincoman.pl:93-103 analogue). `headIdx` is the 0-based index of the
+  * head word within `words`.
+  */
+final case class Phrase(words: Vector[PWord], headIdx: Int)
+
+/** Variant info gathered per phrase (vinfo/6 analogue,
+  * metamap_variants.pl:1340-1402).
+  *
+  * @param genWord      generator word/multiword (surface in the phrase)
+  * @param genPos       1-based [begin,end] positions of the generator in
+  *                     the phrase word list
+  * @param involvesHead generator position overlaps the head position
+  * @param varLevel     variant level (0 spelling, 1 inflection, 2 syn/AA,
+  *                     3 derivation; metamap_variants.pl:181-185)
+  * @param words        variant words (normalized, possibly multiword)
+  * @param seq          insertion sequence preserving reference AVL order
+  */
+final case class VInfo(genWord: String, genPos: (Int, Int), involvesHead: Boolean,
+    varLevel: Int, words: Vector[String], seq: Int) {
+  def lastWord: String = words.last
+}
+
+/** One matchmap row: [[PhraseBegin,PhraseEnd],[MetaBegin,MetaEnd],VarLevel]
+  * (metamap_evaluation.pl:405-427). All positions 1-based inclusive.
+  */
+final case class MatchEntry(pBegin: Int, pEnd: Int, mBegin: Int, mEnd: Int, varLevel: Int)
+
+/** An evaluated candidate (ev/15 analogue, metamap_utilities.pl:676-687). */
+final case class Candidate(
+    score: Int, cui: String, str: String, concept: String,
+    metaWords: Vector[String], semTypes: Vector[String],
+    matchMap: Vector[MatchEntry], involvesHead: Boolean,
+    start: Int, end: Int)
+
+/** A linked mention emitted by the per-document kernel. */
+final case class Mention(
+    url: String, sentNo: Int, start: Int, len: Int,
+    cui: String, score: Int, semTypes: Vector[String],
+    negated: Boolean, text: String)

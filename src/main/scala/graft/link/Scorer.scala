@@ -1,0 +1,69 @@
+package graft.link
+
+/** MetaMap's candidate evaluation function, replicated exactly
+  * (/root/reference/metamap/metamap_evaluation.pl:940-1188).
+  *
+  * Value = integer(1000 * (Cen + Var + 2*(Cov + Coh)) / 6) with
+  *  - centrality:   1.0 if the match involves the phrase head else 0.0
+  *  - variation:    mean over matchmap rows of 4/(VarLevel+4)
+  *  - coverage:     (PhraseSpan/NPhrase + 2*MetaSpan/NMeta)/3, spans being
+  *                  bounding extents of the matched components
+  *  - cohesiveness: (sum(PhraseCC^2)/NPhrase^2 + 2*sum(MetaCC^2)/NMeta^2)/3,
+  *                  CCs being maximal runs of contiguous components
+  * integer/1 rounds to nearest (ties away from zero), matching SICStus.
+  */
+object Scorer {
+
+  def centrality(involvesHead: Boolean): Double = if (involvesHead) 1.0 else 0.0
+
+  def variation(matchMap: Seq[MatchEntry]): Double = {
+    var s = 0.0
+    matchMap.foreach(e => s += 4.0 / (e.varLevel + 4.0))
+    s / matchMap.size
+  }
+
+  private def bounds(spans: Seq[(Int, Int)]): (Int, Int) =
+    if (spans.isEmpty) (0, -1)
+    else (spans.map(_._1).min, spans.map(_._2).max)
+
+  def coverage(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int): Double = {
+    val (plb, pub) = bounds(matchMap.map(e => (e.pBegin, e.pEnd)))
+    val (mlb, mub) = bounds(matchMap.map(e => (e.mBegin, e.mEnd)))
+    val pSpan = pub - plb + 1
+    val mSpan = mub - mlb + 1
+    (pSpan.toDouble / nPhrase + (2.0 * mSpan) / nMeta) / 3.0
+  }
+
+  /** Merge contiguous components in list order (end1+1 == begin2), then
+    * return component sizes (metamap_evaluation.pl:891-932).
+    */
+  def connectedComponents(spans: Seq[(Int, Int)]): Vector[Int] = {
+    if (spans.isEmpty) return Vector.empty
+    val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)](spans.head)
+    spans.tail.foreach { case (b, e) =>
+      val (lb, le) = merged.last
+      if (b == le + 1) merged(merged.length - 1) = (lb, e)
+      else merged += ((b, e))
+    }
+    merged.map { case (b, e) => e - b + 1 }.toVector
+  }
+
+  def cohesiveness(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int): Double = {
+    val pCCs = connectedComponents(matchMap.map(e => (e.pBegin, e.pEnd)))
+    val mCCs = connectedComponents(matchMap.map(e => (e.mBegin, e.mEnd)))
+    val pSum = pCCs.map(c => c.toDouble * c).sum
+    val mSum = mCCs.map(c => c.toDouble * c).sum
+    (pSum / (nPhrase.toDouble * nPhrase) + (2.0 * mSum) / (nMeta.toDouble * nMeta)) / 3.0
+  }
+
+  def combine(cen: Double, vr: Double, cov: Double, coh: Double): Int = {
+    val v = (cen + vr + 2.0 * (cov + coh)) / 6.0
+    math.round(1000.0 * v).toInt
+  }
+
+  /** Full candidate score (compute_match_value, evaluation.pl:940-951). */
+  def score(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int,
+      involvesHead: Boolean): Int =
+    combine(centrality(involvesHead), variation(matchMap),
+      coverage(matchMap, nPhrase, nMeta), cohesiveness(matchMap, nPhrase, nMeta))
+}

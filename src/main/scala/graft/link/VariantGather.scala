@@ -1,0 +1,91 @@
+package graft.link
+
+import graft.text.Tokenizer
+import graft.umls.{UmlsTables, Variant}
+
+/** Variant generator computation + per-phrase gather, re-expressing
+  * compute_variant_generators/3 (metamap_variants.pl:201-283) and
+  * gather_variants/4 (metamap_variants.pl:1325-1419) over the static-mode
+  * broadcast variant table (SURVEY.md §2.5 V4: the reference's
+  * db_get_variants static mode, metamap_variants.pl:356-372).
+  */
+object VariantGather {
+
+  /** Document-local AA dictionary: acronym lc word -> expansion words. */
+  type AaDict = Map[String, Vector[String]]
+
+  /** Build the per-phrase variant index: first-variant-word -> vinfos.
+    * Ordering inside each bucket preserves insertion sequence (the
+    * reference AVL stores values reversed and fetch re-reverses).
+    */
+  def gather(phrase: Phrase, umls: UmlsTables, aas: AaDict): Map[String, Vector[VInfo]] = {
+    val words = phrase.words.map(_.word)
+    val n = words.length
+    if (n == 0) return Map.empty
+    val headPos = (phrase.headIdx + 1, phrase.headIdx + 1)
+
+    // generators, in reference order: per word left-to-right, longest
+    // multiword lexicon form first, then shorter, then the word itself
+    // (compute_variant_generators_2/3)
+    val gens = scala.collection.mutable.ArrayBuffer[String]()
+    val seen = scala.collection.mutable.Set[String]()
+    for (i <- 0 until n) {
+      var len = n - i
+      while (len >= 2) {
+        val mw = words.slice(i, i + len).mkString(" ")
+        if (umls.lexiconForms.contains(mw) && seen.add(mw)) gens += mw
+        len -= 1
+      }
+      if (seen.add(words(i))) gens += words(i)
+    }
+
+    val buckets = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[VInfo]]()
+    var seq = 0
+
+    def positions(genWords: Vector[String]): Vector[(Int, Int)] = {
+      // all_pairs over first/last word positions with the right span
+      // (metamap_variants.pl:1469-1520)
+      val firsts = (0 until n).filter(k => words(k) == genWords.head).map(_ + 1)
+      val lasts = (0 until n).filter(k => words(k) == genWords.last).map(_ + 1)
+      (for {
+        b <- firsts; e <- lasts
+        if b <= e && e - b + 1 == genWords.length
+      } yield (b, e)).toVector
+    }
+
+    for (gen <- gens) {
+      val genWords = Tokenizer.tokenizeMmLc(gen)
+      val genPositions = positions(genWords)
+      if (genPositions.nonEmpty) {
+        // skip variants for closed-class or <=2-char single words
+        // (no_variants_word, metamap_variants.pl:309-339), but the word
+        // itself still generates (identity variant)
+        val isSingle = genWords.length == 1
+        val cats = umls.lexCats.getOrElse(gen, Set.empty)
+        val noVariants = isSingle &&
+          ((cats.nonEmpty && cats.subsetOf(UmlsTables.invariantCats)) || gen.length <= 2)
+        val base = Vector(Variant(gen, 0, ""))
+        val tableVars =
+          if (noVariants) Vector.empty
+          else umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+        // document-local AA expansion as a level-2 variant (A5 re-expression)
+        val aaVars = aas.get(gen).map(exp => Variant(exp.mkString(" "), 2, "a")).toVector
+        // and the reverse: if gen is an expansion's first word we do not
+        // add anything — AA occurrences carry the expansion variant.
+        val allVars = base ++ tableVars ++ aaVars
+        for (pos <- genPositions) {
+          val involvesHead = pos._1 <= headPos._2 && headPos._1 <= pos._2
+          for (v <- allVars) {
+            val vWords = Tokenizer.tokenizeMmLc(v.word)
+            if (vWords.nonEmpty) {
+              val vi = VInfo(gen, pos, involvesHead, v.varLevel, vWords, seq)
+              seq += 1
+              buckets.getOrElseUpdate(vWords.head, scala.collection.mutable.ArrayBuffer.empty) += vi
+            }
+          }
+        }
+      }
+    }
+    buckets.iterator.map { case (k, v) => k -> v.toVector }.toMap
+  }
+}

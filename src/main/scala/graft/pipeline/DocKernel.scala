@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import graft.aa.AaDetector
+import graft.link._
+import graft.negex.Negex
+import graft.text.{Sentences, Tokenizer}
+import graft.umls.UmlsTables
+
+/** The per-document NLP kernel: text -> candidate mentions. Pure function
+  * over one document plus the broadcast UMLS tables — embarrassingly
+  * parallel, no cross-document state (AAs are document-local, SURVEY §2.3).
+  * Runs inside `mapPartitions` on executors; emits ALL best-mapping
+  * candidates — the WSD pass (window-ranked dedup per span) happens
+  * corpus-level in the DataFrame plan (SURVEY §2.11 W1).
+  */
+object DocKernel {
+
+  def mentions(url: String, text: String, umls: UmlsTables): Vector[Mention] = {
+    if (text.isEmpty) return Vector.empty
+    val toks = Tokenizer.tokenize(text)
+    val aas = AaDetector.findAas(toks)
+    val sents = Sentences.split(toks)
+    sents.flatMap { sent =>
+      val phrases = PhraseChunker.chunk(sent.toks, umls)
+      val sentMentions = phrases.flatMap { phrase =>
+        // stop-phrase analogue: single closed-class or 1-char phrases skip
+        if (phrase.words.isEmpty ||
+          (phrase.words.length == 1 && phrase.words.head.word.length <= 1)) Vector.empty
+        else {
+          val varIndex = VariantGather.gather(phrase, umls, aas)
+          val cands = Evaluator.evaluatePhrase(phrase, umls, varIndex)
+          val best = Evaluator.bestMappingCandidates(cands, phrase.words.length)
+          best.map { c =>
+            Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
+              c.semTypes, negated = false,
+              text.substring(c.start, c.end))
+          }
+        }
+      }
+      Negex.mark(sent.toks, sentMentions, umls)
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Character-class tokenizer re-expressing the reference's
+  * form_simple_tokens/4 (/root/reference/text/text_object_tokens.pl:199-299).
+  *
+  * Maximal runs of alphanumerics become one token typed by case shape
+  * (lc/uc/ic/mc/an/nu); every punctuation char is its own `pn` token;
+  * maximal whitespace runs are one `ws` token. ASCII-only by design — the
+  * extraction layer folds text to ASCII first (utf8_to_ascii analogue).
+  */
+object Tokenizer {
+
+  @inline private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  private def alnumType(s: String): String = {
+    var hasLower = false; var hasUpper = false; var hasDigit = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') hasLower = true
+      else if (c >= 'A' && c <= 'Z') hasUpper = true
+      else hasDigit = true
+      i += 1
+    }
+    if (hasDigit && (hasLower || hasUpper)) "an"
+    else if (hasDigit) "nu"
+    else if (hasLower && !hasUpper) "lc"
+    else if (hasUpper && !hasLower) "uc"
+    else if (s.charAt(0).isUpper && s.drop(1).forall(c => c >= 'a' && c <= 'z')) "ic"
+    else "mc"
+  }
+
+  /** Tokenize `text` into the full stream including ws and pn tokens. */
+  def tokenize(text: String): Vector[Tok] = {
+    val out = new ArrayBuffer[Tok](text.length / 4 + 4)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isWsChar(c)) {
+        var j = i + 1
+        while (j < n && isWsChar(text.charAt(j))) j += 1
+        val t = text.substring(i, j)
+        out += Tok("ws", t, t, i, j)
+        i = j
+      } else if (isAlnum(c)) {
+        var j = i + 1
+        while (j < n && isAlnum(text.charAt(j))) j += 1
+        val t = text.substring(i, j)
+        out += Tok(alnumType(t), t, t.toLowerCase, i, j)
+        i = j
+      } else {
+        val t = text.substring(i, i + 1)
+        out += Tok("pn", t, t, i, i + 1)
+        i = i + 1
+      }
+    }
+    out.toVector
+  }
+
+  /** tokenize_text_mm analogue (metamap_tokenization.pl:765-903): maximal
+    * alphanumeric word list, lowercased, with possessives stripped
+    * ("crohn's" -> "crohn", "patients'" -> "patients").
+    * Operates on a plain string (used to normalize both phrase words and
+    * Metathesaurus strings — the two sides MUST agree, SURVEY §2.2 T5).
+    */
+  def tokenizeMmLc(text: String): Vector[String] = {
+    val toks = tokenize(text)
+    val out = new ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.isWord) {
+        // possessive: word + "'" + "s"  or plural possessive word+"'"
+        val isApos = i + 1 < toks.length && toks(i + 1).text == "'"
+        val nextIsS = i + 2 < toks.length && toks(i + 2).lc == "s" &&
+          toks(i + 2).start == toks(i + 1).end
+        if (isApos && nextIsS && toks(i + 1).start == t.end) {
+          out += t.lc
+          i += 3
+        } else if (isApos && toks(i + 1).start == t.end && t.lc.endsWith("s") &&
+          (i + 2 >= toks.length || toks(i + 2).isWs || toks(i + 2).isPunct)) {
+          out += t.lc
+          i += 2
+        } else {
+          out += t.lc
+          i += 1
+        }
+      } else i += 1
+    }
+    out.toVector
+  }
+
+  /** Word tokens only (no ws/pn), preserving positions; possessive 's is
+    * folded into the preceding word token (apostrophe-s reattachment,
+    * metamap_tokenization.pl:956-1006).
+    */
+  def wordToks(toks: Vector[Tok]): Vector[Tok] = {
+    val out = new ArrayBuffer[Tok](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.isWord) {
+        val hasApos = i + 2 < toks.length && toks(i + 1).text == "'" &&
+          toks(i + 1).start == t.end && toks(i + 2).lc == "s" &&
+          toks(i + 2).start == toks(i + 1).end
+        if (hasApos) {
+          out += Tok(t.typ, t.text + "'s", t.lc, t.start, toks(i + 2).end)
+          i += 3
+        } else {
+          out += t
+          i += 1
+        }
+      } else i += 1
+    }
+    out.toVector
+  }
+}

@@ -1,0 +1,389 @@
+package graft.umls
+
+import graft.text.Tokenizer
+
+/** One Metathesaurus-style string-index entry: usc/3 analogue
+  * (/root/reference/metamap/metamap_candidates.pl:215-219,
+  * /root/reference/db/db_access.pl:721-729).
+  *
+  * @param nmWords normalized-string words (tokenize_text_mm + lowercase +
+  *                uninversion), the MetaWords fed to the matcher
+  * @param str     original Metathesaurus string
+  * @param cui     concept unique identifier
+  * @param concept preferred concept name
+  */
+final case class IndexEntry(nmWords: Vector[String], str: String, cui: String, concept: String)
+
+/** A precomputed lexical variant (v/6 analogue,
+  * /root/reference/metamap/metamap_variants.pl:196-199). History letters
+  * follow the reference: s=synonym, i=inflection, p=spelling, d=derivation,
+  * a/e=AA/expansion (metamap_variants.pl:826-847).
+  */
+final case class Variant(word: String, varLevel: Int, history: String)
+
+/** Broadcastable read-only UMLS-style tables (SURVEY.md §1.2). All maps are
+  * immutable and thread-safe; one instance is broadcast per job and shared
+  * by every task (the Spark analogue of the reference's Berkeley-DB side
+  * tables behind db_access.pl).
+  */
+final case class UmlsTables(
+    // word -> index entries whose normalized string STARTS with that word
+    firstWordIndex: Map[String, Vector[IndexEntry]],
+    // word -> index entries whose normalized string CONTAINS that word
+    // (all_words analogue, used only in overmatch mode; kept for parity)
+    wordCounts: Map[String, Int],
+    cuiPreferred: Map[String, String],
+    cuiSemTypes: Map[String, Vector[String]],
+    // static-mode variant table: word -> variants (incl. the word itself)
+    variants: Map[String, Vector[Variant]],
+    // multi-word lexicon forms (is_a_form) for multiword generators
+    lexiconForms: Set[String],
+    // word -> lexical categories (noun, adj, verb, aux, det, prep, conj, pron, adv)
+    lexCats: Map[String, Set[String]],
+    stopWords: Set[String],
+    // semantic network: (st1, st2) -> relations licensed in that direction
+    semnet: Map[(String, String), Vector[String]],
+    preferredRelations: Set[String],
+    relationInverse: Map[String, String],
+    negexPre: Vector[Vector[String]], // nega: trigger word seqs before concept
+    negexPost: Vector[Vector[String]], // negb: trigger word seqs after concept
+    negexPseudo: Vector[Vector[String]], // pseudoneg: never negate
+    negexConj: Set[String], // scope terminators
+    treecodes: Map[String, Vector[String]],
+    semTypePriority: Map[String, Int] // deterministic WSD tie-break prior
+) extends Serializable {
+
+  /** Closed-class categories that never start a concept-bearing phrase. */
+  def isClosedClass(w: String): Boolean = {
+    val cats = lexCats.getOrElse(w, Set.empty)
+    cats.nonEmpty && cats.subsetOf(UmlsTables.closedCats)
+  }
+}
+
+object UmlsTables {
+  val closedCats: Set[String] = Set("det", "prep", "conj", "pron", "aux", "modal", "compl")
+  /** Categories whose words get no variants (metamap_variants.pl:309-339). */
+  val invariantCats: Set[String] = closedCats
+}
+
+/** Deterministic synthetic mini-Metathesaurus + lexicon (FIXTURES.md §2).
+  * Entirely code-generated: no external data, no randomness.
+  */
+object MiniUmls {
+
+  // (cui, preferred name, semtypes, strings)
+  val concepts: Vector[(String, String, Vector[String], Vector[String])] = Vector(
+    ("C0027051", "Myocardial Infarction", Vector("dsyn"),
+      Vector("Myocardial Infarction", "Heart attack", "MI")),
+    ("C0018787", "Heart", Vector("bpoc"), Vector("Heart")),
+    ("C0018799", "Heart Diseases", Vector("dsyn"), Vector("Heart Diseases", "Cardiac disease")),
+    ("C0010054", "Coronary Arteriosclerosis", Vector("dsyn"),
+      Vector("Coronary Arteriosclerosis", "Coronary artery disease", "CAD")),
+    ("C0205042", "Coronary artery", Vector("bpoc"), Vector("Coronary artery")),
+    ("C0006826", "Malignant Neoplasms", Vector("neop"), Vector("Malignant Neoplasms", "Cancer")),
+    ("C0024109", "Lung", Vector("bpoc"), Vector("Lung")),
+    ("C0023884", "Liver", Vector("bpoc"), Vector("Liver")),
+    ("C0024121", "Lung Neoplasms", Vector("neop"),
+      Vector("Lung Neoplasms", "Lung cancer", "Pulmonary cancer")),
+    ("C0345904", "Malignant neoplasm of liver", Vector("neop"),
+      Vector("Liver cancer", "Cancer, Liver")),
+    ("C0010346", "Crohn Disease", Vector("dsyn"), Vector("Crohn Disease", "Crohn's disease")),
+    ("C0030193", "Pain", Vector("sosy"), Vector("Pain")),
+    ("C0008031", "Chest Pain", Vector("sosy"), Vector("Chest Pain")),
+    ("C0817096", "Chest", Vector("blor"), Vector("Chest")),
+    ("C0004057", "Aspirin", Vector("phsu"), Vector("Aspirin", "Acetylsalicylic acid")),
+    ("C0004238", "Atrial Fibrillation", Vector("dsyn"), Vector("Atrial Fibrillation", "AF")),
+    ("C0020538", "Hypertensive disease", Vector("dsyn"),
+      Vector("Hypertensive disease", "Hypertension", "High blood pressure")),
+    ("C0011849", "Diabetes Mellitus", Vector("dsyn"), Vector("Diabetes Mellitus", "Diabetes")),
+    ("C0021400", "Influenza", Vector("dsyn"), Vector("Influenza", "Flu")),
+    ("C0042776", "Viruses", Vector("virs"), Vector("Viruses", "Virus")),
+    ("C0032285", "Pneumonia", Vector("dsyn"), Vector("Pneumonia")),
+    ("C0034063", "Pulmonary Edema", Vector("dsyn"), Vector("Pulmonary Edema", "Edema of lung")),
+    ("C0013604", "Edema", Vector("sosy"), Vector("Edema", "Oedema")),
+    ("C0029161", "Oral glucose tolerance test", Vector("diap"),
+      Vector("Oral glucose tolerance test", "OGTT")),
+    ("C0017725", "Glucose", Vector("orch"), Vector("Glucose")),
+    ("C0021641", "Insulin", Vector("phsu"), Vector("Insulin")),
+    ("C0027651", "Neoplasms", Vector("neop"), Vector("Neoplasms", "Tumor", "Tumour", "Neoplasm")),
+    ("C0015967", "Fever", Vector("sosy"), Vector("Fever", "Pyrexia")),
+    ("C0010200", "Coughing", Vector("sosy"), Vector("Coughing", "Cough")),
+    ("C0013404", "Dyspnea", Vector("sosy"), Vector("Dyspnea", "Shortness of breath")),
+    ("C0002871", "Anemia", Vector("dsyn"), Vector("Anemia", "Anaemia")),
+    ("C0018681", "Headache", Vector("sosy"), Vector("Headache")),
+    ("C0027497", "Nausea", Vector("sosy"), Vector("Nausea")),
+    ("C0042963", "Vomiting", Vector("sosy"), Vector("Vomiting")),
+    ("C0004096", "Asthma", Vector("dsyn"), Vector("Asthma")),
+    ("C0018801", "Heart failure", Vector("dsyn"), Vector("Heart failure", "Cardiac failure")),
+    ("C0038454", "Cerebrovascular accident", Vector("dsyn"),
+      Vector("Cerebrovascular accident", "Stroke", "CVA")),
+    ("C0005823", "Blood Pressure", Vector("phsf"), Vector("Blood Pressure", "BP")),
+    ("C0013798", "Electrocardiogram", Vector("diap"), Vector("Electrocardiogram", "ECG", "EKG")),
+    ("C0024485", "Magnetic Resonance Imaging", Vector("diap"),
+      Vector("Magnetic Resonance Imaging", "MRI")),
+    ("C0040405", "X-Ray Computed Tomography", Vector("diap"),
+      Vector("X-Ray Computed Tomography", "Computed tomography", "CT scan")),
+    ("C0021368", "Inflammation", Vector("patf"), Vector("Inflammation")),
+    ("C0003864", "Arthritis", Vector("dsyn"), Vector("Arthritis")),
+    ("C0033860", "Psoriasis", Vector("dsyn"), Vector("Psoriasis")),
+    ("C0023895", "Liver diseases", Vector("dsyn"), Vector("Liver diseases", "Hepatic disease")),
+    ("C0035078", "Kidney Failure", Vector("dsyn"), Vector("Kidney Failure", "Renal failure")),
+    ("C0022646", "Kidney", Vector("bpoc"), Vector("Kidney")),
+    ("C0021852", "Small Intestine", Vector("bpoc"), Vector("Small Intestine")),
+    ("C0038351", "Stomach", Vector("bpoc"), Vector("Stomach")),
+    ("C0006104", "Brain", Vector("bpoc"), Vector("Brain")),
+    // WSD ambiguity fixture: "cold" -> temperature concept vs common cold
+    ("C0009443", "Common Cold", Vector("dsyn"), Vector("Common Cold", "Cold")),
+    ("C0009264", "Cold Temperature", Vector("npop"), Vector("Cold Temperature", "Cold"))
+  )
+
+  /** Word/multiword synonyms with variant level 2 (db synonyms analogue;
+    * multiword pairs cover FIXTURES.md "heart attack <-> myocardial
+    * infarction").
+    */
+  val synonyms: Vector[(String, String)] = Vector(
+    ("lung", "pulmonary"), ("pulmonary", "lung"),
+    ("liver", "hepatic"), ("hepatic", "liver"),
+    ("kidney", "renal"), ("renal", "kidney"),
+    ("heart", "cardiac"), ("cardiac", "heart"),
+    ("cancer", "carcinoma"), ("carcinoma", "cancer"),
+    ("heart attack", "myocardial infarction"),
+    ("myocardial infarction", "heart attack"))
+
+  /** Spelling variant pairs, level 0. */
+  val spellings: Vector[(String, String)] = Vector(
+    ("tumor", "tumour"), ("tumour", "tumor"),
+    ("anemia", "anaemia"), ("anaemia", "anemia"),
+    ("edema", "oedema"), ("oedema", "edema"))
+
+  /** Inflection pairs (singular <-> plural), level 1. */
+  val inflections: Vector[(String, String)] = Vector(
+    ("lung", "lungs"), ("lungs", "lung"),
+    ("artery", "arteries"), ("arteries", "artery"),
+    ("virus", "viruses"), ("viruses", "virus"),
+    ("tumor", "tumors"), ("tumors", "tumor"),
+    ("neoplasm", "neoplasms"), ("neoplasms", "neoplasm"),
+    ("headache", "headaches"), ("headaches", "headache"),
+    ("disease", "diseases"), ("diseases", "disease"),
+    ("cough", "coughing"), ("coughing", "cough"))
+
+  /** Derivational pairs (adj <-> noun), level 3 (dm_variants analogue). */
+  val derivations: Vector[(String, String)] = Vector(
+    ("inflammatory", "inflammation"), ("inflammation", "inflammatory"),
+    ("arthritic", "arthritis"), ("arthritis", "arthritic"),
+    ("asthmatic", "asthma"), ("asthma", "asthmatic"))
+
+  val nouns: Set[String] = Set(
+    "patient", "patients", "history", "year", "attack", "disease", "diseases",
+    "infarction", "artery", "arteries", "cancer", "carcinoma", "lung", "lungs",
+    "liver", "kidney", "heart", "chest", "pain", "side", "test", "results",
+    "result", "evidence", "aspirin", "fibrillation", "hypertension", "diabetes",
+    "mellitus", "influenza", "flu", "virus", "viruses", "pneumonia", "edema",
+    "oedema", "glucose", "insulin", "neoplasm", "neoplasms", "tumor", "tumors",
+    "tumour", "fever", "pyrexia", "cough", "coughing", "dyspnea", "breath",
+    "shortness", "anemia", "anaemia", "headache", "headaches", "nausea",
+    "vomiting", "asthma", "failure", "accident", "stroke", "blood", "pressure",
+    "electrocardiogram", "imaging", "resonance", "tomography", "scan",
+    "inflammation", "arthritis", "psoriasis", "stomach", "brain", "intestine",
+    "crohn", "cold", "treatment", "therapy", "doctor", "hospital", "admission",
+    "study", "week", "month", "day", "examination", "scleroderma", "act",
+    "immigration", "nationality", "infarct", "arteriosclerosis")
+
+  val adjectives: Set[String] = Set(
+    "myocardial", "coronary", "cardiac", "pulmonary", "hepatic", "renal",
+    "malignant", "atrial", "hypertensive", "acute", "chronic", "severe",
+    "mild", "left", "right", "high", "low", "small", "large", "oral",
+    "magnetic", "computed", "common", "inflammatory", "arthritic", "asthmatic",
+    "cerebrovascular", "last", "normal", "abnormal", "elevated")
+
+  val verbs: Set[String] = Set(
+    "had", "have", "has", "showed", "show", "shows", "revealed", "reveal",
+    "reveals", "denies", "denied", "confirmed", "confirm", "confirms",
+    "ruled", "rule", "rules", "suffered", "suffers", "developed", "develops",
+    "presented", "presents", "received", "receives", "underwent", "reported",
+    "reports", "found", "diagnosed", "treated", "admitted", "complained")
+
+  val auxiliaries: Set[String] = Set("was", "were", "is", "are", "be", "been", "being")
+  val determiners: Set[String] = Set("the", "a", "an", "this", "that", "these", "those", "no")
+  val prepositions: Set[String] = Set(
+    "of", "on", "in", "with", "without", "for", "to", "after", "before",
+    "during", "at", "by", "from", "into", "out", "over", "under")
+  val conjunctions: Set[String] = Set("and", "or", "but", "however", "although", "while")
+  val pronouns: Set[String] = Set("he", "she", "it", "they", "his", "her", "its", "their", "we")
+  val adverbs: Set[String] = Set("severely", "also", "not", "then", "later", "subsequently")
+
+  /** Multi-word lexicon forms (is_a_form analogue) enabling multiword
+    * variant generators (metamap_variants.pl:201-283).
+    */
+  val multiwordForms: Set[String] = Set(
+    "heart attack", "myocardial infarction", "coronary artery",
+    "heart disease", "blood pressure", "chest pain", "heart failure",
+    "atrial fibrillation", "diabetes mellitus", "lung cancer",
+    "shortness of breath", "common cold")
+
+  /** NegEx triggers (negex_triggers.pl analogue — 6 classes compressed to
+    * the 4 that affect our pinned mode).
+    */
+  val negexPre: Vector[Vector[String]] = Vector(
+    Vector("no", "evidence", "of"), Vector("no", "signs", "of"),
+    Vector("no"), Vector("denies"), Vector("denied"), Vector("without"),
+    Vector("absence", "of"), Vector("negative", "for"), Vector("free", "of"),
+    Vector("not"), Vector("ruled", "out"))
+
+  val negexPost: Vector[Vector[String]] = Vector(
+    Vector("was", "ruled", "out"), Vector("were", "ruled", "out"),
+    Vector("is", "ruled", "out"), Vector("has", "been", "ruled", "out"))
+
+  val negexPseudo: Vector[Vector[String]] = Vector(
+    Vector("no", "increase"), Vector("no", "change"), Vector("not", "cause"),
+    Vector("not", "certain", "if"), Vector("not", "only"))
+
+  val negexConj: Set[String] = Set("but", "however", "although", "which", "and")
+
+  val semnetFacts: Vector[(String, String, String)] = Vector(
+    ("bpoc", "location_of", "dsyn"), ("blor", "location_of", "dsyn"),
+    ("bpoc", "location_of", "neop"), ("blor", "location_of", "neop"),
+    ("bpoc", "location_of", "sosy"), ("blor", "location_of", "sosy"),
+    ("bpoc", "location_of", "patf"), ("bpoc", "location_of", "phsf"),
+    ("phsu", "treats", "dsyn"), ("phsu", "treats", "neop"),
+    ("phsu", "treats", "sosy"), ("topp", "treats", "dsyn"),
+    ("diap", "diagnoses", "dsyn"), ("diap", "diagnoses", "neop"),
+    ("diap", "diagnoses", "sosy"), ("diap", "measures", "phsf"),
+    ("diap", "measures", "orch"),
+    ("virs", "causes", "dsyn"), ("virs", "causes", "sosy"),
+    ("dsyn", "causes", "sosy"), ("neop", "causes", "sosy"),
+    ("patf", "manifestation_of", "dsyn"),
+    ("sosy", "manifestation_of", "dsyn"), ("sosy", "manifestation_of", "neop"),
+    ("sosy", "manifestation_of", "patf"),
+    ("dsyn", "co-occurs_with", "dsyn"), ("neop", "co-occurs_with", "dsyn"),
+    ("dsyn", "affects", "phsf"), ("orch", "affects", "phsf"),
+    ("phsu", "affects", "phsf"), ("npop", "affects", "phsf"),
+    ("dsyn", "degree_of", "npop"))
+
+  val relationInverse: Map[String, String] = Map(
+    "location_of" -> "has_location", "has_location" -> "location_of",
+    "treats" -> "treated_by", "treated_by" -> "treats",
+    "diagnoses" -> "diagnosed_by", "diagnosed_by" -> "diagnoses",
+    "causes" -> "caused_by", "caused_by" -> "causes",
+    "manifestation_of" -> "has_manifestation",
+    "has_manifestation" -> "manifestation_of",
+    "co-occurs_with" -> "co-occurs_with",
+    "affects" -> "affected_by", "affected_by" -> "affects",
+    "measures" -> "measured_by", "measured_by" -> "measures",
+    "degree_of" -> "has_degree", "has_degree" -> "degree_of")
+
+  val preferredRelations: Set[String] = Set(
+    "location_of", "treats", "diagnoses", "causes", "manifestation_of",
+    "co-occurs_with", "affects", "measures", "degree_of")
+
+  /** Deterministic WSD prior over semantic types: clinically-salient types
+    * first (stands in for the reference WSD server's arbitration,
+    * re-expressed as a ranking per SURVEY §2.11 W1).
+    */
+  val semTypePriority: Map[String, Int] = Map(
+    "dsyn" -> 0, "neop" -> 1, "sosy" -> 2, "patf" -> 3, "phsu" -> 4,
+    "diap" -> 5, "virs" -> 6, "bpoc" -> 7, "blor" -> 8, "orch" -> 9,
+    "phsf" -> 10, "npop" -> 11)
+
+  val treecodes: Map[String, Vector[String]] = Map(
+    "C0027051" -> Vector("C14.280.647.500"),
+    "C0018799" -> Vector("C14.280"),
+    "C0006826" -> Vector("C04.557"),
+    "C0024121" -> Vector("C04.588.894.797"),
+    "C0345904" -> Vector("C04.588.274.623"))
+
+  /** Uninversion + NOS stripping (lib/nls_strings.pl:491-556 analogue):
+    * "Cancer, Liver" -> "liver cancer"; ", NOS" suffixes dropped.
+    */
+  def normalizeString(str: String): Vector[String] = {
+    val cleaned = str.replaceAll("(?i), NOS$", "")
+    val commaIdx = cleaned.indexOf(", ")
+    val uninverted =
+      if (commaIdx > 0 && !cleaned.substring(commaIdx + 2).contains(",") &&
+        cleaned.substring(commaIdx + 2).trim.nonEmpty)
+        cleaned.substring(commaIdx + 2) + " " + cleaned.substring(0, commaIdx)
+      else cleaned
+    Tokenizer.tokenizeMmLc(uninverted)
+  }
+
+  private def buildVariantTable(): Map[String, Vector[Variant]] = {
+    val spell = spellings.groupMap(_._1)(_._2)
+    val infl = inflections.groupMap(_._1)(_._2)
+    val deriv = derivations.groupMap(_._1)(_._2)
+    val syn = synonyms.groupMap(_._1)(_._2)
+
+    val allWords = nouns ++ adjectives ++ verbs ++
+      spellings.map(_._1) ++ inflections.map(_._1) ++ derivations.map(_._1) ++
+      synonyms.map(_._1)
+
+    allWords.toVector.sorted.map { w =>
+      // closure with minimal level per variant word (glean_best_variants,
+      // metamap_variants.pl:1299-1322); levels per metamap_variants.pl:181-185
+      val best = scala.collection.mutable.Map[String, (Int, String)](w -> (0, ""))
+      var frontier = List((w, 0, ""))
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.ListBuffer[(Int, (String, Int, String))]()
+        for ((word, lvl, hist) <- frontier) {
+          def add(v: String, dl: Int, h: Char): Unit = {
+            val nl = lvl + dl
+            if (nl <= 5 && best.get(v).forall(_._1 > nl)) {
+              best(v) = (nl, hist + h)
+              next += ((nl, (v, nl, hist + h)))
+            }
+          }
+          spell.getOrElse(word, Vector.empty).foreach(add(_, 0, 'p'))
+          infl.getOrElse(word, Vector.empty).foreach(add(_, 1, 'i'))
+          syn.getOrElse(word, Vector.empty).foreach(add(_, 2, 's'))
+          deriv.getOrElse(word, Vector.empty).foreach(add(_, 3, 'd'))
+        }
+        frontier = next.map(_._2).toList
+      }
+      w -> best.toVector.sortBy { case (v, (l, _)) => (l, v) }
+        .map { case (v, (l, h)) => Variant(v, l, h) }
+    }.toMap
+  }
+
+  /** Assemble the full broadcastable table set. */
+  lazy val tables: UmlsTables = {
+    val entries = for {
+      (cui, pref, _, strs) <- concepts
+      s <- strs
+      nm = normalizeString(s)
+      if nm.nonEmpty
+    } yield IndexEntry(nm, s, cui, pref)
+    val byFirst = entries.groupBy(_.nmWords.head).map { case (k, v) =>
+      k -> v.sortBy(e => (e.nmWords.length, e.cui, e.str))
+    }
+
+    val lexCats: Map[String, Set[String]] = {
+      val m = scala.collection.mutable.Map[String, Set[String]]()
+      def tag(ws: Iterable[String], c: String): Unit =
+        ws.foreach(w => m(w) = m.getOrElse(w, Set.empty) + c)
+      tag(nouns, "noun"); tag(adjectives, "adj"); tag(verbs, "verb")
+      tag(auxiliaries, "aux"); tag(determiners, "det"); tag(prepositions, "prep")
+      tag(conjunctions, "conj"); tag(pronouns, "pron"); tag(adverbs, "adv")
+      m.toMap
+    }
+
+    UmlsTables(
+      firstWordIndex = byFirst,
+      wordCounts = Map("of" -> 9000, "the" -> 9500, "no" -> 5000, "ca" -> 1200),
+      cuiPreferred = concepts.map(c => c._1 -> c._2).toMap,
+      cuiSemTypes = concepts.map(c => c._1 -> c._3).toMap,
+      variants = buildVariantTable(),
+      lexiconForms = multiwordForms,
+      lexCats = lexCats,
+      stopWords = determiners ++ prepositions ++ conjunctions ++ pronouns ++ auxiliaries,
+      semnet = semnetFacts.groupBy(f => (f._1, f._3)).map { case (k, v) =>
+        k -> v.map(_._2).sorted
+      },
+      preferredRelations = preferredRelations,
+      relationInverse = relationInverse,
+      negexPre = negexPre,
+      negexPost = negexPost,
+      negexPseudo = negexPseudo,
+      negexConj = negexConj,
+      treecodes = treecodes,
+      semTypePriority = semTypePriority)
+  }
+}
