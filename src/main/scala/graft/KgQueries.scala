@@ -31,8 +31,16 @@ object KgQueries {
     Pipeline.graph(Pipeline.run(CorpusGen.pages(spark, nPages)), umls)
   }
 
+  def kgMmiRank(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    val umls = Pipeline.broadcastUmls(spark)
+    val ms = Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, nPages), umls), umls)
+    ops.MmiRank.rank(ms, umls)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
     "kg_triples" -> (kgTriples _),
-    "kg_graph" -> (kgGraph _))
+    "kg_graph" -> (kgGraph _),
+    "kg_mmi_rank" -> (kgMmiRank _))
 }

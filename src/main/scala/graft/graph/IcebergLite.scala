@@ -1,0 +1,117 @@
+package graft.graph
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style partitioned table layout with snapshot manifests and
+  * per-partition lineage/metrics rows enabling checkpoint-resume
+  * (north_rule). No Iceberg jars ship in this environment (SURVEY.md §7
+  * constraint), so the layout is implemented directly; the writer API is
+  * deliberately thin so a real Iceberg catalog can be swapped in.
+  *
+  * Layout:
+  * {{{
+  *   root/data/part_bucket=N/  (parquet)   // bucket(subj_cui, nBuckets)
+  *   root/_manifest/snapshot-k.json        // committed buckets + metrics
+  * }}}
+  *
+  * Commit protocol: a snapshot lists every committed bucket with its row
+  * count and lineage stats. `write` skips buckets already committed by the
+  * latest snapshot — re-running a partially-failed job resumes from the
+  * checkpoint and only computes the missing partitions (idempotent
+  * re-commit per partition, the batch-incrementality the reference lacks).
+  */
+object IcebergLite {
+
+  final case class PartitionMeta(bucket: Int, rows: Long, nSubjCuis: Long,
+      minSubj: String, maxSubj: String)
+
+  final case class Snapshot(snapshotId: Int, partitions: Vector[PartitionMeta])
+
+  private def manifestDir(root: String) = Paths.get(root, "_manifest")
+
+  def latestSnapshot(root: String): Option[Snapshot] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return None
+    val snaps = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snapshot-")).toVector
+    if (snaps.isEmpty) None
+    else {
+      val latest = snaps.maxBy(p =>
+        p.getFileName.toString.stripPrefix("snapshot-").stripSuffix(".json").toInt)
+      Some(parseSnapshot(new String(Files.readAllBytes(latest), StandardCharsets.UTF_8)))
+    }
+  }
+
+  // minimal JSON (de)serialization — the manifest schema is ours
+  private def renderSnapshot(s: Snapshot): String = {
+    val parts = s.partitions.map(p =>
+      s"""{"bucket":${p.bucket},"rows":${p.rows},"n_subj_cuis":${p.nSubjCuis},""" +
+        s""""min_subj":"${p.minSubj}","max_subj":"${p.maxSubj}"}""").mkString(",")
+    s"""{"snapshot_id":${s.snapshotId},"partitions":[$parts]}"""
+  }
+
+  private def parseSnapshot(json: String): Snapshot = {
+    val id = """"snapshot_id":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+    val part = ("""\{"bucket":(\d+),"rows":(\d+),"n_subj_cuis":(\d+),""" +
+      """"min_subj":"([^"]*)","max_subj":"([^"]*)"\}""").r
+    val ps = part.findAllMatchIn(json).map(m =>
+      PartitionMeta(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong,
+        m.group(4), m.group(5))).toVector
+    Snapshot(id, ps)
+  }
+
+  /** Write `triples` (columns subj_cui, pred, obj_cui, url, sentNo) to the
+    * table at `root`, bucketed on subj_cui. Buckets already committed in
+    * the latest snapshot are skipped (checkpoint-resume). Returns the new
+    * snapshot.
+    */
+  def write(triples: DataFrame, root: String, nBuckets: Int = 32): Snapshot = {
+    val spark = triples.sparkSession
+    val prev = latestSnapshot(root)
+    val committed = prev.map(_.partitions.map(_.bucket).toSet).getOrElse(Set.empty)
+
+    val bucketed = triples.withColumn("part_bucket",
+      pmod(xxhash64(col("subj_cui")), lit(nBuckets)).cast("int"))
+    val todo = if (committed.isEmpty) bucketed
+      else bucketed.filter(!col("part_bucket").isin(committed.toSeq: _*))
+
+    // per-partition lineage/metrics in the same pass shape as the write
+    val metrics = todo.groupBy(col("part_bucket"))
+      .agg(count(lit(1)).as("rows"), countDistinct(col("subj_cui")).as("n_subj"),
+        min(col("subj_cui")).as("min_subj"), max(col("subj_cui")).as("max_subj"))
+      .collect()
+      .map(r => PartitionMeta(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+      .toVector.sortBy(_.bucket)
+
+    if (metrics.nonEmpty) {
+      todo.write.mode("append").partitionBy("part_bucket")
+        .parquet(Paths.get(root, "data").toString)
+    }
+
+    val snap = Snapshot(prev.map(_.snapshotId).getOrElse(0) + 1,
+      (prev.map(_.partitions).getOrElse(Vector.empty) ++ metrics).sortBy(_.bucket))
+    Files.createDirectories(manifestDir(root))
+    Files.write(manifestDir(root).resolve(s"snapshot-${snap.snapshotId}.json"),
+      renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
+    locally(spark)
+    snap
+  }
+
+  /** Read back only the buckets the latest snapshot committed (a reader
+    * never sees a half-written partition).
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val snap = latestSnapshot(root).getOrElse(Snapshot(0, Vector.empty))
+    val df = spark.read.parquet(Paths.get(root, "data").toString)
+    val ok = snap.partitions.map(_.bucket)
+    if (ok.isEmpty) df.limit(0)
+    else df.filter(col("part_bucket").isin(ok: _*))
+  }
+}

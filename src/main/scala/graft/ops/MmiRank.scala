@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+
+import graft.umls.UmlsTables
+
+/** MMI-style concept ranking (R1-R5, /root/reference/mmi/mmi.pl:781-921),
+  * re-expressed as declarative aggregation + column algebra (codegen'd —
+  * no UDFs in the scoring path).
+  *
+  * Parameters (mmi.pl:184-196): nf=-5, nmm=-10, wm=14, wmm=1, nc=nm=nw=nz=0,
+  * wc=ww=0, wd=1, MaxFreq init 13; divisors: tree-depth 9, word 26,
+  * char 102 (the reference reads these from env; we pin the historical
+  * defaults documented in mmi.pl:858-877).
+  */
+object MmiRank {
+
+  /** normalize_value/3 (mmi.pl:818-842) as column algebra. Value clamped
+    * to [0,1]; N=0 -> identity; N<0 -> log-squash; N>0 -> exp-squash.
+    */
+  def normalizeValue(n: Double, value: Column): Column = {
+    val v = least(lit(1.0), greatest(lit(0.0), value))
+    if (n == 0.0) v
+    else if (n > 0) {
+      val en = math.exp(n)
+      val a = en + 1.0
+      val b = en - 1.0
+      lit(a / b) * (lit(1.0) - exp(lit(-n) * v)) / (lit(1.0) + exp(lit(-n) * v))
+    } else {
+      val m = -n
+      val em = math.exp(m)
+      val a = em + 1.0
+      val b = em - 1.0
+      log((lit(a) + lit(b) * v) / (lit(a) - lit(b) * v)) / lit(m)
+    }
+  }
+
+  /** Rank concepts per document from the WSD-deduped mention table
+    * (columns: url, sentNo, cui, score, negated...).
+    */
+  def rank(mentions: DataFrame, umls: Broadcast[UmlsTables]): DataFrame = {
+    val tc = umls.value.treecodes
+    val pref = umls.value.cuiPreferred
+    val depthUdf = udf((cui: String) =>
+      tc.get(cui).map(_.map(_.split('.').length).max).getOrElse(1))
+    val conceptUdf = udf((cui: String) => pref.getOrElse(cui, cui))
+
+    val tf = mentions.groupBy(col("url"), col("cui"))
+      .agg(count(lit(1)).as("freq_count"), max(col("score")).as("mm_value"))
+    val withMax = tf.withColumn("max_freq",
+      greatest(lit(13), max(col("freq_count"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("url")))))
+
+    val concept = conceptUdf(col("cui"))
+    val nFreq = normalizeValue(-5, col("freq_count").cast("double") / col("max_freq"))
+    val nmmSpec = normalizeValue(-10, col("mm_value").cast("double") / 1000.0)
+    val mSpec = normalizeValue(0, depthUdf(col("cui")).cast("double") / 9.0)
+    val wSpec = normalizeValue(0,
+      size(split(concept, " ")).cast("double") / 26.0)
+    val cSpec = normalizeValue(0, length(concept).cast("double") / 102.0)
+    // compute_weighted_value([wmm=1, wm=14, ww=0, wc=0], ...) / 15
+    val spec = (nmmSpec * 1.0 + mSpec * 14.0 + wSpec * 0.0 + cSpec * 0.0) / 15.0
+
+    withMax
+      .withColumn("concept", concept)
+      .withColumn("mmi_score", round(nFreq * spec * 1000.0, 2))
+      .select(col("url"), col("cui"), col("concept"), col("freq_count"),
+        col("mm_value"), col("mmi_score"))
+      .orderBy(col("url"), col("mmi_score").desc, col("cui"))
+  }
+}

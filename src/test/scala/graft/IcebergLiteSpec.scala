@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.graph.IcebergLite
+import graft.pipeline.Pipeline
+
+/** Checkpoint-resume semantics of the Iceberg-style triple sink. */
+class IcebergLiteSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft_iceberg")
+  private def rm(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  test("write + read roundtrip with per-partition metrics") {
+    implicit val s = spark
+    val root = tmpDir().toString
+    val triples = Pipeline.run(CorpusGen.pages(spark, 150))
+    val expected = triples.count()
+    val snap = IcebergLite.write(triples, root)
+    assert(snap.snapshotId == 1)
+    assert(snap.partitions.map(_.rows).sum == expected)
+    assert(snap.partitions.forall(p => p.nSubjCuis > 0 && p.minSubj <= p.maxSubj))
+    val back = IcebergLite.read(spark, root)
+    assert(back.count() == expected)
+    rm(java.nio.file.Paths.get(root))
+  }
+
+  test("resume: a second write with the same input is a no-op") {
+    implicit val s = spark
+    val root = tmpDir().toString
+    val triples = Pipeline.run(CorpusGen.pages(spark, 150))
+    val s1 = IcebergLite.write(triples, root)
+    val s2 = IcebergLite.write(triples, root)
+    assert(s2.snapshotId == 2)
+    assert(s2.partitions == s1.partitions) // nothing re-committed
+    assert(IcebergLite.read(spark, root).count() == triples.count())
+    rm(java.nio.file.Paths.get(root))
+  }
+
+  test("resume: only missing buckets are recomputed after partial commit") {
+    implicit val s = spark
+    val root = tmpDir().toString
+    val triples = Pipeline.run(CorpusGen.pages(spark, 150)).cache()
+    val full = IcebergLite.write(triples, root)
+    val totalRows = full.partitions.map(_.rows).sum
+
+    // simulate a crash that committed only half the buckets: rewrite the
+    // manifest with the even buckets and delete the odd bucket dirs
+    val kept = full.partitions.filter(_.bucket % 2 == 0)
+    val dropped = full.partitions.filterNot(_.bucket % 2 == 0)
+    rm(java.nio.file.Paths.get(root, "_manifest"))
+    Files.createDirectories(java.nio.file.Paths.get(root, "_manifest"))
+    val partial = IcebergLite.Snapshot(1, kept)
+    // reuse the writer's own rendering by writing through a fresh write of
+    // an empty df is not possible; render manually via the public API:
+    val json = s"""{"snapshot_id":1,"partitions":[${kept.map(p =>
+      s"""{"bucket":${p.bucket},"rows":${p.rows},"n_subj_cuis":${p.nSubjCuis},""" +
+        s""""min_subj":"${p.minSubj}","max_subj":"${p.maxSubj}"}""").mkString(",")}]}"""
+    Files.write(java.nio.file.Paths.get(root, "_manifest", "snapshot-1.json"),
+      json.getBytes("UTF-8"))
+    dropped.foreach { p =>
+      rm(java.nio.file.Paths.get(root, "data", s"part_bucket=${p.bucket}"))
+    }
+
+    val resumed = IcebergLite.write(triples, root)
+    assert(resumed.snapshotId == 2)
+    assert(resumed.partitions.map(_.rows).sum == totalRows)
+    assert(IcebergLite.read(spark, root).count() == totalRows)
+    // the resumed snapshot's partition set equals the full one
+    assert(resumed.partitions.sortBy(_.bucket) == full.partitions.sortBy(_.bucket))
+    locally(partial)
+    triples.unpersist()
+    rm(java.nio.file.Paths.get(root))
+  }
+}
