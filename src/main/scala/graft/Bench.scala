@@ -1,24 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.pipeline.Pipeline
+
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
+  * KG pipeline's pages/sec + triples/sec. Prints ONE JSON line.
+  */
 object Bench {
+
+  /** Headline subset: representative, not pair-quadratic at sf0.1. */
+  private val headline = Seq(
+    "q01_pricing_summary", "q02_top_revenue_orders", "q05_supplier_distinct_parts",
+    "q06_window_top_orders", "q08_event_sessions",
+    "doc_token_count", "doc_fingerprint", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_bruteforce")
+
+  private val kgPages = 200000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    implicit val s = spark
+
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
+      val fn = qs(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // KG pipeline throughput (JIT-warm with a small run first)
+    Pipeline.run(CorpusGen.pages(spark, 20000, 128)).count()
+    val t0 = System.nanoTime()
+    val triples = Pipeline.run(CorpusGen.pages(spark, kgPages, 128)).count()
+    val kgSec = (System.nanoTime() - t0) / 1e9
+
+    val all = results :+ ("kg_pipeline_200k_pages" -> kgSec)
+    val qjson = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+      s""""pages_per_sec":${kgPages / kgSec},"triples_per_sec":${triples / kgSec},""" +
+      s""""kg_triples":$triples,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -130,8 +130,30 @@ object Pipeline {
       .withColumn("obj_name", prefUdf(col("obj_cui")))
   }
 
-  /** Full run: pages -> triples (pre-materialization). */
+  /** Full run: pages -> triples, fully map-side (DocTriples scaladoc):
+    * WSD dedup and the sentence-window pair expansion are document-local,
+    * so the default plan has NO shuffle between scan and sink — the
+    * corpus-level window/join forms below are kept for mention tables
+    * that arrive without document locality, and runShuffled() verifies
+    * both paths agree (PipelineSpec).
+    */
   def run(pages: Dataset[Page])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val umls = broadcastUmls(spark)
+    pages.mapPartitions { it =>
+      val t = umls.value
+      it.flatMap { p =>
+        if (p.lang != "en") Iterator.empty
+        else DocTriples.fromDoc(p.url, Extract.htmlToText(p.html), t).iterator
+      }
+    }.toDF("subj_cui", "pred", "obj_cui", "url", "sentNo")
+  }
+
+  /** The corpus-level shuffled form: window-ranked WSD + sentence-window
+    * self-join. Result-identical to run(); used when mentions are read
+    * from a table rather than produced in-document.
+    */
+  def runShuffled(pages: Dataset[Page])(implicit spark: SparkSession): DataFrame = {
     val umls = broadcastUmls(spark)
     val ms = mentions(pages, umls)
     val deduped = wsdDedup(ms, umls)

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+
+import graft.link.Mention
+import graft.pipeline.{DocKernel, DocTriples, Page}
+import graft.text.Extract
+import graft.umls.UmlsTables
+
+/** Structured Streaming front-end for the KG pipeline.
+  *
+  * The reference's server mode (mmserver/mmserver.pl:1) is a per-request
+  * RPC loop over the same core; re-expressed Spark-first that is a
+  * streaming Dataset: readStream(pages) -> the identical per-document
+  * kernel -> triples writeStream. All NLP state is document-local
+  * (SURVEY §2.3: AAs never cross documents), so the stream is STATELESS —
+  * no mapGroupsWithState needed; watermarking only governs lateness of the
+  * per-window graph rollup.
+  */
+object StreamingPipeline {
+
+  /** Streaming mention detection over a streaming Dataset[Page]. */
+  def mentionsStream(pages: Dataset[Page], umls: Broadcast[UmlsTables])(
+      implicit spark: SparkSession): Dataset[(Mention, java.sql.Timestamp)] = {
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.lang != "en") Iterator.empty
+      else DocKernel.mentions(p.url, Extract.htmlToText(p.html), umls.value)
+        .iterator.map(m => (m, p.warc_ts))
+    }
+  }
+
+  /** Streaming triples: the sentence-window pair "join" never crosses a
+    * document, so it runs inside the same flatMap — no stream-stream join,
+    * no shuffle; the plan stays map-side until the sink.
+    */
+  def triplesStream(pages: Dataset[Page], umls: Broadcast[UmlsTables])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.lang != "en") Iterator.empty
+      else DocTriples.fromDoc(p.url, Extract.htmlToText(p.html), umls.value)
+        .iterator.map { case (s, r, o, url, sn) => (s, r, o, url, sn, p.warc_ts) }
+    }.toDF("subj_cui", "pred", "obj_cui", "url", "sentNo", "warc_ts")
+  }
+
+  /** Windowed graph rollup with a watermark: evidence counts per
+    * (subj, pred, obj) per event-time hour, tolerating 10 minutes of
+    * lateness (the streaming analogue of the batch graph materialization).
+    */
+  def graphRollup(triples: DataFrame): DataFrame =
+    triples
+      .withWatermark("warc_ts", "10 minutes")
+      .groupBy(window(col("warc_ts"), "1 hour"),
+        col("subj_cui"), col("pred"), col("obj_cui"))
+      .agg(count(lit(1)).as("n_evidence"))
+}

@@ -79,6 +79,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(t2 == t16)
   }
 
+  test("map-side and shuffled triple paths produce identical results") {
+    implicit val s = spark
+    val pages = CorpusGen.pages(spark, 150)
+    val local = Pipeline.run(pages).collect().map(_.toString).sorted.toVector
+    val shuffled = Pipeline.runShuffled(pages)
+      .select("subj_cui", "pred", "obj_cui", "url", "sentNo")
+      .collect().map(_.toString).sorted.toVector
+    assert(local == shuffled)
+  }
+
   test("non-English rows pass through unprocessed") {
     implicit val s = spark
     import s.implicits._

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DocOps
+import graft.relational.RelationalQueries
+
+/** Physical-plan assertions: filters and projections must reach the
+  * parquet scan, small dimensions must broadcast, and nothing silently
+  * degrades to a cartesian product. These are the .explain checks the
+  * 100 TB design depends on — kept as tests so they cannot regress.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Post-execution plan: AQE only materializes final stages (and their
+    * WholeStageCodegen spans) once the query has run.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan(RelationalQueries.q01PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // pruned read schema: no l_orderkey/l_partkey etc in the scan
+    assert(!p.contains("l_partkey"), "scan reads columns the query never uses")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(RelationalQueries.q01PricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q02: customer dimension joins as broadcast") {
+    val p = plan(RelationalQueries.q02TopRevenueOrders(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q07: star dims broadcast; no shuffle join for nation/region") {
+    val p = plan(RelationalQueries.q07RegionRollup(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("q03/q04: semi and anti joins stay hash-based") {
+    val p3 = plan(RelationalQueries.q03OrderPrioritySemi(spark, sf))
+    val p4 = plan(RelationalQueries.q04CustomersNoOrdersAnti(spark, sf))
+    assert(p3.contains("LeftSemi"), p3)
+    assert(p4.contains("LeftAnti"), p4)
+  }
+
+  test("kg pipeline: default batch plan has no exchange before the sink") {
+    implicit val s = spark
+    val p = plan(graft.pipeline.Pipeline.run(graft.corpus.CorpusGen.pages(spark, 10)))
+    assert(!p.contains("Exchange"), s"map-side triple path acquired a shuffle:\n$p")
+  }
+
+  test("dedup LSH: the band self-join is an equi-join, not cartesian") {
+    val p = plan(DocOps.dedupMinhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("token-jaccard: blocked self-join is an equi-join on (source, lang)") {
+    val p = plan(DocOps.dedupTokenJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the scoring-free column pipelines") {
+    // token counting: scan -> project -> sort, all codegen'd. (The
+    // fingerprint op uses higher-order array functions, which Spark
+    // evaluates outside codegen by design — acceptable, it is map-side.)
+    // codegen'd spans render as "*(n)" operator prefixes in the plan tree
+    val p = finalPlan(DocOps.docTokenCount(spark, sf))
+    assert(p.contains("*(1)"), p)
+    val q = finalPlan(RelationalQueries.q01PricingSummary(spark, sf))
+    assert(q.contains("*(1)") && q.contains("*(2)"), q)
+  }
+}
