@@ -38,9 +38,22 @@ object KgQueries {
     ops.MmiRank.rank(ms, umls)
   }
 
+  def kgJsonOutput(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    output.JsonOutput.documentJson(kgMentions(spark, sfDir))
+  }
+
+  def kgAaDump(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    val umls = Pipeline.broadcastUmls(spark)
+    output.JsonOutput.aaDump(CorpusGen.pages(spark, nPages), umls)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
-    "kg_mmi_rank" -> (kgMmiRank _))
+    "kg_mmi_rank" -> (kgMmiRank _),
+    "kg_json_output" -> (kgJsonOutput _),
+    "kg_aa_dump" -> (kgAaDump _))
 }

@@ -1,0 +1,46 @@
+package graft.output
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+
+import graft.aa.AaDetector
+import graft.pipeline.Page
+import graft.text.{Extract, Tokenizer}
+import graft.umls.UmlsTables
+
+/** Output writers re-expressing the reference's serialization surface
+  * (SURVEY §2.1 S4): the MetaMap JSON shape Document -> Utterances ->
+  * Mappings (skr/skr_json.pl:87-131) and the --dump_aas AA dump
+  * (text/text_objects.pl:684-734). Writers are plain DataFrames — sink
+  * with df.write.json/parquet.
+  */
+object JsonOutput {
+
+  /** Nested per-document JSON: one row per url with the full mention
+    * structure grouped by utterance, serialized by to_json (codegen'd).
+    */
+  def documentJson(mentions: DataFrame): DataFrame = {
+    val utterances = mentions
+      .groupBy(col("url"), col("sentNo"))
+      .agg(sort_array(collect_list(struct(
+        col("start"), col("len"), col("cui"), col("score"),
+        col("semTypes"), col("negated"), col("text")))).as("Mappings"))
+      .groupBy(col("url"))
+      .agg(sort_array(collect_list(struct(
+        col("sentNo").as("UttNum"), col("Mappings")))).as("Utterances"))
+    utterances.select(col("url"),
+      to_json(struct(col("url").as("Document"), col("Utterances"))).as("json"))
+  }
+
+  /** --dump_aas analogue: one row per (url, acronym, expansion). */
+  def aaDump(pages: Dataset[Page], umls: Broadcast[UmlsTables])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.lang != "en") Iterator.empty
+      else AaDetector.findAas(Tokenizer.tokenize(Extract.htmlToText(p.html)))
+        .iterator.map { case (aa, exp) => (p.url, aa, exp.mkString(" ")) }
+    }.toDF("url", "acronym", "expansion")
+  }
+}

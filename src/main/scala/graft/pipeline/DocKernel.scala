@@ -15,10 +15,12 @@ import graft.umls.UmlsTables
   */
 object DocKernel {
 
-  def mentions(url: String, text: String, umls: UmlsTables): Vector[Mention] = {
+  def mentions(url: String, text: String, umls: UmlsTables,
+      opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
     if (text.isEmpty) return Vector.empty
     val toks = Tokenizer.tokenize(text)
-    val aas = AaDetector.findAas(toks)
+    // A6: user-defined AAs overlay the document-discovered ones
+    val aas = AaDetector.findAas(toks) ++ opts.udas
     val sents = Sentences.split(toks)
     sents.flatMap { sent =>
       val phrases = PhraseChunker.chunk(sent.toks, umls)
@@ -28,7 +30,15 @@ object DocKernel {
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1)) Vector.empty
         else {
           val varIndex = VariantGather.gather(phrase, umls, aas)
-          val cands = Evaluator.evaluatePhrase(phrase, umls, varIndex)
+          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex)
+          // F1 threshold (-r), F5 numerical filter (--no_nums),
+          // F4 semtype restrict/exclude (-J/-k) — skr.pl:1239-1318,4451-4458
+          val cands = cands0.filter { c =>
+            c.score >= opts.scoreThreshold &&
+              (!opts.noNums || c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length) &&
+              (opts.restrictSemTypes.isEmpty || c.semTypes.exists(opts.restrictSemTypes)) &&
+              (opts.excludeSemTypes.isEmpty || !c.semTypes.exists(opts.excludeSemTypes))
+          }
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
