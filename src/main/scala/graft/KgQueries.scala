@@ -49,11 +49,56 @@ object KgQueries {
     output.JsonOutput.aaDump(CorpusGen.pages(spark, nPages), umls)
   }
 
+  def kgXmlOutput(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    output.XmlOutput.documentXml(kgMentions(spark, sfDir))
+  }
+
+  def kgMmiFielded(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    output.XmlOutput.mmiFielded(kgMmiRank(spark, sfDir))
+  }
+
+  /** Option surface (SURVEY §2.7 E7, §2.8): mention counts per reference
+    * CLI mode over the same corpus — demonstrates -i/-o/-g/-Y/-b/-r and
+    * the semtype filters are live, each a full kernel run.
+    */
+  def kgOptionProfiles(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.link.LinkOptions
+    val profiles: Seq[(String, LinkOptions)] = Seq(
+      "default" -> LinkOptions.default,
+      "ignore_word_order" -> LinkOptions(ignoreWordOrder = true),
+      "allow_overmatches" -> LinkOptions(allowOvermatches = true),
+      "allow_concept_gaps" -> LinkOptions(allowConceptGaps = true),
+      "prefer_multiple" -> LinkOptions(preferMultiple = true),
+      "all_mappings" -> LinkOptions(computeAllMappings = true),
+      "threshold_900" -> LinkOptions(scoreThreshold = 900),
+      "restrict_dsyn" -> LinkOptions(restrictSemTypes = Set("dsyn")),
+      "min_length_8" -> LinkOptions(minLength = 8))
+    val umls = Pipeline.broadcastUmls(spark)
+    val pages = CorpusGen.pages(spark, 100).cache()
+    val rows = profiles.map { case (name, o) =>
+      val n = pages.mapPartitions { it =>
+        val t = umls.value
+        it.flatMap(p => if (p.lang != "en") Iterator.empty
+          else pipeline.DocKernel.mentions(p.url, graft.text.Extract.htmlToText(p.html), t, o).iterator)
+      }.count()
+      (name, n)
+    }
+    pages.unpersist()
+    rows.toDF("mode", "n_mentions")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
     "kg_mmi_rank" -> (kgMmiRank _),
     "kg_json_output" -> (kgJsonOutput _),
-    "kg_aa_dump" -> (kgAaDump _))
+    "kg_aa_dump" -> (kgAaDump _),
+    "kg_xml_output" -> (kgXmlOutput _),
+    "kg_mmi_fielded" -> (kgMmiFielded _),
+    "kg_option_profiles" -> (kgOptionProfiles _))
 }

@@ -19,7 +19,8 @@ object Evaluator {
     * distinct string once (CC-cache analogue).
     */
   def evaluatePhrase(phrase: Phrase, umls: UmlsTables,
-      varIndex: Map[String, Vector[VInfo]]): Vector[Candidate] = {
+      varIndex: Map[String, Vector[VInfo]],
+      opts: LinkOptions = LinkOptions.default): Vector[Candidate] = {
     val nPhrase = phrase.words.length
     if (nPhrase == 0) return Vector.empty
 
@@ -38,10 +39,15 @@ object Evaluator {
       vis.map(vi => (vi.seq, w, vi))
     }.sortBy(_._1)
 
+    // index selection (C2, metamap_candidates.pl:298-387): all_words iff
+    // overmatches are allowed, else the first-words index
+    val index =
+      if (opts.allowOvermatches) umls.allWordIndex else umls.firstWordIndex
+
     for ((_, w, vi) <- probeWords if probeOk(w) && probed.add(w)) {
-      val entries = umls.firstWordIndex.getOrElse(w, Vector.empty)
+      val entries = index.getOrElse(w, Vector.empty)
       for (e <- entries if seenStrings.add((e.cui, e.str))) {
-        evaluateOne(e, phrase, nPhrase, umls, varIndex).foreach(out += _)
+        evaluateOne(e, phrase, nPhrase, umls, varIndex, opts).foreach(out += _)
       }
       locally { val _ = vi } // probe set is per-word; vinfo only drives order
     }
@@ -57,19 +63,33 @@ object Evaluator {
   }
 
   private def evaluateOne(e: IndexEntry, phrase: Phrase, nPhrase: Int,
-      umls: UmlsTables, varIndex: Map[String, Vector[VInfo]]): Option[Candidate] = {
+      umls: UmlsTables, varIndex: Map[String, Vector[VInfo]],
+      opts: LinkOptions): Option[Candidate] = {
     val metaWords = e.nmWords
     val headless = false // chunker always assigns a head
-    Matcher.matchPhrase(metaWords, varIndex, headless).map { case (mm, involvesHead) =>
-      val score = Scorer.score(mm, nPhrase, metaWords.length, involvesHead)
-      // pos info: covered phrase word char spans (E10 simplified to the
-      // mention extent: min start / max end of matched phrase words)
+    Matcher.matchPhraseOpt(metaWords, varIndex, headless, opts).flatMap { r =>
+      val mm = r.matchMap
+      // --min_length (E11, evaluation.pl:381-398): total char length of
+      // matched phrase words incl. separating spaces
       val coveredIdx = mm.flatMap(me => me.pBegin to me.pEnd).distinct.sorted
-      val starts = coveredIdx.map(i => phrase.words(i - 1).start)
-      val ends = coveredIdx.map(i => phrase.words(i - 1).end)
-      Candidate(score, e.cui, e.str, e.concept, metaWords,
-        umls.cuiSemTypes.getOrElse(e.cui, Vector.empty), mm, involvesHead,
-        starts.min, ends.max)
+      val matchedLen = coveredIdx.map(i => phrase.words(i - 1).word.length).sum +
+        (coveredIdx.length - 1)
+      if (matchedLen < opts.minLength) None
+      else {
+        // relevant extras (filter_by_variants, evaluation.pl:1159-1166):
+        // uncovered meta words that key into the phrase's variant index
+        val nRelevantExtra =
+          r.extraMetaIdx.count(i => varIndex.contains(metaWords(i - 1)))
+        val score = Scorer.scoreOpt(mm, nPhrase, metaWords.length,
+          r.involvesHead, opts, nRelevantExtra)
+        // pos info: covered phrase word char spans (E10 simplified to the
+        // mention extent: min start / max end of matched phrase words)
+        val starts = coveredIdx.map(i => phrase.words(i - 1).start)
+        val ends = coveredIdx.map(i => phrase.words(i - 1).end)
+        Some(Candidate(score, e.cui, e.str, e.concept, metaWords,
+          umls.cuiSemTypes.getOrElse(e.cui, Vector.empty), mm, r.involvesHead,
+          starts.min, ends.max))
+      }
     }
   }
 
@@ -92,7 +112,8 @@ object Evaluator {
     * enumeration explode (the reference prunes to ~30 first; we cap the
     * exact search at 16).
     */
-  def bestMappingCandidates(cands: Vector[Candidate], nPhrase: Int): Vector[Candidate] = {
+  def bestMappingCandidates(cands: Vector[Candidate], nPhrase: Int,
+      opts: LinkOptions = LinkOptions.default): Vector[Candidate] = {
     if (cands.isEmpty) return Vector.empty
     if (cands.length == 1) return cands
 
@@ -139,8 +160,10 @@ object Evaluator {
     if (maximalSets.isEmpty) return Vector.empty
     val scored = maximalSets.map(m => (mappingScore(m), m))
     val best = scored.map(_._1).max
-    // subsumption (M5) is moot among maximal sets; union best mappings
-    scored.filter(_._1 == best).flatMap(_._2)
-      .distinctBy(c => (c.cui, c.start, c.end))
+    // -b compute_all_mappings keeps every maximal mapping (skr.pl:3554-3603);
+    // default keeps best-score only. Subsumption (M5) is moot among
+    // maximal sets; union the surviving mappings' candidates.
+    val kept = if (opts.computeAllMappings) scored else scored.filter(_._1 == best)
+    kept.flatMap(_._2).distinctBy(c => (c.cui, c.start, c.end))
   }
 }

@@ -1,7 +1,8 @@
 package graft.link
 
 /** Runtime option surface mirroring the reference CLI controls we honor
-  * (lib/nls_system.pl:150-329; SURVEY §2.8 F1/F4/F5, §2.3 A6):
+  * (lib/nls_system.pl:150-329; SURVEY §2.7 E7, §2.8 F1/F4/F5, §2.3 A6,
+  * §2.10 M4):
   *
   * @param scoreThreshold  -r: keep candidates with score >= threshold
   * @param restrictSemTypes -J: keep only mentions with one of these types
@@ -10,13 +11,32 @@ package graft.link
   *                         is mostly digits
   * @param udas             --UDA: user-defined acronym -> expansion words,
   *                         merged over document-discovered AAs
+  * @param ignoreWordOrder  -i: word-order violations no longer truncate the
+  *                         match, and the involvement score (E7) replaces
+  *                         coverage (metamap_evaluation.pl:945-951)
+  * @param allowOvermatches -o: waive the last-word guard + completeness
+  *                         test; incomplete matches flagged isOvermatch
+  * @param allowConceptGaps -g: unmatched meta words may be skipped
+  * @param preferMultiple   -Y: invert cohesiveness (prefer_multiple_concepts,
+  *                         metamap_evaluation.pl:1085-1100)
+  * @param computeAllMappings -b: emit candidates of ALL maximal mappings,
+  *                         not just the best-scoring ones (skr.pl:3554-3603)
+  * @param minLength        --min_length: total char length of matched
+  *                         phrase words (spaces included) must reach this
+  *                         (metamap_evaluation.pl:381-398)
   */
 final case class LinkOptions(
     scoreThreshold: Int = 0,
     restrictSemTypes: Set[String] = Set.empty,
     excludeSemTypes: Set[String] = Set.empty,
     noNums: Boolean = false,
-    udas: Map[String, Vector[String]] = Map.empty)
+    udas: Map[String, Vector[String]] = Map.empty,
+    ignoreWordOrder: Boolean = false,
+    allowOvermatches: Boolean = false,
+    allowConceptGaps: Boolean = false,
+    preferMultiple: Boolean = false,
+    computeAllMappings: Boolean = false,
+    minLength: Int = 0)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

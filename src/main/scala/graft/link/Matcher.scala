@@ -1,9 +1,20 @@
 package graft.link
 
 /** The phrase/meta-string aligner, re-expressing compute_phrase_match/10
-  * (/root/reference/metamap/metamap_evaluation.pl:566-708) in our pinned
-  * reference mode (no overmatches, no concept gaps, word order enforced —
-  * SURVEY.md §7 "Reference modes pinned for parity").
+  * (/root/reference/metamap/metamap_evaluation.pl:566-708) including the
+  * full option surface:
+  *
+  *  - default pinned mode: no overmatches, no concept gaps, word order
+  *    enforced (SURVEY.md §7 "Reference modes pinned for parity");
+  *  - `-o` allow_overmatches: the last-word guard and the completeness test
+  *    are waived — a match that fails to cover meta positions 1 and N is
+  *    kept and flagged `isOvermatch` (evaluation.pl:581-585,625-631);
+  *  - `-g` allow_concept_gaps: an unmatched meta word may be skipped (the
+  *    third aux clause, evaluation.pl:697-710), and a generator whose
+  *    position re-intersects already-matched phrase components consumes its
+  *    variant words without a matchmap entry (evaluation.pl:663-673);
+  *  - `-i` ignore_word_order: a generator beginning before the previous
+  *    match's begin no longer terminates the match (evaluation.pl:674-676).
   *
   * MetaWords are consumed left to right; each must begin some variant in
   * the per-phrase variant index whose remaining words literally prefix the
@@ -11,10 +22,18 @@ package graft.link
   * non-intersecting-position preference (get_one_from_avl,
   * evaluation.pl:818-861); the first full success commits (the Prolog cut).
   * A word-order violation terminates the match with the truncated map,
-  * which then fails the overmatch test — replicated here by returning the
-  * truncated map and letting the caller's completeness check reject it.
+  * which then fails the completeness check — replicated here by returning
+  * the truncated map and letting the final check reject (or, with `-o`,
+  * flag) it.
   */
 object Matcher {
+
+  /** Match outcome: the alignment, head involvement, the overmatch flag
+    * (only ever true under allow_overmatches), and the meta word indexes
+    * (1-based) left uncovered — input to the involvement score (E7).
+    */
+  final case class MatchResult(matchMap: Vector[MatchEntry], involvesHead: Boolean,
+      isOvermatch: Boolean, extraMetaIdx: Vector[Int])
 
   private def overlaps(a: (Int, Int), b: (Int, Int)): Boolean =
     a._1 <= b._2 && b._1 <= a._2
@@ -22,63 +41,88 @@ object Matcher {
   private def intersectsAny(spans: List[(Int, Int)], p: (Int, Int)): Boolean =
     spans.exists(overlaps(_, p))
 
-  /** @return Some((matchMap, involvesHead)) for a complete match covering
-    *         meta positions 1 and nMeta, else None.
-    */
   def matchPhrase(metaWords: Vector[String],
       varIndex: Map[String, Vector[VInfo]],
-      headless: Boolean): Option[(Vector[MatchEntry], Boolean)] = {
+      headless: Boolean): Option[(Vector[MatchEntry], Boolean)] =
+    matchPhraseOpt(metaWords, varIndex, headless, LinkOptions.default)
+      .map(r => (r.matchMap, r.involvesHead))
+
+  /** @return Some(MatchResult) for an accepted match, else None. */
+  def matchPhraseOpt(metaWords: Vector[String],
+      varIndex: Map[String, Vector[VInfo]],
+      headless: Boolean, opts: LinkOptions): Option[MatchResult] = {
     val nMeta = metaWords.length
     if (nMeta == 0 || nMeta > 35) return None
-    // guard: last meta word must end some variant (evaluation.pl:577-585)
-    val lastOk = varIndex.valuesIterator.exists(_.exists(_.lastWord == metaWords.last))
-    if (!lastOk) return None
+    // guard: last meta word must end some variant (evaluation.pl:581-585),
+    // waived under allow_overmatches
+    if (!opts.allowOvermatches) {
+      val lastOk = varIndex.valuesIterator.exists(_.exists(_.lastWord == metaWords.last))
+      if (!lastOk) return None
+    }
 
-    // involvesHead starts 'yes' for headless phrases (evaluation.pl:598-600,633)
-    def aux(pos: Int, matchMap: List[MatchEntry], involvesHead: Boolean)
+    // aux recursion state: `pos` = index of the next meta word to consume
+    // (1-based into metaWords), `nMeta` counter used for matchmap meta
+    // spans — the two desync only in the gaps-intersecting branch, exactly
+    // as the reference's (Rest, NMeta) pair does (evaluation.pl:663-673).
+    def aux(pos: Int, metaNo: Int, matchMap: List[MatchEntry], involvesHead: Boolean)
         : Option[(List[MatchEntry], Boolean)] = {
       if (pos > nMeta) return Some((matchMap, involvesHead))
       val first = metaWords(pos - 1)
       val phraseComponents = matchMap.map(e => (e.pBegin, e.pEnd))
       val prevBegin = matchMap.headOption.map(_.pBegin).getOrElse(0)
       val vinfos0 = varIndex.getOrElse(first, Vector.empty)
-      if (vinfos0.isEmpty) return None // third clause needs overmatch/gaps
       // reorder: non-intersecting generator positions first (stable)
       val (nonInt, inter) = vinfos0.partition(v => !intersectsAny(phraseComponents, v.genPos))
       val ordered = nonInt ++ inter
       var i = 0
       while (i < ordered.length) {
         val v = ordered(i)
-        if (!intersectsAny(phraseComponents, v.genPos)) {
-          val newInvolves = involvesHead || v.involvesHead
-          if (v.genPos._1 < prevBegin) {
-            // word-order violation: terminate with truncated map (commit)
-            return Some((matchMap, involvesHead))
-          }
-          val rest = v.words.tail
-          val fits = rest.indices.forall(k =>
-            pos + k < nMeta && metaWords(pos + k) == rest(k)) &&
-            pos - 1 + v.words.length <= nMeta
-          if (fits) {
-            val end = pos + rest.length
-            val entry = MatchEntry(v.genPos._1, v.genPos._2, pos, end, v.varLevel)
-            aux(end + 1, entry :: matchMap, newInvolves) match {
-              case s @ Some(_) => return s // the cut: first success commits
-              case None => // backtrack to next vinfo
+        val rest = v.words.tail
+        def fits: Boolean = rest.indices.forall(k =>
+          pos + k < nMeta && metaWords(pos + k) == rest(k)) &&
+          pos - 1 + v.words.length <= nMeta
+        if (intersectsAny(phraseComponents, v.genPos)) {
+          // re-intersecting generator: only legal with concept gaps —
+          // consume the variant words, no matchmap entry, meta counter +1
+          if (opts.allowConceptGaps && fits) {
+            aux(pos + v.words.length, metaNo + 1, matchMap, involvesHead) match {
+              case s @ Some(_) => return s
+              case None =>
             }
+          }
+        } else if (v.genPos._1 < prevBegin && !opts.ignoreWordOrder) {
+          // word-order violation: terminate with truncated map — fires on
+          // the first non-intersecting vinfo even if its variant words
+          // don't fit (the reference checks order before the append)
+          return Some((matchMap, involvesHead))
+        } else if (fits) {
+          val newInvolves = involvesHead || v.involvesHead
+          val end = metaNo + rest.length
+          val entry = MatchEntry(v.genPos._1, v.genPos._2, metaNo, end, v.varLevel)
+          aux(pos + v.words.length, end + 1, entry :: matchMap, newInvolves) match {
+            case s @ Some(_) => return s // the cut: first success commits
+            case None => // backtrack to next vinfo
           }
         }
         i += 1
       }
-      None
+      // third clause: skip an unmatchable meta word (evaluation.pl:697-710)
+      if (opts.allowOvermatches || opts.allowConceptGaps)
+        aux(pos + 1, metaNo + 1, matchMap, involvesHead)
+      else None
     }
 
-    aux(1, Nil, headless).flatMap { case (mm, inv) =>
+    aux(1, 1, Nil, headless).flatMap { case (mm, inv) =>
       val matchMap = mm.reverse.toVector
       val metaCovered = matchMap.map(e => (e.mBegin, e.mEnd))
       val complete = intersectsAny(metaCovered.toList, (1, 1)) &&
         intersectsAny(metaCovered.toList, (nMeta, nMeta))
-      if (complete) Some((matchMap, inv)) else None
+      if (complete || opts.allowOvermatches) {
+        val covered = matchMap.flatMap(e => e.mBegin to e.mEnd).toSet
+        val extra = (1 to nMeta).filterNot(covered).toVector
+        if (matchMap.isEmpty) None
+        else Some(MatchResult(matchMap, inv, isOvermatch = !complete, extra))
+      } else None
     }
   }
 }

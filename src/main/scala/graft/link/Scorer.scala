@@ -56,6 +56,22 @@ object Scorer {
     (pSum / (nPhrase.toDouble * nPhrase) + (2.0 * mSum) / (nMeta.toDouble * nMeta)) / 3.0
   }
 
+  /** Involvement value (E7, -i only; metamap_evaluation.pl:1105-1157):
+    * counts covered phrase/meta indexes plus relevant extra meta words
+    * (extras present in the phrase's variant index); replaces coverage.
+    */
+  def involvement(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int,
+      nRelevantExtra: Int): Double = {
+    val nP = matchMap.flatMap(e => e.pBegin to e.pEnd).distinct.size
+    val nM = matchMap.flatMap(e => e.mBegin to e.mEnd).distinct.size
+    val totalP = nP + nRelevantExtra
+    val totalM = nM + nRelevantExtra
+    if (totalP > nPhrase) // phrase involvement overcounted
+      (nP.toDouble / nPhrase + nM.toDouble / nMeta) / 2.0
+    else
+      (totalP.toDouble / nPhrase + totalM.toDouble / nMeta) / 2.0
+  }
+
   def combine(cen: Double, vr: Double, cov: Double, coh: Double): Int = {
     val v = (cen + vr + 2.0 * (cov + coh)) / 6.0
     math.round(1000.0 * v).toInt
@@ -66,4 +82,17 @@ object Scorer {
       involvesHead: Boolean): Int =
     combine(centrality(involvesHead), variation(matchMap),
       coverage(matchMap, nPhrase, nMeta), cohesiveness(matchMap, nPhrase, nMeta))
+
+  /** Option-aware score: -i swaps involvement for coverage, -Y inverts
+    * cohesiveness (evaluation.pl:945-951,1085-1100).
+    */
+  def scoreOpt(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int,
+      involvesHead: Boolean, opts: LinkOptions, nRelevantExtra: Int): Int = {
+    val coh0 = cohesiveness(matchMap, nPhrase, nMeta)
+    val coh = if (opts.preferMultiple) 1.0 - coh0 else coh0
+    val covOrInv =
+      if (opts.ignoreWordOrder) involvement(matchMap, nPhrase, nMeta, nRelevantExtra)
+      else coverage(matchMap, nPhrase, nMeta)
+    combine(centrality(involvesHead), variation(matchMap), covOrInv, coh)
+  }
 }

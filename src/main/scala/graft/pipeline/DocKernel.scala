@@ -30,7 +30,7 @@ object DocKernel {
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1)) Vector.empty
         else {
           val varIndex = VariantGather.gather(phrase, umls, aas)
-          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex)
+          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
           // F1 threshold (-r), F5 numerical filter (--no_nums),
           // F4 semtype restrict/exclude (-J/-k) — skr.pl:1239-1318,4451-4458
           val cands = cands0.filter { c =>
@@ -39,7 +39,7 @@ object DocKernel {
               (opts.restrictSemTypes.isEmpty || c.semTypes.exists(opts.restrictSemTypes)) &&
               (opts.excludeSemTypes.isEmpty || !c.semTypes.exists(opts.excludeSemTypes))
           }
-          val best = Evaluator.bestMappingCandidates(cands, phrase.words.length)
+          val best = Evaluator.bestMappingCandidates(cands, phrase.words.length, opts)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
               c.semTypes, negated = false,

@@ -58,6 +58,19 @@ final case class UmlsTables(
     val cats = lexCats.getOrElse(w, Set.empty)
     cats.nonEmpty && cats.subsetOf(UmlsTables.closedCats)
   }
+
+  /** all_words index (lib/word_index.pl:80-85): word -> entries whose
+    * normalized string contains the word ANYWHERE. Only probed in
+    * overmatch mode (metamap_candidates.pl:298-310); derived lazily per
+    * executor from the first-word index, so it costs nothing unless -o
+    * is in use.
+    */
+  @transient lazy val allWordIndex: Map[String, Vector[IndexEntry]] = {
+    val entries = firstWordIndex.valuesIterator.flatten.toVector
+      .distinctBy(e => (e.cui, e.str))
+    entries.flatMap(e => e.nmWords.distinct.map(_ -> e))
+      .groupBy(_._1).map { case (w, es) => w -> es.map(_._2) }
+  }
 }
 
 object UmlsTables {

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.link._
+import graft.pipeline.DocKernel
+import graft.umls.MiniUmls
+
+/** Option-surface tests (SURVEY §2.7 E7, §2.8, reference CLI controls
+  * lib/nls_system.pl:150-329): -i ignore_word_order + involvement score,
+  * -o allow_overmatches, -g allow_concept_gaps, -Y prefer_multiple,
+  * -b compute_all_mappings, --min_length, -r threshold.
+  */
+class OptionsSpec extends AnyFunSuite {
+
+  private val umls = MiniUmls.tables
+
+  private def mentions(text: String, opts: LinkOptions = LinkOptions.default) =
+    DocKernel.mentions("u:1", text, umls, opts)
+
+  test("-i ignore_word_order: inverted order still matches") {
+    // index string "lung neoplasms"; phrase words in reverse order.
+    // Pinned mode: the second meta word's generator begins before the
+    // previous match -> truncated -> rejected. With -i the candidate
+    // scores 944 (cohesiveness penalty for the inverted phrase CCs) and
+    // loses best-mapping to the {Lung, Neoplasms} pair (1000), so -b is
+    // needed to surface it as a mention.
+    val base = mentions("neoplasms lung", LinkOptions(computeAllMappings = true))
+    val inv = mentions("neoplasms lung",
+      LinkOptions(ignoreWordOrder = true, computeAllMappings = true))
+    assert(!base.map(_.cui).toSet.contains("C0024121")) // needs word order
+    val hit = inv.filter(_.cui == "C0024121")
+    assert(hit.nonEmpty)
+    assert(hit.head.score == 944) // exact fixed-point arithmetic
+  }
+
+  test("E7 involvement replaces coverage under -i") {
+    // matchmap covering 1 of 2 phrase words, 1 of 2 meta words, no extras
+    val mm = Vector(MatchEntry(1, 1, 1, 1, 0))
+    val inv = Scorer.involvement(mm, 2, 2, 0)
+    assert(inv == 0.5)
+    // with one relevant extra: (2/2 + 2/2)/2 = 1.0
+    assert(Scorer.involvement(mm, 2, 2, 1) == 1.0)
+    // overcount guard: totalP > nPhrase -> fall back to plain ratios
+    assert(Scorer.involvement(mm, 1, 2, 1) == (1.0 + 0.5) / 2.0)
+    val s = Scorer.scoreOpt(mm, 2, 2, involvesHead = true,
+      LinkOptions(ignoreWordOrder = true), 0)
+    // cen 1, var 1, inv .5, coh (1/4 + 2/4)/3 = .25
+    assert(s == math.round(1000 * (1.0 + 1.0 + 2.0 * (0.5 + 0.25)) / 6.0).toInt)
+  }
+
+  test("-o allow_overmatches: partial meta coverage accepted, flagged") {
+    // "edema" alone vs index string "edema of lung" (meta words
+    // [edema, of, lung]): pinned mode rejects (position 3 uncovered)
+    val vi = Map("edema" -> Vector(VInfo("edema", (1, 1), true, 0, Vector("edema"), 0)))
+    val meta = Vector("edema", "of", "lung")
+    assert(Matcher.matchPhraseOpt(meta, vi, headless = false, LinkOptions.default).isEmpty)
+    val r = Matcher.matchPhraseOpt(meta, vi, headless = false,
+      LinkOptions(allowOvermatches = true))
+    assert(r.isDefined && r.get.isOvermatch)
+    assert(r.get.extraMetaIdx == Vector(2, 3))
+  }
+
+  test("-g allow_concept_gaps: interior meta word skipped") {
+    // phrase "edema lung" vs meta [edema, of, lung]: 'of' not in the
+    // variant index; gaps mode skips it and covers positions 1 and 3.
+    val vi = Map(
+      "edema" -> Vector(VInfo("edema", (1, 1), false, 0, Vector("edema"), 0)),
+      "lung" -> Vector(VInfo("lung", (2, 2), true, 0, Vector("lung"), 1)))
+    val meta = Vector("edema", "of", "lung")
+    assert(Matcher.matchPhraseOpt(meta, vi, headless = false, LinkOptions.default).isEmpty)
+    val r = Matcher.matchPhraseOpt(meta, vi, headless = false,
+      LinkOptions(allowConceptGaps = true))
+    assert(r.isDefined && !r.get.isOvermatch)
+    assert(r.get.matchMap.map(e => (e.mBegin, e.mEnd)) == Vector((1, 1), (3, 3)))
+    assert(r.get.extraMetaIdx == Vector(2))
+  }
+
+  test("-Y prefer_multiple_concepts inverts cohesiveness") {
+    val mm = Vector(MatchEntry(1, 1, 1, 1, 0))
+    val sY = Scorer.scoreOpt(mm, 2, 2, involvesHead = true,
+      LinkOptions(preferMultiple = true), 0)
+    val s0 = Scorer.scoreOpt(mm, 2, 2, involvesHead = true, LinkOptions.default, 0)
+    val coh = Scorer.cohesiveness(mm, 2, 2)
+    assert(sY - s0 == math.round(1000 * (1.0 + 1.0 + 2.0 * (0.5 + (1 - coh))) / 6.0).toInt -
+      math.round(1000 * (1.0 + 1.0 + 2.0 * (0.5 + coh)) / 6.0).toInt)
+    assert(sY > s0) // sparse match rewarded under -Y
+  }
+
+  test("--min_length drops short matched strings") {
+    val base = mentions("The patient had a heart attack last year.")
+    assert(base.nonEmpty)
+    val filtered = mentions("The patient had a heart attack last year.",
+      LinkOptions(minLength = 50))
+    assert(filtered.isEmpty)
+    // heart attack = 5 + 1 + 6 = 12 chars -> survives minLength 12
+    val kept = mentions("The patient had a heart attack last year.",
+      LinkOptions(minLength = 12))
+    assert(kept.exists(_.cui == "C0027051"))
+  }
+
+  test("-b compute_all_mappings is a superset of best-only") {
+    val text = "chest pain and lung cancer were noted."
+    val best = mentions(text).map(m => (m.cui, m.start)).toSet
+    val all = mentions(text, LinkOptions(computeAllMappings = true))
+      .map(m => (m.cui, m.start)).toSet
+    assert(best.subsetOf(all))
+  }
+
+  test("-r threshold and -J/-k semtype filters compose") {
+    val text = "No evidence of myocardial infarction or chest pain."
+    val all = mentions(text)
+    val dsynOnly = mentions(text, LinkOptions(restrictSemTypes = Set("dsyn")))
+    assert(dsynOnly.nonEmpty)
+    assert(dsynOnly.forall(_.semTypes.contains("dsyn")))
+    assert(dsynOnly.map(_.cui).toSet.subsetOf(all.map(_.cui).toSet))
+    val noDsyn = mentions(text, LinkOptions(excludeSemTypes = Set("dsyn")))
+    assert(noDsyn.forall(!_.semTypes.contains("dsyn")))
+    val strict = mentions(text, LinkOptions(scoreThreshold = 1000))
+    assert(strict.forall(_.score == 1000))
+  }
+
+  test("option profiles are deterministic") {
+    val text = "Coronary artery (CA) disease. CA was severe."
+    val a = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
+    val b = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
+    assert(a == b)
+  }
+}
