@@ -11,10 +11,11 @@ object SparkEntry {
   }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries ++ KgQueries.queries ++
-      ops.DocOps.queries ++ ops.Multimodal.queries
+    relational.RelationalQueries.queries ++ relational.AdvancedQueries.queries ++
+      KgQueries.queries ++ ops.DocOps.queries ++ ops.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracleSql ++ ops.DocOps.oracleSql
+    relational.RelationalQueries.oracleSql ++ relational.AdvancedQueries.oracleSql ++
+      ops.DocOps.oracleSql
 }
