@@ -199,23 +199,23 @@ object DocOps {
 
   // ---------- embedding similarity ----------
 
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine over double-cast arrays: dot/(sqrt(na)*sqrt(nb)), computed the
-    * same way as the DuckDB oracle (sequential double accumulation).
+  /** Cosine via the native codegen'd expression (graft.functions
+    * CosineSimilarity): one fused pass over both ArrayData buffers, no
+    * intermediate arrays — bit-identical to the previous
+    * aggregate(zip_with(...)) formulation and the DuckDB
+    * list_dot_product oracle (same sequential double accumulation).
+    * Sessions must call GraftFunctions.register first (each ANN query
+    * entry does).
     */
-  private def cosineCol(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    dotCol(ad, bd) / (sqrt(dotCol(ad, ad)) * sqrt(dotCol(bd, bd)))
-  }
+  private def cosineCol(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Embedding cosine near-dup pairs, blocked by label. Cosine rounded to
     * 6dp in the output so engine-level last-bit drift cannot flake the
     * compare.
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sfDir, "embeddings")
     val a = e.toDF("a", "ea", "label")
     val b = e.toDF("b", "eb", "label")
@@ -242,6 +242,7 @@ object DocOps {
     * k = 5; ties broken by rounded cosine then neighbor id.
     */
   def annTopkBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 20).toDF("query_id", "qe", "ql")
     val c = e.toDF("neighbor_id", "ne", "nl")
@@ -275,6 +276,7 @@ object DocOps {
     * brute force is measured in OpsSpec. Not SQL-expressible -> rows-only.
     */
   def annLshBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sfDir, "embeddings")
     // hyperplane j, dim d weight: deterministic hash -> [-0.5, 0.5)
     val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (j, dim) =>

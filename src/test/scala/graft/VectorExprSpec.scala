@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Native CosineSimilarity expression: bit-identical to the functions-API
+  * formulation (aggregate+zip_with), stays inside WholeStageCodegen, and
+  * the interpreted (eval) path agrees with codegen.
+  */
+class VectorExprSpec extends AnyFunSuite with SparkTestBase {
+
+  private def vecs = {
+    import spark.implicits._
+    (0 until 200).map { i =>
+      val a = Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 3f)
+      val b = Array.tabulate(64)(d => ((i * 17 + d * 11) % 9 - 4).toFloat / 2f)
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+  }
+
+  test("matches the aggregate(zip_with) formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val ad = transform(col("a"), x => x.cast("double"))
+    val bd = transform(col("b"), x => x.cast("double"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val rows = vecs
+      .withColumn("native", GraftFunctions.cosine(col("a"), col("b")))
+      .withColumn("func", dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd))))
+      .select(col("native"), col("func")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("stays inside WholeStageCodegen") {
+    GraftFunctions.register(spark)
+    // spark.range is a codegen source; local Seqs would constant-fold into
+    // a LocalTableScan and hide the interesting plan. Arrays built with
+    // array() (a codegen expression) — transform()'s lambda would itself
+    // be the fallback and mask what we're testing.
+    def vec(ms: Int*) = array(ms.map(m => ((col("id") * m) % 13 - 6).cast("float")): _*)
+    val base = spark.range(200)
+      .withColumn("a", vec(3, 7, 11, 17)).withColumn("b", vec(5, 13, 19, 23))
+    val df = base.select(GraftFunctions.cosine(col("a"), col("b")).as("c"))
+      .filter(col("c") > -2)
+    // WholeStageCodegenExec renders as "*(n) Project ..." — the fused span
+    // must include the Project holding the cosine, not just the Range
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.collect().length == 200)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(0.5f, -1.0f, 2.0f)
+    val e = graft.functions.CosineSimilarity(
+      Literal.create(a, ArrayType(FloatType)), Literal.create(b, ArrayType(FloatType)))
+    val got = e.eval(null).asInstanceOf[Double]
+    val dot = 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0
+    val expect = dot / (math.sqrt(1.0 + 4.0 + 9.0) * math.sqrt(0.25 + 1.0 + 4.0))
+    assert(math.abs(got - expect) < 1e-15)
+  }
+
+  test("double arrays and mixed sizes") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0, 5.0))).toDF("a", "b")
+    // min-length semantics (zip up to shorter array)
+    val v = df.select(GraftFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(v - 1.0 / math.sqrt(26.0)) < 1e-12 || v == 1.0)
+  }
+}
