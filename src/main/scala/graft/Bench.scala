@@ -32,6 +32,15 @@ object Bench {
     implicit val s = spark
 
     val qs = SparkEntry.queries
+    // JIT/codegen warmup at sf0.001 so the first timed query doesn't pay
+    // JVM + Catalyst + codegen-compiler startup (steady-state is what the
+    // metric means; the tiny-sf data is disjoint from the timed reads)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      headline.filter(qs.contains).foreach { name =>
+        try { qs(name)(spark, warmDir).count() } catch { case _: Throwable => }
+      }
+    }
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val t0 = System.nanoTime()

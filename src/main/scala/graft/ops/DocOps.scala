@@ -98,15 +98,21 @@ object DocOps {
     val d = Tables.load(spark, sfDir, "documents")
     val sh = d.select(col("doc_id"),
       explode(shingles(toks(col("text")))).as("sh"))
-    val hashed = sh.select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("j"),
-      col("sh"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit("|"), col("sh")).cast("binary")).as("h"))
-    val sig = hashed.groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("mh"))
-    sig.withColumn("band", (col("j") / 2).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      // 2 rows per (doc, band): j=2b and j=2b+1; order-independent concat
-      .agg(concat_ws("", sort_array(collect_list(col("mh")))).as("sig"))
+    // all 8 minhashes in ONE partial-aggregating pass: 8 agg columns over
+    // the shingle rows instead of exploding x8 and shuffling (doc_id, j)
+    // keys — 8x less shuffle volume, same values
+    val mh = (0 until 8).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("sh")).cast("binary"))).as(s"mh$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(mh.head, mh.tail: _*)
+    // band b pairs (mh_{2b}, mh_{2b+1}); sig = order-independent concat
+    // (identical to string_agg(mh, '' ORDER BY mh) in the oracle)
+    def bandSig(b: Int) = {
+      val x = col(s"mh${2 * b}"); val y = col(s"mh${2 * b + 1}")
+      struct(lit(b).as("band"), when(x <= y, concat(x, y)).otherwise(concat(y, x)).as("sig"))
+    }
+    sig.select(col("doc_id"),
+      explode(array((0 until 4).map(bandSig): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** MinHash+LSH near-dup candidate pairs: docs sharing >= 1 band bucket.
