@@ -76,7 +76,9 @@ object KgQueries {
       "all_mappings" -> LinkOptions(computeAllMappings = true),
       "threshold_900" -> LinkOptions(scoreThreshold = 900),
       "restrict_dsyn" -> LinkOptions(restrictSemTypes = Set("dsyn")),
-      "min_length_8" -> LinkOptions(minLength = 8))
+      "min_length_8" -> LinkOptions(minLength = 8),
+      "conj_merge" -> LinkOptions(conjMerge = true),
+      "aa_span_merge" -> LinkOptions(aaSpanMerge = true))
     val umls = Pipeline.broadcastUmls(spark)
     val pages = CorpusGen.pages(spark, 100).cache()
     val rows = profiles.map { case (name, o) =>

@@ -36,7 +36,13 @@ final case class LinkOptions(
     allowConceptGaps: Boolean = false,
     preferMultiple: Boolean = false,
     computeAllMappings: Boolean = false,
-    minLength: Int = 0)
+    minLength: Int = 0,
+    // --conj (P7, skr.pl:483-672): merge phrases joined by coordinating
+    // conjunctions (< 21 words, skr.pl:416-419) so shared heads distribute
+    conjMerge: Boolean = false,
+    // P8 (skr.pl:709-857): merge consecutive phrases spanned by one AA
+    // parenthetical ("Coronary artery (CA) disease" -> one phrase)
+    aaSpanMerge: Boolean = false)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

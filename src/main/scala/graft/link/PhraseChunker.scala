@@ -109,4 +109,74 @@ object PhraseChunker {
     }
     glued.toVector
   }
+
+  private def mergePair(a: Phrase, b: Phrase): Phrase =
+    Phrase(a.words ++ b.words, a.words.length + b.headIdx)
+
+  /** P7 --conj (skr.pl:483-672 re-expression): merge consecutive phrases
+    * whose separating word tokens are all coordinating conjunctions, so a
+    * shared head distributes over the conjuncts ("lung and liver cancer"
+    * -> [lung, liver, cancer]: both "lung cancer" and "liver cancer"
+    * index strings become matchable with the head involved). Capped at
+    * < 21 words (skr.pl:416-419).
+    */
+  def conjGlue(phrases: Vector[Phrase], sentToks: Vector[Tok],
+      umls: UmlsTables): Vector[Phrase] = {
+    val words = Tokenizer.wordToks(sentToks)
+    def onlyConjBetween(a: Phrase, b: Phrase): Boolean = {
+      val between = words.filter(t =>
+        t.start >= a.words.last.end && t.end <= b.words.head.start)
+      between.nonEmpty &&
+        between.forall(t => umls.lexCats.getOrElse(t.lc, Set.empty).contains("conj"))
+    }
+    mergeRuns(phrases, onlyConjBetween, maxWords = 20)
+  }
+
+  /** P8 (skr.pl:709-857 re-expression): an AA-definition parenthetical
+    * splits its NP into three phrases ("Coronary artery (CA) disease" ->
+    * [coronary artery], [ca], [disease]); drop the parenthesized AA
+    * phrase and merge its neighbors so the spanned NP links as one
+    * phrase. The dropped AA occurrence is the aadef — later occurrences
+    * still carry the expansion variant.
+    */
+  def aaSpanGlue(phrases: Vector[Phrase], sentToks: Vector[Tok],
+      aas: Map[String, Vector[String]]): Vector[Phrase] = {
+    def isParenAaDef(p: Phrase): Boolean =
+      p.words.length == 1 && aas.contains(p.words.head.word) &&
+        sentToks.exists(t => t.isPunct && t.text == "(" && t.end <= p.words.head.start &&
+          !sentToks.exists(w => !w.isPunct && !w.isWs && w.start >= t.end && w.end <= p.words.head.start)) &&
+        sentToks.exists(t => t.isPunct && t.text == ")" && t.start >= p.words.head.end &&
+          !sentToks.exists(w => !w.isPunct && !w.isWs && w.start >= p.words.head.end && w.end <= t.start))
+    val out = scala.collection.mutable.ArrayBuffer[Phrase]()
+    var i = 0
+    while (i < phrases.length) {
+      if (i + 2 < phrases.length && isParenAaDef(phrases(i + 1)) &&
+        phrases(i).words.length + phrases(i + 2).words.length <= 20) {
+        out += mergePair(phrases(i), phrases(i + 2))
+        i += 3
+      } else {
+        out += phrases(i)
+        i += 1
+      }
+    }
+    out.toVector
+  }
+
+  private def mergeRuns(phrases: Vector[Phrase],
+      joinable: (Phrase, Phrase) => Boolean, maxWords: Int): Vector[Phrase] = {
+    val out = scala.collection.mutable.ArrayBuffer[Phrase]()
+    var i = 0
+    while (i < phrases.length) {
+      var p = phrases(i)
+      var j = i + 1
+      while (j < phrases.length && joinable(p, phrases(j)) &&
+        p.words.length + phrases(j).words.length <= maxWords) {
+        p = mergePair(p, phrases(j))
+        j += 1
+      }
+      out += p
+      i = j
+    }
+    out.toVector
+  }
 }

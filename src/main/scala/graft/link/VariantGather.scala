@@ -70,9 +70,16 @@ object VariantGather {
           else umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
         // document-local AA expansion as a level-2 variant (A5 re-expression)
         val aaVars = aas.get(gen).map(exp => Variant(exp.mkString(" "), 2, "a")).toVector
+        // split-word expansion (V8, metamap_variants.pl:1421-1454): a fused
+        // phrase word matches index strings carrying its two-word form —
+        // the two variant words consume two meta positions at ONE phrase
+        // position (same letters, so spelling level 0)
+        val splitVars = if (isSingle) umls.splitWords.get(gen)
+          .map { case (a, b) => Variant(s"$a $b", 0, "p") }.toVector
+        else Vector.empty
         // and the reverse: if gen is an expansion's first word we do not
         // add anything — AA occurrences carry the expansion variant.
-        val allVars = base ++ tableVars ++ aaVars
+        val allVars = base ++ tableVars ++ aaVars ++ splitVars
         for (pos <- genPositions) {
           val involvesHead = pos._1 <= headPos._2 && headPos._1 <= pos._2
           for (v <- allVars) {

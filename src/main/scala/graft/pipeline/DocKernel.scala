@@ -23,7 +23,14 @@ object DocKernel {
     val aas = AaDetector.findAas(toks) ++ opts.udas
     val sents = Sentences.split(toks)
     sents.flatMap { sent =>
-      val phrases = PhraseChunker.chunk(sent.toks, umls)
+      val phrases0 = PhraseChunker.chunk(sent.toks, umls)
+      // optional phrase merges (P7 --conj, P8 AA-span; off in pinned mode)
+      val phrases1 =
+        if (opts.aaSpanMerge) PhraseChunker.aaSpanGlue(phrases0, sent.toks, aas)
+        else phrases0
+      val phrases =
+        if (opts.conjMerge) PhraseChunker.conjGlue(phrases1, sent.toks, umls)
+        else phrases1
       val sentMentions = phrases.flatMap { phrase =>
         // stop-phrase analogue: single closed-class or 1-char phrases skip
         if (phrase.words.isEmpty ||

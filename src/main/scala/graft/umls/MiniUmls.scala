@@ -50,7 +50,10 @@ final case class UmlsTables(
     negexPseudo: Vector[Vector[String]], // pseudoneg: never negate
     negexConj: Set[String], // scope terminators
     treecodes: Map[String, Vector[String]],
-    semTypePriority: Map[String, Int] // deterministic WSD tie-break prior
+    semTypePriority: Map[String, Int], // deterministic WSD tie-break prior
+    // fused word -> its two parts ("breastfeeding" -> breast feeding;
+    // split_word/3, metamap_variants.pl:1421-1454)
+    splitWords: Map[String, (String, String)] = Map.empty
 ) extends Serializable {
 
   /** Closed-class categories that never start a concept-bearing phrase. */
@@ -147,7 +150,9 @@ object MiniUmls {
     ("C0006104", "Brain", Vector("bpoc"), Vector("Brain")),
     // WSD ambiguity fixture: "cold" -> temperature concept vs common cold
     ("C0009443", "Common Cold", Vector("dsyn"), Vector("Common Cold", "Cold")),
-    ("C0009264", "Cold Temperature", Vector("npop"), Vector("Cold Temperature", "Cold"))
+    ("C0009264", "Cold Temperature", Vector("npop"), Vector("Cold Temperature", "Cold")),
+    // split-word fixture (V8): index carries the two-word form only
+    ("C0006147", "Breast Feeding", Vector("phsf"), Vector("Breast Feeding"))
   )
 
   /** Word/multiword synonyms with variant level 2 (db synonyms analogue;
@@ -397,6 +402,9 @@ object MiniUmls {
       negexPseudo = negexPseudo,
       negexConj = negexConj,
       treecodes = treecodes,
-      semTypePriority = semTypePriority)
+      semTypePriority = semTypePriority,
+      splitWords = Map(
+        "breastfeeding" -> ("breast", "feeding"),
+        "healthcare" -> ("health", "care")))
   }
 }

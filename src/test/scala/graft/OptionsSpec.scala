@@ -120,6 +120,37 @@ class OptionsSpec extends AnyFunSuite {
     assert(strict.forall(_.score == 1000))
   }
 
+  test("V8 split-word expansion: fused word matches two-word index string") {
+    val ms = mentions("Breastfeeding was encouraged.")
+    val hit = ms.filter(_.cui == "C0006147")
+    assert(hit.nonEmpty)
+    // same letters -> spelling level 0 -> single fused phrase word covers
+    // both meta words: coverage/cohesiveness full, score 1000
+    assert(hit.head.score == 1000)
+    assert(hit.head.text == "Breastfeeding")
+  }
+
+  test("P7 --conj merge: shared head distributes over conjuncts") {
+    val base = mentions("The patient had lung and liver cancer.")
+    assert(!base.map(_.cui).toSet.contains("C0024121"))
+    val conj = mentions("The patient had lung and liver cancer.",
+      LinkOptions(conjMerge = true, computeAllMappings = true))
+    // merged phrase [lung, liver, cancer] makes "lung cancer" matchable
+    assert(conj.map(_.cui).toSet.contains("C0024121"))
+  }
+
+  test("P8 AA-span merge: parenthetical no longer splits the NP") {
+    val text = "Coronary artery (CA) disease. CA was severe."
+    val base = mentions(text)
+    assert(!base.map(_.cui).toSet.contains("C0010054"))
+    val merged = mentions(text, LinkOptions(aaSpanMerge = true))
+    val hit = merged.filter(_.cui == "C0010054")
+    // "coronary artery disease" = exact match over the merged phrase
+    assert(hit.nonEmpty && hit.head.score == 1000)
+    // the AA reuse in the second sentence still expands
+    assert(merged.exists(m => m.sentNo == 1 && m.cui == "C0205042"))
+  }
+
   test("option profiles are deterministic") {
     val text = "Coronary artery (CA) disease. CA was severe."
     val a = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
