@@ -147,22 +147,21 @@ object CorpusGen {
       // P5: "OGTT, n = 8" spurious-token case (text_objects.pl:1913-1917)
       (Vector("The OGTT, n = 8, was normal."),
         Vector(m(0, 4, 4, "C0029161", 1000)), Vector.empty),
-      // P6: uninversion target "Cancer, Liver" + tied mappings union
+      // P6: uninversion target "Cancer, Liver"; the {Liver,Cancer} pair
+      // mapping scores 889 (MetaCCs = term lengths, skr.pl:4301-4318) and
+      // loses to the exact 1000 full-span mapping — best-only keeps it
       (Vector("Liver cancer was confirmed."),
-        Vector(m(0, 0, 12, "C0345904", 1000), m(0, 0, 5, "C0023884", 694),
-          m(0, 6, 6, "C0006826", 861)),
-        Vector(("C0023884", "location_of", "C0006826", 0))),
+        Vector(m(0, 0, 12, "C0345904", 1000)),
+        Vector.empty),
       // P7: composite phrase "pain on the left side of the chest"
       (Vector("The patient reported pain on the left side of the chest."),
         Vector(m(0, 21, 4, "C0030193", 1000), m(0, 50, 5, "C0817096", 660)),
         Vector(("C0817096", "location_of", "C0030193", 0))),
-      // P8: conj case "lung and liver cancer"
+      // P8: conj case "lung and liver cancer" — pinned mode (no --conj):
+      // [liver, cancer] phrase keeps only its 1000 mapping (see P6)
       (Vector("The patient had lung and liver cancer."),
-        Vector(m(0, 16, 4, "C0024109", 1000), m(0, 25, 12, "C0345904", 1000),
-          m(0, 25, 5, "C0023884", 694), m(0, 31, 6, "C0006826", 861)),
-        Vector(("C0024109", "location_of", "C0006826", 0),
-          ("C0024109", "location_of", "C0345904", 0),
-          ("C0023884", "location_of", "C0006826", 0))))
+        Vector(m(0, 16, 4, "C0024109", 1000), m(0, 25, 12, "C0345904", 1000)),
+        Vector(("C0024109", "location_of", "C0345904", 0))))
   }
 
   val nSpecial: Int = specialPages.length

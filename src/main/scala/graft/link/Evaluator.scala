@@ -118,8 +118,16 @@ object Evaluator {
     if (cands.length == 1) return cands
 
     def mappingScore(m: Vector[Candidate]): Int = {
-      // concatenate matchmaps ordered by phrase begin; renumber meta spans
-      // sequentially (modify_matchmap_for_concatenation, skr.pl:4285-4337)
+      if (opts.conjMerge) {
+        // conj mode (W2/M3, skr.pl:4290-4297,4327-4339): plain average of
+        // candidate scores, floor on the negated value
+        val sum = m.map(c => -c.score.toLong).sum
+        return -math.floor(sum.toDouble / m.length).toInt
+      }
+      // default mode (compute_conf_val_aux(0,...), skr.pl:4300-4323):
+      // concatenate matchmaps with renumbered meta spans
+      // (modify_matchmap_for_concatenation), sort rows, score with
+      // MetaCCs = the candidates' term lengths
       val ordered = m.sortBy(c => (c.matchMap.map(_.pBegin).min, c.cui))
       var offset = 0
       val mm = scala.collection.mutable.ArrayBuffer[MatchEntry]()
@@ -133,7 +141,14 @@ object Evaluator {
         nMeta += cMeta
         involves ||= c.involvesHead
       }
-      Scorer.score(mm.toVector, nPhrase, nMeta, involves)
+      val sorted = mm.toVector.sortBy(e => (e.pBegin, e.pEnd, e.mBegin, e.mEnd, e.varLevel))
+      val pCCs = Scorer.connectedComponents(sorted.map(e => (e.pBegin, e.pEnd)))
+      val termLengths = ordered.map(_.metaWords.length)
+      val cen = Scorer.centrality(involves)
+      val vr = Scorer.variation(sorted)
+      val cov = Scorer.coverage(sorted, nPhrase, nMeta)
+      val coh = Scorer.cohesivenessFromCCs(pCCs, termLengths, nPhrase, nMeta)
+      Scorer.combine(cen, vr, cov, coh)
     }
 
     val maximalSets: Vector[Vector[Candidate]] =

@@ -51,6 +51,16 @@ object Scorer {
   def cohesiveness(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int): Double = {
     val pCCs = connectedComponents(matchMap.map(e => (e.pBegin, e.pEnd)))
     val mCCs = connectedComponents(matchMap.map(e => (e.mBegin, e.mEnd)))
+    cohesivenessFromCCs(pCCs, mCCs, nPhrase, nMeta)
+  }
+
+  /** Cohesiveness from explicit CC lists — mapping rescoring passes the
+    * candidates' term lengths as MetaCCs (skr.pl:4301-4318: "for Meta, the
+    * components are simply the lengths of the terms participating in the
+    * mapping"), not connected components of the concatenated matchmap.
+    */
+  def cohesivenessFromCCs(pCCs: Seq[Int], mCCs: Seq[Int],
+      nPhrase: Int, nMeta: Int): Double = {
     val pSum = pCCs.map(c => c.toDouble * c).sum
     val mSum = mCCs.map(c => c.toDouble * c).sum
     (pSum / (nPhrase.toDouble * nPhrase) + (2.0 * mSum) / (nMeta.toDouble * nMeta)) / 3.0
