@@ -76,6 +76,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q13: per-customer stats join avoids cartesian; customer dim broadcasts") {
+    val p = plan(graft.relational.AdvancedQueries.q13AboveCustomerAvg(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+  }
+
+  test("q18: rollup keeps dims broadcast + Expand feeds partial agg") {
+    val p = plan(graft.relational.AdvancedQueries.q18RollupRegion(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Expand"), p) // grouping-sets expansion node
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q17/q15: filtered agg and JSON extraction stay fully codegen'd") {
+    val p = finalPlan(graft.relational.AdvancedQueries.q17FilteredAgg(spark, sf))
+    assert(p.contains("*(1)"), p)
+    val q = finalPlan(graft.relational.AdvancedQueries.q15JsonProps(spark, sf))
+    assert(q.contains("*(1)"), q)
+  }
+
+  test("ann: native cosine keeps the scoring project inside codegen") {
+    val p = finalPlan(DocOps.annTopkBruteforce(spark, sf))
+    assert(p.contains("cosinesimilarity"), p)
+    assert(!p.contains("CartesianProduct"), p) // broadcast NL join is fine
+  }
+
   test("whole-stage codegen covers the scoring-free column pipelines") {
     // token counting: scan -> project -> sort, all codegen'd. (The
     // fingerprint op uses higher-order array functions, which Spark
