@@ -41,6 +41,26 @@ object DocOps {
       |  CAST(length(text) AS INT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish regex tokenization (GPT-2-style alternation: contraction
+    * suffixes, letter runs, digit runs, single punctuation) — the
+    * pre-tokenizer pass a training-data pipeline counts tokens with.
+    * Same RE2/Java-compatible pattern on both sides of the oracle.
+    */
+  private val bpePattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def docTokenCountBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("n_bpe_tokens"),
+        size(toks(col("text"))).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  val docTokenCountBpeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS INT) AS n_bpe_tokens,
+      |  CAST(len(string_split(text,' ')) AS INT) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: stopword ratio + chars-per-token. */
   def docQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
@@ -353,6 +373,7 @@ object DocOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_token_count" -> (docTokenCount _),
+    "doc_token_count_bpe" -> (docTokenCountBpe _),
     "doc_quality" -> (docQuality _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_lang_id" -> (docLangId _),
@@ -366,6 +387,7 @@ object DocOps {
 
   val oracleSql: Map[String, String] = Map(
     "doc_token_count" -> docTokenCountSql,
+    "doc_token_count_bpe" -> docTokenCountBpeSql,
     "doc_quality" -> docQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,

@@ -123,9 +123,17 @@ object Pipeline {
       implicit spark: SparkSession): DataFrame = {
     val pref = umls.value.cuiPreferred
     val prefUdf = udf((cui: String) => pref.getOrElse(cui, cui))
-    triples.groupBy(col("subj_cui"), col("pred"), col("obj_cui"))
-      .agg(count(lit(1)).as("n_evidence"),
-        countDistinct(col("url")).as("n_docs"))
+    // Two-stage aggregation: stage 1 keys on (triple, url), whose
+    // cardinality grows with the corpus — a hot triple (popular CUI pair)
+    // cannot pile onto one reducer, which is the explicit skew defusal
+    // the north_rule asks for (the (triple) key alone would skew at
+    // 10^12 docs). Stage 2 then folds the per-url partials; countDistinct
+    // becomes a plain count over the stage-1 keys.
+    triples.groupBy(col("subj_cui"), col("pred"), col("obj_cui"), col("url"))
+      .agg(count(lit(1)).as("n_url_evidence"))
+      .groupBy(col("subj_cui"), col("pred"), col("obj_cui"))
+      .agg(sum(col("n_url_evidence")).as("n_evidence"),
+        count(lit(1)).as("n_docs"))
       .withColumn("subj_name", prefUdf(col("subj_cui")))
       .withColumn("obj_name", prefUdf(col("obj_cui")))
   }
