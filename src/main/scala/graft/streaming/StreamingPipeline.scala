@@ -56,4 +56,28 @@ object StreamingPipeline {
       .groupBy(window(col("warc_ts"), "1 hour"),
         col("subj_cui"), col("pred"), col("obj_cui"))
       .agg(count(lit(1)).as("n_evidence"))
+
+  /** Custom keyed state (flatMapGroupsWithState): emit each distinct
+    * (subj, pred, obj) the FIRST time it is observed across the stream's
+    * lifetime — the incremental "new knowledge" feed of the graph. State
+    * per key is one boolean; at 10^12-doc scale the state store shards by
+    * the triple key across executors, and hot triples cost one lookup per
+    * micro-batch partition, not per row (rows for a key arrive grouped).
+    */
+  def firstSeenTriples(triples: DataFrame)(
+      implicit spark: SparkSession): Dataset[(String, String, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    triples
+      .select(col("subj_cui"), col("pred"), col("obj_cui"))
+      .as[(String, String, String)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, String, String), rows: Iterator[(String, String, String)],
+         state: GroupState[Boolean]) => {
+          rows.foreach(_ => ()) // drain
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(key) }
+        })
+  }
 }

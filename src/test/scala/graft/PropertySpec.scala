@@ -4,7 +4,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.link.{MatchEntry, Scorer}
+import graft.link.{LinkOptions, MatchEntry, Matcher, Scorer, VInfo}
 import graft.pipeline.{DocKernel, DocTriples}
 import graft.text.Tokenizer
 import graft.umls.MiniUmls
@@ -112,6 +112,101 @@ class PropertySpec extends AnyFunSuite {
       val t2 = DocTriples.fromDoc(page.url, page.text, umls)
       assert(t1 == t2)
       assert(t1.forall(_._4 == page.url))
+    }
+  }
+
+  test("matcher options form a lattice: -o and -g accept supersets of pinned mode") {
+    // random small variant indexes + meta word lists; whenever pinned mode
+    // accepts, every relaxation must also accept (with identical matchmap
+    // for the pinned-compatible part of the lattice is NOT required; only
+    // acceptance monotonicity is)
+    val word: Gen[String] = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val viGen: Gen[(String, VInfo)] = for {
+      w <- word
+      pos <- Gen.choose(1, 4)
+      len <- Gen.choose(1, 2)
+      extra <- word
+      lvl <- Gen.choose(0, 3)
+    } yield (w, VInfo(w, (pos, pos + len - 1), pos == 1,
+      lvl, if (len == 1) Vector(w) else Vector(w, extra), 0))
+    val caseGen = for {
+      vis <- Gen.listOfN(6, viGen)
+      metaLen <- Gen.choose(1, 4)
+      meta <- Gen.listOfN(metaLen, word)
+    } yield (vis.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).zipWithIndex.map { case (x, i) => x.copy(seq = i) }.toVector
+    }, meta.toVector)
+    var accepted = 0
+    forAllGen(caseGen, 300) { case (vi, meta) =>
+      val pinned = Matcher.matchPhraseOpt(meta, vi, headless = false, LinkOptions.default)
+      if (pinned.isDefined) {
+        accepted += 1
+        // NOTE -g alone is deliberately NOT in this list: the reference's
+        // cut semantics make allow_concept_gaps non-monotone — a gaps-skip
+        // "success" commits a vinfo choice that pinned-mode backtracking
+        // would have escaped (see the pinned counterexample test below).
+        for (o <- Seq(LinkOptions(allowOvermatches = true),
+          LinkOptions(ignoreWordOrder = true),
+          LinkOptions(allowOvermatches = true, allowConceptGaps = true, ignoreWordOrder = true))) {
+          assert(Matcher.matchPhraseOpt(meta, vi, headless = false, o).isDefined,
+            s"relaxation $o rejected a pinned-accepted case: meta=$meta vi=$vi")
+        }
+        // pinned acceptance is never an overmatch and covers all meta words
+        assert(!pinned.get.isOvermatch)
+        assert(pinned.get.extraMetaIdx.isEmpty)
+      }
+    }
+    assert(accepted > 10, s"generator produced too few accepted cases: $accepted")
+  }
+
+  test("-g non-monotonicity: the gaps skip commits a choice pinned mode escapes") {
+    // Found by the lattice property: meta [gamma, eps]; gamma has a
+    // single-word vinfo tried first and a two-word [gamma, eps] vinfo
+    // behind it. Pinned mode: pos2 has no eps vinfo -> fail -> backtrack
+    // to the two-word vinfo -> accept. Gaps mode: pos2 skips eps (the
+    // third aux clause) -> aux "succeeds" with meta position 2 uncovered,
+    // the first-success cut commits the single-word choice, completeness
+    // fails -> reject. This mirrors the reference exactly: the ! at the
+    // end of compute_phrase_match_aux's second clause fires on the
+    // skip-path success (evaluation.pl:693-710).
+    val vi = Map(
+      "gamma" -> Vector(
+        VInfo("gamma", (3, 3), false, 0, Vector("gamma"), 0),
+        VInfo("gamma", (3, 4), false, 0, Vector("gamma", "eps"), 1)))
+    val meta = Vector("gamma", "eps")
+    assert(Matcher.matchPhraseOpt(meta, vi, headless = false, LinkOptions.default).isDefined)
+    assert(Matcher.matchPhraseOpt(meta, vi, headless = false,
+      LinkOptions(allowConceptGaps = true)).isEmpty)
+    // -o accepts it (as an overmatch fallback)
+    val o = Matcher.matchPhraseOpt(meta, vi, headless = false,
+      LinkOptions(allowOvermatches = true))
+    assert(o.isDefined && o.get.isOvermatch)
+  }
+
+  test("matcher: matchmap spans always within phrase/meta bounds (all option combos)") {
+    val word: Gen[String] = Gen.oneOf("alpha", "beta", "gamma")
+    val caseGen = for {
+      n <- Gen.choose(1, 4)
+      ws <- Gen.listOfN(n, word)
+      meta <- Gen.listOfN(3, word)
+      io <- Gen.oneOf(true, false)
+      ov <- Gen.oneOf(true, false)
+      gp <- Gen.oneOf(true, false)
+    } yield (ws.toVector, meta.toVector, LinkOptions(
+      ignoreWordOrder = io, allowOvermatches = ov, allowConceptGaps = gp))
+    forAllGen(caseGen, 300) { case (ws, meta, o) =>
+      val vi = ws.zipWithIndex.groupBy(_._1).map { case (k, v) =>
+        k -> v.zipWithIndex.map { case ((w, i), s2) =>
+          VInfo(w, (i + 1, i + 1), i == ws.length - 1, 0, Vector(w), s2)
+        }.toVector
+      }
+      Matcher.matchPhraseOpt(meta, vi, headless = false, o).foreach { r =>
+        r.matchMap.foreach { e =>
+          assert(e.pBegin >= 1 && e.pEnd <= ws.length && e.pBegin <= e.pEnd)
+          assert(e.mBegin >= 1 && e.mEnd <= meta.length && e.mBegin <= e.mEnd)
+        }
+        assert(r.extraMetaIdx.forall(i => i >= 1 && i <= meta.length))
+      }
     }
   }
 

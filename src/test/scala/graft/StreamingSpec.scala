@@ -39,6 +39,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState: each distinct triple emitted exactly once") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    val stream = MemoryStream[Page]
+    val umls = Pipeline.broadcastUmls(spark)
+    val firstSeen = StreamingPipeline.firstSeenTriples(
+      StreamingPipeline.triplesStream(stream.toDS(), umls))
+    val q = firstSeen.writeStream
+      .format("memory").queryName("fs_stream").outputMode("append").start()
+    val pagesVec = (0L until 40L).map(CorpusGen.genPage(_)._1)
+    stream.addData(pagesVec.take(20))
+    q.processAllAvailable()
+    val afterFirst = spark.table("fs_stream").count()
+    // re-send the SAME pages: no new distinct triples may appear
+    stream.addData(pagesVec.take(20))
+    q.processAllAvailable()
+    assert(spark.table("fs_stream").count() == afterFirst)
+    // new pages may add new triples; output stays distinct
+    stream.addData(pagesVec.drop(20))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fs_stream").collect().map(_.toString).toVector
+    assert(rows.distinct.size == rows.size)
+    assert(rows.size >= afterFirst)
+    // and it equals the set of distinct batch triples over the same pages
+    val batch = Pipeline.run(CorpusGen.pages(spark, 40))
+      .select("subj_cui", "pred", "obj_cui").distinct()
+      .collect().map(_.toString).toVector
+    assert(rows.toSet == batch.toSet)
+  }
+
   test("windowed graph rollup with watermark runs in append mode") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
