@@ -340,6 +340,51 @@ object DocOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-style ANN (the other scale path next to LSH): a coarse quantizer
+    * of K=16 deterministic centroids (the lowest-id vectors — at scale a
+    * k-means job would produce these; the assignment/probe plumbing is
+    * identical), every vector assigned to its nearest centroid cell in one
+    * broadcast pass, queries probing their nprobe=2 nearest cells. The
+    * candidate set per query is bounded by cell occupancy — corpus^2 never
+    * materializes. Recall vs brute force is measured in OpsSpec.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val centroids: Array[(Int, Array[Float])] = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellsUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      bc.value.map { case (id, c) => (cos(a, c), id) }.sorted.reverse.take(2).map(_._2)
+    })
+    val assigned = e
+      .withColumn("cells", cellsUdf(col("embedding")))
+      .withColumn("cell", col("cells").getItem(0))
+    val q = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(col("cells")).as("cell"))
+    val cand = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos6").desc, col("neighbor_id"))
+    broadcast(q).join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos6", round(graft.functions.GraftFunctions.cosine(col("qe"), col("ne")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Language ID by character-bigram profile scoring (n-gram heuristic).
     * The test tables' `lang` labels are synthetic so this is judged by
     * shape, not accuracy -> rows-only.
@@ -383,7 +428,8 @@ object DocOps {
     "dedup_token_jaccard" -> (dedupTokenJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
-    "ann_lsh_bucketed" -> (annLshBucketed _))
+    "ann_lsh_bucketed" -> (annLshBucketed _),
+    "ann_ivf" -> (annIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "doc_token_count" -> docTokenCountSql,

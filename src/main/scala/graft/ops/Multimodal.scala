@@ -102,6 +102,28 @@ object Multimodal {
       .select("media_id", "frame_idx", "width", "height")
   }
 
+  /** Feature extraction (stub): payload bytes -> deterministic 16-dim
+    * float vector (a real extractor would run a vision/audio model here;
+    * the batch shape, output schema, and downstream ANN-compatibility are
+    * what this stage proves).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.iterator.map { r =>
+          val v = Array.tabulate(16) { d =>
+            var acc = 0
+            var k = d
+            while (k < r.payload.length) { acc = acc * 31 + (r.payload(k) & 0xff); k += 16 }
+            (acc % 1000).toFloat / 1000f
+          }
+          (r.media_id, r.kind, v)
+        }
+      }
+    }.toDF("media_id", "kind", "features")
+  }
+
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     decodeMetadata(mediaTable(spark, 2000)).toDF().orderBy(col("media_id"))
@@ -110,7 +132,30 @@ object Multimodal {
   def mediaFrameSample(spark: SparkSession, sfDir: String): DataFrame =
     frameSample(decodeMetadata(mediaTable(spark, 2000)), 7).orderBy(col("media_id"), col("frame_idx"))
 
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
+    resizePlan(decodeMetadata(mediaTable(spark, 2000)), 256).orderBy(col("media_id"))
+
+  /** Feature vectors fed straight into the native cosine ANN — the
+    * multimodal -> embedding -> similarity plumbing end to end.
+    */
+  def mediaFeaturesTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val f = extractFeatures(mediaTable(spark, 2000))
+    val q = f.filter(col("media_id") < 8).toDF("query_id", "qk", "qe")
+    val c = f.toDF("neighbor_id", "nk", "ne")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos6").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos6", round(graft.functions.GraftFunctions.cosine(col("qe"), col("ne")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_metadata" -> (mediaMetadata _),
-    "media_frame_sample" -> (mediaFrameSample _))
+    "media_frame_sample" -> (mediaFrameSample _),
+    "media_resize" -> (mediaResize _),
+    "media_features_topk" -> (mediaFeaturesTopk _))
 }

@@ -28,6 +28,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(mean >= 0.15)
   }
 
+  test("ANN: IVF nprobe=2 recall@5 vs brute force is usable") {
+    import spark.implicits._
+    val bf = DocOps.annTopkBruteforce(spark, sf)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = DocOps.annIvf(spark, sf)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (q, truth) =>
+      (truth & ivf.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF nprobe=2 recall@5 = $mean%.3f over ${recalls.size} queries")
+    // 2 of 16 cells probed ~ 12.5% random baseline; the quantizer must beat it
+    assert(mean >= 0.25)
+  }
+
+  test("media: resize plan and feature->ANN plumbing produce sane rows") {
+    import graft.ops.Multimodal
+    val rs = Multimodal.mediaResize(spark, sf).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(w, h) >= 256 && math.max(w, h) <= 272) // ceil rounding
+    }
+    val topk = Multimodal.mediaFeaturesTopk(spark, sf).collect()
+    assert(topk.length == 8 * 5)
+  }
+
   test("simhash: near-identical docs get near-identical signatures") {
     import spark.implicits._
     // deterministic check on real outputs: hamming distance of a doc to
