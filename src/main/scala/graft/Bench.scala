@@ -14,8 +14,10 @@ object Bench {
   private val headline = Seq(
     "q01_pricing_summary", "q02_top_revenue_orders", "q05_supplier_distinct_parts",
     "q06_window_top_orders", "q08_event_sessions",
-    "doc_token_count", "doc_fingerprint", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_bruteforce")
+    "q11_cube_flags", "q14_string_funcs", "q16_date_buckets", "q17_filtered_agg",
+    "q20_lag_delta",
+    "doc_token_count", "doc_token_count_bpe", "doc_fingerprint", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_bruteforce", "ann_ivf")
 
   private val kgPages = 200000L
 
