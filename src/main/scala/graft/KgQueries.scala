@@ -93,8 +93,28 @@ object KgQueries {
     rows.toDF("mode", "n_mentions")
   }
 
+  /** Negated mentions only (N1 NegEx at the driver gate). */
+  def kgNegated(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    kgMentions(spark, sfDir).filter(col("negated"))
+  }
+
+  /** Iceberg-style sink round-trip: write triples through the partitioned
+    * snapshot layout, read back only committed buckets. Exercises the
+    * lineage/metrics + checkpoint-resume path in the driver gate.
+    */
+  def kgSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    graft.graph.IcebergLite.write(Pipeline.run(CorpusGen.pages(spark, nPages)), root)
+    graft.graph.IcebergLite.read(spark, root)
+      .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
+    "kg_negated_mentions" -> (kgNegated _),
+    "kg_sink_roundtrip" -> (kgSinkRoundtrip _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
     "kg_mmi_rank" -> (kgMmiRank _),
