@@ -326,12 +326,34 @@ object MiniUmls {
 
   private def buildVariantTable(): Map[String, Vector[Variant]] = {
     val spell = spellings.groupMap(_._1)(_._2)
-    val infl = inflections.groupMap(_._1)(_._2)
-    val deriv = derivations.groupMap(_._1)(_._2)
     val syn = synonyms.groupMap(_._1)(_._2)
+
+    // fact tables + rule-generated morphology (Morphology scaladoc): the
+    // reference builds its static variant tables the same way — facts
+    // where curated, lm.rules/dm.rul where not. Rule derivations are kept
+    // only when the derived form is itself a lexicon word (the dm_vars
+    // behavior: derivations land on real lexical items).
+    val lexWords: Set[String] = (nouns ++ adjectives ++ verbs).toSet
+    val ruleInfl: Vector[(String, String)] =
+      (nouns.toVector.map(w => w -> "noun") ++ verbs.toVector.map(w => w -> "verb"))
+        .flatMap { case (w, c) => Morphology.inflections(w, c).map(w -> _) }
+    val ruleDeriv: Vector[(String, String)] =
+      (nouns.toVector.map(w => w -> "noun") ++ adjectives.toVector.map(w => w -> "adj"))
+        .flatMap { case (w, c) =>
+          Morphology.derivations(w, c).map(_._1).filter(lexWords).map(w -> _)
+        }
+    // symmetric edges: the reference's lexicon lookup resolves ANY form to
+    // its base and back (get_spellings_and_inflections_for_form), so
+    // "strokes" must reach "stroke" just as "stroke" reaches "strokes"
+    val inflPairs = (inflections ++ ruleInfl).distinct
+    val derivPairs = (derivations ++ ruleDeriv).distinct
+    val infl = (inflPairs ++ inflPairs.map(_.swap)).distinct.groupMap(_._1)(_._2)
+    val deriv = (derivPairs ++ derivPairs.map(_.swap)).distinct.groupMap(_._1)(_._2)
 
     val allWords = nouns ++ adjectives ++ verbs ++
       spellings.map(_._1) ++ inflections.map(_._1) ++ derivations.map(_._1) ++
+      ruleInfl.map(_._1) ++ ruleInfl.map(_._2) ++
+      ruleDeriv.map(_._1) ++ ruleDeriv.map(_._2) ++
       synonyms.map(_._1)
 
     allWords.toVector.sorted.map { w =>

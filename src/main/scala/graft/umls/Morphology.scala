@@ -1,0 +1,106 @@
+package graft.umls
+
+/** Rule-based morphology re-expressing the reference's two rule files:
+  *
+  *  - inflection rules (`lexicon/morph/lm.rules:95-126` format:
+  *    `pattern$|cat|feature|class|outpattern$|cat|feature`), where a
+  *    leading `C` in a pattern is a consonant wildcard carried into the
+  *    output (Cy$ -> Cies$: "berry" -> "berries");
+  *  - derivational rules (`lexicon/morph/dm.rul:40-60` format:
+  *    `in_suffix|in_cat|out_suffix|out_cat`, e.g. ability|noun|able|adj),
+  *    filtered adj<->noun by default (filter_an_variants,
+  *    metamap/metamap_variants.pl:1005-1143).
+  *
+  * The reference applies these offline to build its static variant tables
+  * (491,635-entry lexicon); we do the same at broadcast-table build time —
+  * rules generalize to unseen words, so the table scales with the lexicon
+  * without per-word fact curation. Exception tables (aao/vdx) hook in as
+  * a blocklist.
+  */
+object Morphology {
+
+  private val vowels = "aeiou".toSet
+
+  /** Apply one suffix rule with the C-consonant-wildcard convention. */
+  private[umls] def applySuffixRule(word: String, inSuf: String, outSuf: String): Option[String] = {
+    if (inSuf.startsWith("C")) {
+      val lit = inSuf.drop(1)
+      if (word.endsWith(lit) && word.length > lit.length + 1) {
+        val c = word.charAt(word.length - lit.length - 1)
+        if (!vowels(c) && c.isLetter) {
+          val stem = word.dropRight(lit.length + 1)
+          Some(stem + outSuf.replace("C", c.toString))
+        } else None
+      } else None
+    } else if (word.endsWith(inSuf) && word.length > inSuf.length)
+      Some(word.dropRight(inSuf.length) + outSuf)
+    else if (inSuf.isEmpty) Some(word + outSuf)
+    else None
+  }
+
+  /** (inPattern, outPattern) noun pluralization rules in reference order —
+    * first match wins (lm.rules semantics).
+    */
+  private val nounPlural: Vector[(String, String)] = Vector(
+    "Cy" -> "Cies", // berry -> berries
+    "s" -> "ses", // virus -> viruses
+    "x" -> "xes", // box -> boxes
+    "z" -> "zes",
+    "ch" -> "ches", // church -> churches
+    "sh" -> "shes",
+    "" -> "s")
+
+  private val verbForms: Vector[(String, String)] = Vector(
+    // present
+    "Cy" -> "Cies", "s" -> "ses", "x" -> "xes", "z" -> "zes",
+    "ch" -> "ches", "sh" -> "shes", "" -> "s",
+    // past
+    "e" -> "ed", "" -> "ed",
+    // ing
+    "ie" -> "ying", "e" -> "ing", "" -> "ing")
+
+  /** Rule-generated inflections (variant level 1). For nouns the FIRST
+    * matching plural rule wins; verbs generate one form per feature group.
+    */
+  def inflections(word: String, cat: String): Vector[String] = cat match {
+    case "noun" =>
+      nounPlural.iterator.flatMap { case (i, o) => applySuffixRule(word, i, o) }
+        .take(1).toVector
+    case "verb" =>
+      val present = verbForms.take(7).iterator
+        .flatMap { case (i, o) => applySuffixRule(word, i, o) }.take(1).toVector
+      val past = verbForms.slice(7, 9).iterator
+        .flatMap { case (i, o) => applySuffixRule(word, i, o) }.take(1).toVector
+      val ing = verbForms.drop(9).iterator
+        .flatMap { case (i, o) => applySuffixRule(word, i, o) }.take(1).toVector
+      (present ++ past ++ ing).distinct
+    case _ => Vector.empty
+  }
+
+  /** Derivational suffix rules (dm.rul format), adj<->noun only (the
+    * reference's default filter). in_suffix, in_cat, out_suffix, out_cat.
+    */
+  private val dmRules: Vector[(String, String, String, String)] = Vector(
+    ("ability", "noun", "able", "adj"),
+    ("ibility", "noun", "ible", "adj"),
+    ("ness", "noun", "", "adj"), // weakness -> weak
+    ("ity", "noun", "e", "adj"), // scarcity -> scarce
+    ("ousness", "noun", "ous", "adj"),
+    ("al", "adj", "", "noun"), // coastal -> coast
+    ("ic", "adj", "", "noun"), // anemic -> anem (blocked by vdx-style list)
+    ("ous", "adj", "", "noun"), // cancerous -> cancer
+    ("ar", "adj", "", "noun"), // valvular -> valvul (needs exceptions)
+    ("atic", "adj", "a", "noun")) // asthmatic -> asthma
+
+  /** Rule-generated derivations (variant level 3), minus exceptions. */
+  def derivations(word: String, cat: String,
+      exceptions: Set[String] = Set.empty): Vector[(String, String)] =
+    if (exceptions.contains(word)) Vector.empty
+    else dmRules.iterator
+      .filter(_._2 == cat)
+      .flatMap { case (i, _, o, outCat) =>
+        applySuffixRule(word, i, o).filter(_.length >= 3).map(v => (v, outCat))
+      }
+      .filterNot { case (v, _) => exceptions.contains(v) }
+      .toVector
+}

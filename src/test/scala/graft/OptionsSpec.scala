@@ -151,6 +151,30 @@ class OptionsSpec extends AnyFunSuite {
     assert(merged.exists(m => m.sentNo == 1 && m.cui == "C0205042"))
   }
 
+  test("lm.rules inflection engine: consonant wildcard + first-match-wins") {
+    import graft.umls.Morphology
+    assert(Morphology.inflections("berry", "noun") == Vector("berries"))
+    assert(Morphology.inflections("virus", "noun") == Vector("viruses"))
+    assert(Morphology.inflections("box", "noun") == Vector("boxes"))
+    assert(Morphology.inflections("church", "noun") == Vector("churches"))
+    assert(Morphology.inflections("lung", "noun") == Vector("lungs"))
+    // day ends vowel+y: the Cy rule must NOT fire
+    assert(Morphology.inflections("day", "noun") == Vector("days"))
+    assert(Morphology.inflections("treat", "verb").toSet == Set("treats", "treated", "treating"))
+    assert(Morphology.inflections("carry", "verb").contains("carries"))
+  }
+
+  test("dm.rul derivation engine: adj<->noun with exceptions") {
+    import graft.umls.Morphology
+    assert(Morphology.derivations("weakness", "noun") == Vector(("weak", "adj")))
+    assert(Morphology.derivations("asthmatic", "adj").contains(("asthma", "noun")))
+    assert(Morphology.derivations("cancerous", "adj").contains(("cancer", "noun")))
+    assert(Morphology.derivations("weakness", "noun", Set("weak")).isEmpty)
+    // inflected mention links through a rule-generated variant: "strokes"
+    val ms = mentions("The patient had two strokes.")
+    assert(ms.exists(_.cui == "C0038454"))
+  }
+
   test("option profiles are deterministic") {
     val text = "Coronary artery (CA) disease. CA was severe."
     val a = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
