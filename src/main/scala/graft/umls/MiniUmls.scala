@@ -383,6 +383,29 @@ object MiniUmls {
     }.toMap
   }
 
+  /** Scale-stress table set: the fixture tables plus `nExtraStrings`
+    * synthetic index entries over a vocabulary disjoint from the fixtures
+    * (prefix "zq"), so fixture-sentence results are provably unchanged
+    * while the broadcast index reaches real-Metathesaurus scale (the
+    * reference lexicon has 491,635 entries, skr/skr.pl:1451-1462).
+    * LexiconScaleSpec measures that the kernel's per-page cost is flat in
+    * index size (hash probes, not scans).
+    */
+  def scaledTables(nExtraStrings: Int): UmlsTables = {
+    val base = tables
+    def w(i: Int): String = "zq" + java.lang.Integer.toString(i, 36)
+    val extra = Vector.tabulate(nExtraStrings) { i =>
+      val len = 1 + (i % 3)
+      val words = Vector.tabulate(len)(k => w((i * 7 + k * 131) % 900000))
+      val s = words.mkString(" ")
+      IndexEntry(words, s, f"C9${i % 500000}%06d", s)
+    }
+    val merged = (base.firstWordIndex.toVector.flatMap { case (k, es) => es.map(k -> _) } ++
+      extra.map(e => e.nmWords.head -> e))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    base.copy(firstWordIndex = merged)
+  }
+
   /** Assemble the full broadcastable table set. */
   lazy val tables: UmlsTables = {
     val entries = for {
