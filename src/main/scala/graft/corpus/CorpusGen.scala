@@ -73,8 +73,14 @@ object CorpusGen {
     * scaladoc derivations in OracleSpec).
     */
   def bulkSentence(seed: Long): GenSent = {
-    val t = ((mix(seed) >>> 3) % 6).toInt
+    val t = ((mix(seed) >>> 3) % 7).toInt
     t match {
+      case 6 => // T9: rule-inflected plural (lm.rules engine, level 1):
+        // variation 4/5 = 0.8 -> integer(1000*(1+0.8+2*(1+1))/6) = 967
+        val a = pick(DSYN.filterNot(_.word.endsWith("s")), seed * 7 + 10)
+        val plural = graft.umls.Morphology.inflections(a.word, "noun").head
+        val text = s"The patient had $plural."
+        GenSent(text, Vector((16, plural.length, a.cui, 967, false)), Vector.empty)
       case 0 => // T1: dsyn + sosy -> causes + manifestation_of
         val a = pick(DSYN, seed * 7 + 1); val b = pick(SOSY, seed * 7 + 2)
         val text = s"The patient had ${a.word} and ${b.word}."
