@@ -26,15 +26,15 @@ object VariantGather {
 
     // generators, in reference order: per word left-to-right, longest
     // multiword lexicon form first, then shorter, then the word itself
-    // (compute_variant_generators_2/3)
+    // (compute_variant_generators_2/3). The broadcast word trie finds all
+    // multiword forms starting at i in one walk (longest first) — no
+    // per-phrase substring construction.
     val gens = scala.collection.mutable.ArrayBuffer[String]()
     val seen = scala.collection.mutable.Set[String]()
     for (i <- 0 until n) {
-      var len = n - i
-      while (len >= 2) {
+      for (len <- umls.multiwordTrie.matchesAt(words, i, minLen = 2)) {
         val mw = words.slice(i, i + len).mkString(" ")
-        if (umls.lexiconForms.contains(mw) && seen.add(mw)) gens += mw
-        len -= 1
+        if (seen.add(mw)) gens += mw
       }
       if (seen.add(words(i))) gens += words(i)
     }

@@ -27,11 +27,8 @@ object Negex {
     val words = Tokenizer.wordToks(sentToks)
     val lcs = words.map(_.lc)
 
-    def matchesAt(i: Int, phrase: Vector[String]): Boolean =
-      i + phrase.length <= lcs.length &&
-        phrase.indices.forall(k => lcs(i + k) == phrase(k))
-
-    def isPseudo(i: Int): Boolean = umls.negexPseudo.exists(matchesAt(i, _))
+    def isPseudo(i: Int): Boolean =
+      umls.negexPseudoTrie.matchesAt(lcs, i).nonEmpty
 
     // longest trigger match at each position, pre and post
     val preHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (wordIdx after trigger, charPos)
@@ -39,24 +36,25 @@ object Negex {
     var i = 0
     while (i < lcs.length) {
       if (!isPseudo(i)) {
-        val pre = umls.negexPre.filter(matchesAt(i, _)).sortBy(-_.length).headOption
-        val post = umls.negexPost.filter(matchesAt(i, _)).sortBy(-_.length).headOption
+        // trie walk: longest trigger at i, one probe regardless of the
+        // 293-phrase real trigger inventory size
+        val pre = umls.negexPreTrie.matchesAt(lcs, i).headOption
+        val post = umls.negexPostTrie.matchesAt(lcs, i).headOption
         (pre, post) match {
           case (Some(p), None) =>
-            preHits += ((i + p.length, words(math.min(i + p.length, words.length - 1)).start))
-            i += p.length
+            preHits += ((i + p, words(math.min(i + p, words.length - 1)).start))
+            i += p
           case (None, Some(p)) =>
             postHits += ((i, if (i > 0) words(i - 1).end else 0))
-            i += p.length
+            i += p
           case (Some(p), Some(q)) =>
-            if (q.length >= p.length) { postHits += ((i, if (i > 0) words(i - 1).end else 0)); i += q.length }
-            else { preHits += ((i + p.length, words(math.min(i + p.length, words.length - 1)).start)); i += p.length }
+            if (q >= p) { postHits += ((i, if (i > 0) words(i - 1).end else 0)); i += q }
+            else { preHits += ((i + p, words(math.min(i + p, words.length - 1)).start)); i += p }
           case _ => i += 1
         }
       } else {
-        // skip past the pseudo-neg phrase
-        val ps = umls.negexPseudo.filter(matchesAt(i, _)).map(_.length).max
-        i += ps
+        // skip past the (longest) pseudo-neg phrase
+        i += umls.negexPseudoTrie.matchesAt(lcs, i).head
       }
     }
 

@@ -74,6 +74,17 @@ final case class UmlsTables(
     entries.flatMap(e => e.nmWords.distinct.map(_ -> e))
       .groupBy(_._1).map { case (w, es) => w -> es.map(_._2) }
   }
+
+  /** Trie over multiword lexicon forms (variant generators) — per-position
+    * walk instead of O(n^2) substring construction per phrase.
+    */
+  @transient lazy val multiwordTrie: WordTrie =
+    WordTrie.build(lexiconForms.toSeq.map(f =>
+      graft.text.Tokenizer.tokenizeMmLc(f)).filter(_.length >= 2))
+
+  @transient lazy val negexPreTrie: WordTrie = WordTrie.build(negexPre)
+  @transient lazy val negexPostTrie: WordTrie = WordTrie.build(negexPost)
+  @transient lazy val negexPseudoTrie: WordTrie = WordTrie.build(negexPseudo)
 }
 
 object UmlsTables {
