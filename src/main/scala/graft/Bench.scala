@@ -50,11 +50,16 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // KG pipeline throughput (JIT-warm with a small run first)
+    // KG pipeline throughput (JIT-warm with a small run first; best of 2 —
+    // single-shot numbers on this box swing 2-3x with CPU contention)
     Pipeline.run(CorpusGen.pages(spark, 20000, 128)).count()
-    val t0 = System.nanoTime()
-    val triples = Pipeline.run(CorpusGen.pages(spark, kgPages, 128)).count()
-    val kgSec = (System.nanoTime() - t0) / 1e9
+    var kgSec = Double.MaxValue
+    var triples = 0L
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      triples = Pipeline.run(CorpusGen.pages(spark, kgPages, 128)).count()
+      kgSec = math.min(kgSec, (System.nanoTime() - t0) / 1e9)
+    }
 
     val all = results :+ ("kg_pipeline_200k_pages" -> kgSec)
     val qjson = all.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,104 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+
+import graft.link.{LinkOptions, Mention}
+import graft.pipeline.{DocKernel, DocTriples, Pipeline}
+import graft.umls.UmlsTables
+
+/** The user-facing library API — what the reference exposes as the
+  * `metamap` CLI (skr/skr_fe.pl:240-288) and the PrologBeans server
+  * (mmserver/mmserver.pl:1), re-expressed over arbitrary DataFrames: any
+  * table with an id column and a text column can be annotated, linked and
+  * turned into triples with one call, options carried by [[LinkOptions]]
+  * (or parsed from the reference's own CLI flags via
+  * [[Graft.parseFlags]]).
+  */
+object Graft {
+
+  /** Parse the subset of reference CLI flags this engine honors
+    * (lib/nls_system.pl:150-329). Unknown flags throw — silently ignoring
+    * an option the user asked for would change results.
+    *
+    * Supported: -i/--ignore_word_order, -o/--allow_overmatches,
+    * -g/--allow_concept_gaps, -Y/--prefer_multiple_concepts,
+    * -b/--compute_all_mappings, --conj, -r/--threshold N,
+    * --min_length N, --no_nums, -J/--restrict_to_sts st1,st2,
+    * -k/--exclude_sts st1,st2.
+    */
+  def parseFlags(flags: Seq[String]): LinkOptions = {
+    var o = LinkOptions.default
+    var i = 0
+    def arg(): String = { i += 1; flags(i) }
+    while (i < flags.length) {
+      flags(i) match {
+        case "-i" | "--ignore_word_order" => o = o.copy(ignoreWordOrder = true)
+        case "-o" | "--allow_overmatches" => o = o.copy(allowOvermatches = true)
+        case "-g" | "--allow_concept_gaps" => o = o.copy(allowConceptGaps = true)
+        case "-Y" | "--prefer_multiple_concepts" => o = o.copy(preferMultiple = true)
+        case "-b" | "--compute_all_mappings" => o = o.copy(computeAllMappings = true)
+        case "--conj" => o = o.copy(conjMerge = true)
+        case "--aa_span_merge" => o = o.copy(aaSpanMerge = true)
+        case "-r" | "--threshold" => o = o.copy(scoreThreshold = arg().toInt)
+        case "--min_length" => o = o.copy(minLength = arg().toInt)
+        case "--no_nums" => o = o.copy(noNums = true)
+        case "-J" | "--restrict_to_sts" =>
+          o = o.copy(restrictSemTypes = arg().split(',').toSet)
+        case "-k" | "--exclude_sts" =>
+          o = o.copy(excludeSemTypes = arg().split(',').toSet)
+        case f => throw new IllegalArgumentException(s"unsupported option: $f")
+      }
+      i += 1
+    }
+    o
+  }
+
+  /** Annotate any table: one mention row per linked concept occurrence.
+    * `textCol` must hold plain text (use Extract.htmlToText upstream for
+    * html). Runs the full per-document kernel map-side against the
+    * broadcast tables — shape-identical to Pipeline.mentions but free of
+    * the Page schema.
+    */
+  def annotate(df: DataFrame, idCol: String, textCol: String,
+      opts: LinkOptions = LinkOptions.default,
+      umls: Option[Broadcast[UmlsTables]] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
+    df.select(idCol, textCol).as[(String, String)].mapPartitions { it =>
+      val t = bc.value
+      it.flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else DocKernel.mentions(id, text, t, opts).iterator
+      }
+    }.toDF()
+  }
+
+  /** Triples from any table, map-side end to end (document-local WSD +
+    * sentence-window pairing; see DocTriples).
+    */
+  def triples(df: DataFrame, idCol: String, textCol: String,
+      opts: LinkOptions = LinkOptions.default,
+      umls: Option[Broadcast[UmlsTables]] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
+    df.select(idCol, textCol).as[(String, String)].mapPartitions { it =>
+      val t = bc.value
+      it.flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else DocTriples.fromDoc(id, text, t, opts).iterator
+      }
+    }.toDF("subj_cui", "pred", "obj_cui", "url", "sentNo")
+  }
+
+  /** Canonicalized graph from any table (annotate -> triples -> rollup). */
+  def graph(df: DataFrame, idCol: String, textCol: String,
+      opts: LinkOptions = LinkOptions.default): DataFrame = {
+    val spark = df.sparkSession
+    implicit val s: SparkSession = spark
+    val bc = Pipeline.broadcastUmls(spark)
+    Pipeline.graph(triples(df, idCol, textCol, opts, Some(bc)), bc)
+  }
+}

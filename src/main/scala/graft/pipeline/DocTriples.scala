@@ -50,9 +50,10 @@ object DocTriples {
   }
 
   /** Full per-document triple extraction. */
-  def fromDoc(url: String, text: String, umls: UmlsTables)
+  def fromDoc(url: String, text: String, umls: UmlsTables,
+      opts: graft.link.LinkOptions = graft.link.LinkOptions.default)
       : Vector[(String, String, String, String, Int)] = {
-    val ms = wsdLocal(DocKernel.mentions(url, text, umls), umls)
+    val ms = wsdLocal(DocKernel.mentions(url, text, umls, opts), umls)
     pairsLocal(ms, umls).map { case (s, r, o, sn) => (s, r, o, url, sn) }
   }
 }
