@@ -41,19 +41,27 @@ object MmiRank {
     * (columns: url, sentNo, cui, score, negated...).
     */
   def rank(mentions: DataFrame, umls: Broadcast[UmlsTables]): DataFrame = {
-    val tc = umls.value.treecodes
-    val pref = umls.value.cuiPreferred
-    val depthUdf = udf((cui: String) =>
-      tc.get(cui).map(_.map(_.split('.').length).max).getOrElse(1))
-    val conceptUdf = udf((cui: String) => pref.getOrElse(cui, cui))
+    // dimension lookups as BROADCAST JOINS, not UDFs over driver maps and
+    // not plan-embedded map literals: at real Metathesaurus scale the
+    // preferred-name map holds ~10^7 CUIs — a broadcast hash join keeps
+    // the probe codegen'd and the plan size constant
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val depthDf = umls.value.treecodes.toSeq
+      .map { case (c, tcs) => (c, tcs.map(_.split('.').length).max) }
+      .toDF("cui", "tree_depth")
+    val prefDf = umls.value.cuiPreferred.toSeq.toDF("cui", "concept_name")
 
     val tf = mentions.groupBy(col("url"), col("cui"))
       .agg(count(lit(1)).as("freq_count"), max(col("score")).as("mm_value"))
+      .join(broadcast(prefDf), Seq("cui"), "left")
+      .join(broadcast(depthDf), Seq("cui"), "left")
     val withMax = tf.withColumn("max_freq",
       greatest(lit(13), max(col("freq_count"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("url")))))
 
-    val concept = conceptUdf(col("cui"))
+    def depthUdf(c: Column): Column = coalesce(col("tree_depth"), lit(1))
+    val concept = coalesce(col("concept_name"), col("cui"))
     val nFreq = normalizeValue(-5, col("freq_count").cast("double") / col("max_freq"))
     val nmmSpec = normalizeValue(-10, col("mm_value").cast("double") / 1000.0)
     val mSpec = normalizeValue(0, depthUdf(col("cui")).cast("double") / 9.0)

@@ -60,11 +60,18 @@ object RelationalQueries {
     val li = Tables.load(spark, sfDir, "lineitem")
     val o = Tables.load(spark, sfDir, "orders")
     val c = Tables.load(spark, sfDir, "customer")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("o_orderkey"), col("c_mktsegment"))
+    // aggregate BELOW the join (a rewrite Catalyst does not apply
+    // itself): revenue folds 4x-wider lineitem down to one row per order
+    // BEFORE joining — the join then moves order-cardinality data, which
+    // is the difference between shuffling the fact table and shuffling
+    // its rollup at 100 TB. Result-identical: o_orderkey is the join key
+    // and orders holds one row per key.
+    val rev = li.groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
         .cast("double").as("revenue"))
+    rev.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
