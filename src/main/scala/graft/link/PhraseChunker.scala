@@ -46,6 +46,13 @@ object PhraseChunker {
     // track whether a pn token interrupts between word tokens
     var lastEnd = -1
 
+    // Web-scale guard: an adversarial page (a thousands-long unpunctuated
+    // noun run — real Common-Crawl tag soup) would otherwise form one
+    // giant phrase whose variant-position scan is quadratic and stall the
+    // task. Real prose never approaches this (the reference caps merged
+    // phrases at 20 words); parity corpora are unaffected.
+    val MaxPhraseWords = 50
+
     def flush(): Unit = {
       if (cur.nonEmpty) {
         val headIdx = {
@@ -76,6 +83,7 @@ object PhraseChunker {
       }
       resolveCat(w, umls) match {
         case "adj" | "noun" =>
+          if (cur.length >= MaxPhraseWords) flush()
           cur += PWord(w, t.start, t.end)
           curCats += resolveCat(w, umls)
         case _ =>

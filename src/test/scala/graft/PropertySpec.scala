@@ -210,6 +210,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kernel fuzz: random ASCII text never throws; spans in bounds") {
+    forAllGen(asciiText, 150) { text =>
+      val ms = DocKernel.mentions("u:f", text, umls)
+      ms.foreach { m =>
+        assert(m.start >= 0 && m.start + m.len <= text.length)
+        assert(m.score >= 0 && m.score <= 1000)
+        assert(m.text == text.substring(m.start, m.start + m.len))
+      }
+    }
+  }
+
+  test("adversarial page guard: a 5000-noun run completes quickly") {
+    // Common-Crawl tag soup: thousands of content words, no punctuation.
+    // Without the chunker's phrase cap this is quadratic and stalls.
+    val soup = Vector.tabulate(5000)(i => s"lung w$i").mkString(" ")
+    val t0 = System.nanoTime()
+    val ms = DocKernel.mentions("u:soup", soup, umls)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(ms.nonEmpty) // the known words still link
+    assert(sec < 10.0, f"adversarial page took $sec%.1f s")
+  }
+
   test("AA scorer: V in [0, 2] for arbitrary inputs") {
     val g = for {
       aa <- Gen.choose(1, 10).flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString))
