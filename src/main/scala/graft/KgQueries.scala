@@ -105,7 +105,11 @@ object KgQueries {
     */
   def kgSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
-    val root = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // deterministic root, wiped first: repeated gate runs must not
+    // accumulate /tmp copies (and a resumable table must start clean here)
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_sink_gate").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     graft.graph.IcebergLite.write(Pipeline.run(CorpusGen.pages(spark, nPages)), root)
     graft.graph.IcebergLite.read(spark, root)
       .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")

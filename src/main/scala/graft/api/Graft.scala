@@ -30,7 +30,12 @@ object Graft {
   def parseFlags(flags: Seq[String]): LinkOptions = {
     var o = LinkOptions.default
     var i = 0
-    def arg(): String = { i += 1; flags(i) }
+    def arg(): String = {
+      i += 1
+      if (i >= flags.length || flags(i).startsWith("-"))
+        throw new IllegalArgumentException(s"option ${flags(i - 1)} needs a value")
+      flags(i)
+    }
     while (i < flags.length) {
       flags(i) match {
         case "-i" | "--ignore_word_order" => o = o.copy(ignoreWordOrder = true)
@@ -66,13 +71,16 @@ object Graft {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
-    df.select(idCol, textCol).as[(String, String)].mapPartitions { it =>
-      val t = bc.value
-      it.flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else DocKernel.mentions(id, text, t, opts).iterator
-      }
-    }.toDF()
+    // ANY id type: cast to string (a bigint doc_id would otherwise fail
+    // encoder resolution before any work runs)
+    df.select(df.col(idCol).cast("string"), df.col(textCol).cast("string"))
+      .as[(String, String)].mapPartitions { it =>
+        val t = bc.value
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else DocKernel.mentions(id, text, t, opts).iterator
+        }
+      }.toDF()
   }
 
   /** Triples from any table, map-side end to end (document-local WSD +
@@ -84,13 +92,14 @@ object Graft {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
-    df.select(idCol, textCol).as[(String, String)].mapPartitions { it =>
-      val t = bc.value
-      it.flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else DocTriples.fromDoc(id, text, t, opts).iterator
-      }
-    }.toDF("subj_cui", "pred", "obj_cui", "url", "sentNo")
+    df.select(df.col(idCol).cast("string"), df.col(textCol).cast("string"))
+      .as[(String, String)].mapPartitions { it =>
+        val t = bc.value
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else DocTriples.fromDoc(id, text, t, opts).iterator
+        }
+      }.toDF("subj_cui", "pred", "obj_cui", "url", "sentNo")
   }
 
   /** Canonicalized graph from any table (annotate -> triples -> rollup). */

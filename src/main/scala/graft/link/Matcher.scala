@@ -63,7 +63,12 @@ object Matcher {
     // aux recursion state: `pos` = index of the next meta word to consume
     // (1-based into metaWords), `nMeta` counter used for matchmap meta
     // spans — the two desync only in the gaps-intersecting branch, exactly
-    // as the reference's (Rest, NMeta) pair does (evaluation.pl:663-673).
+    // as the reference's (Rest, NMeta) pair does (evaluation.pl:663-673:
+    // NewNMeta is NMeta+1 while append consumes ALL the variant's words).
+    // Deliberately faithful consequence: under -g the completeness test
+    // and extraMetaIdx are computed against the full meta length while
+    // matchmap meta spans live in the desynced counter space, identical
+    // to the reference's extract_components/NMetaWords mix.
     def aux(pos: Int, metaNo: Int, matchMap: List[MatchEntry], involvesHead: Boolean)
         : Option[(List[MatchEntry], Boolean)] = {
       if (pos > nMeta) return Some((matchMap, involvesHead))

@@ -108,7 +108,10 @@ object PhraseChunker {
     while (i < phrases.length) {
       var p = phrases(i)
       var j = i + 1
-      while (j < phrases.length && onlyOfBetween(p, phrases(j))) {
+      // cap like the merged-phrase guard: an "of"-chained tag-soup page
+      // must not re-form the giant phrase MaxPhraseWords just split
+      while (j < phrases.length && onlyOfBetween(p, phrases(j)) &&
+        p.words.length + phrases(j).words.length <= 20) {
         p = Phrase(p.words ++ phrases(j).words, p.headIdx)
         j += 1
       }
@@ -131,11 +134,17 @@ object PhraseChunker {
   def conjGlue(phrases: Vector[Phrase], sentToks: Vector[Tok],
       umls: UmlsTables): Vector[Phrase] = {
     val words = Tokenizer.wordToks(sentToks)
+    // phrase-breaking punctuation blocks the merge, same as composite
+    // gluing — "lung and, liver cancer" must NOT merge across the comma
+    val breaking: Set[Int] = sentToks.iterator
+      .filter(t => t.isPunct && t.text != "'" && t.text != "-")
+      .map(_.start).toSet
     def onlyConjBetween(a: Phrase, b: Phrase): Boolean = {
       val between = words.filter(t =>
         t.start >= a.words.last.end && t.end <= b.words.head.start)
       between.nonEmpty &&
-        between.forall(t => umls.lexCats.getOrElse(t.lc, Set.empty).contains("conj"))
+        between.forall(t => umls.lexCats.getOrElse(t.lc, Set.empty).contains("conj")) &&
+        !breaking.exists(p => p >= a.words.last.end && p < b.words.head.start)
     }
     mergeRuns(phrases, onlyConjBetween, maxWords = 20)
   }

@@ -53,18 +53,19 @@ object MmiRank {
     val prefDf = umls.value.cuiPreferred.toSeq.toDF("cui", "concept_name")
 
     val tf = mentions.groupBy(col("url"), col("cui"))
-      .agg(count(lit(1)).as("freq_count"), max(col("score")).as("mm_value"))
+      .agg(count(lit(1)).as("freq_count"), max(col("score")).as("mm_value"),
+        array_distinct(flatten(collect_list(col("semTypes")))).as("sem_types"))
       .join(broadcast(prefDf), Seq("cui"), "left")
       .join(broadcast(depthDf), Seq("cui"), "left")
     val withMax = tf.withColumn("max_freq",
       greatest(lit(13), max(col("freq_count"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("url")))))
 
-    def depthUdf(c: Column): Column = coalesce(col("tree_depth"), lit(1))
+    val depth = coalesce(col("tree_depth"), lit(1))
     val concept = coalesce(col("concept_name"), col("cui"))
     val nFreq = normalizeValue(-5, col("freq_count").cast("double") / col("max_freq"))
     val nmmSpec = normalizeValue(-10, col("mm_value").cast("double") / 1000.0)
-    val mSpec = normalizeValue(0, depthUdf(col("cui")).cast("double") / 9.0)
+    val mSpec = normalizeValue(0, depth.cast("double") / 9.0)
     val wSpec = normalizeValue(0,
       size(split(concept, " ")).cast("double") / 26.0)
     val cSpec = normalizeValue(0, length(concept).cast("double") / 102.0)
@@ -74,8 +75,8 @@ object MmiRank {
     withMax
       .withColumn("concept", concept)
       .withColumn("mmi_score", round(nFreq * spec * 1000.0, 2))
-      .select(col("url"), col("cui"), col("concept"), col("freq_count"),
-        col("mm_value"), col("mmi_score"))
+      .select(col("url"), col("cui"), col("concept"), col("sem_types"),
+        col("freq_count"), col("mm_value"), col("mmi_score"))
       .orderBy(col("url"), col("mmi_score").desc, col("cui"))
   }
 }

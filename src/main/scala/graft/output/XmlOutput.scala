@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object XmlOutput {
 
-  /** Minimal XML escaping as column algebra. */
+  /** XML entity escaping as column algebra (& first, then the brackets
+    * and quote) — content round-trips instead of being mutilated.
+    */
   private def xmlEscape(c: org.apache.spark.sql.Column) =
-    translate(c, "<>&\"", "") // synthetic corpus has none; strip defensively
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
 
   /** One row per url: `xml` column with the nested utterance/candidate
     * structure (shape per skr_xml.pl; content from the mention table).
@@ -45,14 +48,20 @@ object XmlOutput {
       .agg(concat_ws("", sort_array(collect_list(struct(col("sentNo"), col("uttXml").as("x"))))
         .getField("x")).as("utts"))
       .select(col("url"),
-        concat(lit("<MMO><Document id=\""), col("url"), lit("\"/><Utterances>"),
+        concat(lit("<MMO><Document id=\""), xmlEscape(col("url")),
+          lit("\"/><Utterances>"),
           col("utts"), lit("</Utterances></MMO>")).as("xml"))
   }
 
-  /** Fielded MMI output lines (mmi.pl:911-921): url|MMI|score|concept|CUI|[sts]. */
+  /** Fielded MMI output lines (mmi.pl:911-921):
+    * `url|MMI|score|concept|CUI|[sts]|freq`. Score formatted with
+    * format_string (format_number would insert locale grouping commas at
+    * >= 1000 and break numeric parsing of the field).
+    */
   def mmiFielded(ranked: DataFrame): DataFrame =
     ranked.select(col("url"),
       concat_ws("|", col("url"), lit("MMI"),
-        format_number(col("mmi_score"), 2), col("concept"), col("cui"),
-        concat(lit("["), col("freq_count"), lit("]"))).as("line"))
+        format_string("%.2f", col("mmi_score")), col("concept"), col("cui"),
+        concat(lit("["), concat_ws(",", col("sem_types")), lit("]")),
+        col("freq_count")).as("line"))
 }

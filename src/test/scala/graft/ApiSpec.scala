@@ -18,7 +18,17 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
     assert(Graft.parseFlags(Seq("-J", "dsyn,neop")) ==
       LinkOptions(restrictSemTypes = Set("dsyn", "neop")))
     intercept[IllegalArgumentException](Graft.parseFlags(Seq("--bogus")))
+    intercept[IllegalArgumentException](Graft.parseFlags(Seq("-r")))
+    intercept[IllegalArgumentException](Graft.parseFlags(Seq("-r", "-i")))
     assert(Graft.parseFlags(Nil) == LinkOptions.default)
+  }
+
+  test("annotate accepts non-string id columns (bigint doc_id)") {
+    import spark.implicits._
+    val df = Seq((7L, "The patient had a heart attack.")).toDF("doc_id", "body")
+    val ms = Graft.annotate(df, "doc_id", "body").collect()
+    assert(ms.exists(r => r.getAs[String]("url") == "7" &&
+      r.getAs[String]("cui") == "C0027051"))
   }
 
   test("annotate works on an arbitrary two-column table") {

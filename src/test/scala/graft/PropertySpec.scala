@@ -232,6 +232,15 @@ class PropertySpec extends AnyFunSuite {
     assert(sec < 10.0, f"adversarial page took $sec%.1f s")
   }
 
+  test("adversarial of-chain page completes quickly (glue cap)") {
+    val soup = Vector.fill(2000)("lung of").mkString(" ") + " lung"
+    val t0 = System.nanoTime()
+    val ms = DocKernel.mentions("u:of", soup, umls)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(ms.nonEmpty)
+    assert(sec < 10.0, f"of-chain page took $sec%.1f s")
+  }
+
   test("AA scorer: V in [0, 2] for arbitrary inputs") {
     val g = for {
       aa <- Gen.choose(1, 10).flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString))
