@@ -93,6 +93,16 @@ object KgQueries {
     rows.toDF("mode", "n_mentions")
   }
 
+  /** Term processing (-z, F6) at the driver gate: link every fixture
+    * concept string as a dictionary term.
+    */
+  def kgTermLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = graft.umls.MiniUmls.concepts
+      .flatMap { case (cui, _, _, strs) => strs.map(s => (cui + "|" + s, s)) }
+    graft.api.Graft.annotateTerms(terms.toDF("id", "term"), "id", "term")
+  }
+
   /** Negated mentions only (N1 NegEx at the driver gate). */
   def kgNegated(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -118,6 +128,7 @@ object KgQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
     "kg_negated_mentions" -> (kgNegated _),
+    "kg_term_lookup" -> (kgTermLookup _),
     "kg_sink_roundtrip" -> (kgSinkRoundtrip _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),

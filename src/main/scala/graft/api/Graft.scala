@@ -83,6 +83,25 @@ object Graft {
       }.toDF()
   }
 
+  /** Term processing (-z): each row's text is ONE dictionary term; the
+    * best-coverage candidates (F6) link it to concepts. The batch
+    * dictionary-lookup mode.
+    */
+  def annotateTerms(df: DataFrame, idCol: String, termCol: String,
+      opts: LinkOptions = LinkOptions.default): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = Pipeline.broadcastUmls(spark)
+    df.select(df.col(idCol).cast("string"), df.col(termCol).cast("string"))
+      .as[(String, String)].mapPartitions { it =>
+        val t = bc.value
+        it.flatMap { case (id, term) =>
+          if (term == null) Iterator.empty
+          else DocKernel.termMentions(id, term, t, opts).iterator
+        }
+      }.toDF()
+  }
+
   /** Triples from any table, map-side end to end (document-local WSD +
     * sentence-window pairing; see DocTriples).
     */

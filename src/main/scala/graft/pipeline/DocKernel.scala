@@ -57,4 +57,39 @@ object DocKernel {
       Negex.mark(sent.toks, sentMentions, umls)
     }
   }
+
+  /** Term processing (-z, skr/skr_fe.pl options; SURVEY §2.8 F6): the
+    * input is ONE term, not running text — no sentence split, no
+    * chunking; all word tokens form a single phrase (head = last word)
+    * and the overlapping-eval discard keeps only best-coverage
+    * candidates (filter_evaluations in term mode, skr.pl:1284-1318)
+    * before mapping construction. The dictionary-lookup mode of the
+    * reference pipeline.
+    */
+  def termMentions(url: String, term: String, umls: UmlsTables,
+      opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
+    if (term.isEmpty) return Vector.empty
+    val toks = Tokenizer.tokenize(term)
+    val words = Tokenizer.wordToks(toks).map(t => PWord(
+      Tokenizer.tokenizeMmLc(t.lc) match {
+        case Vector(single) => single
+        case more if more.nonEmpty => more.head
+        case _ => t.lc
+      }, t.start, t.end))
+    if (words.isEmpty) return Vector.empty
+    val phrase = Phrase(words, words.length - 1)
+    val varIndex = VariantGather.gather(phrase, umls, Map.empty)
+    val cands = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
+    if (cands.isEmpty) return Vector.empty
+    // F6: best-coverage-only — discard evaluations covering fewer phrase
+    // words than the widest one
+    def coveredWords(c: graft.link.Candidate): Int =
+      c.matchMap.flatMap(e => e.pBegin to e.pEnd).distinct.size
+    val maxCov = cands.map(coveredWords).max
+    val kept = cands.filter(coveredWords(_) == maxCov)
+    Evaluator.bestMappingCandidates(kept, phrase.words.length, opts).map { c =>
+      Mention(url, 0, c.start, c.end - c.start, c.cui, c.score,
+        c.semTypes, negated = false, term.substring(c.start, c.end))
+    }
+  }
 }

@@ -31,6 +31,39 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
       r.getAs[String]("cui") == "C0027051"))
   }
 
+  test("annotateTerms (-z): dictionary lookup keeps best-coverage only") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1", "heart attack"),
+      ("t2", "myocardial infarction"),
+      ("t3", "coronary artery disease"),
+      ("t4", "zzz unknown zzz")).toDF("id", "term")
+    val rows = Graft.annotateTerms(df, "id", "term").collect()
+    def cuis(id: String) = rows.filter(_.getAs[String]("url") == id)
+      .map(_.getAs[String]("cui")).toSet
+    assert(cuis("t1") == Set("C0027051")) // synonym variant; no partial 'heart' hit
+    assert(cuis("t2") == Set("C0027051"))
+    assert(cuis("t3") == Set("C0010054")) // full-term beats 'coronary artery'
+    assert(cuis("t4").isEmpty)
+    // F6: the best-coverage filter dropped the C0018787 Heart partial
+    assert(!rows.exists(r => r.getAs[String]("url") == "t1" &&
+      r.getAs[String]("cui") == "C0018787"))
+  }
+
+  test("dictionary round-trip: every fixture string links to its own CUI at 1000") {
+    import spark.implicits._
+    val terms = graft.umls.MiniUmls.concepts
+      .flatMap { case (cui, _, _, strs) => strs.map(str => (cui, str)) }
+    val df = terms.toDF("id", "term")
+    val got = Graft.annotateTerms(df, "id", "term")
+      .select("url", "cui", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    terms.foreach { case (cui, str) =>
+      assert(got.exists { case (id, c, sc) => id == cui && c == cui && sc == 1000 },
+        s"string '$str' failed to round-trip to $cui")
+    }
+  }
+
   test("annotate works on an arbitrary two-column table") {
     import spark.implicits._
     val df = Seq(
