@@ -49,6 +49,11 @@ object KgQueries {
     output.JsonOutput.aaDump(CorpusGen.pages(spark, nPages), umls)
   }
 
+  def kgHumanOutput(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    output.JsonOutput.humanReadable(kgMentions(spark, sfDir))
+  }
+
   def kgXmlOutput(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     output.XmlOutput.documentXml(kgMentions(spark, sfDir))
@@ -136,6 +141,7 @@ object KgQueries {
     "kg_json_output" -> (kgJsonOutput _),
     "kg_aa_dump" -> (kgAaDump _),
     "kg_xml_output" -> (kgXmlOutput _),
+    "kg_human_output" -> (kgHumanOutput _),
     "kg_mmi_fielded" -> (kgMmiFielded _),
     "kg_option_profiles" -> (kgOptionProfiles _))
 }

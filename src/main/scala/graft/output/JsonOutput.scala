@@ -33,6 +33,27 @@ object JsonOutput {
       to_json(struct(col("url").as("Document"), col("Utterances"))).as("json"))
   }
 
+  /** Human-readable output (the default CLI listing shape,
+    * "Meta Mapping (score): score  concept name [semtypes]" per
+    * utterance) — one text block per document, built as column algebra.
+    */
+  def humanReadable(mentions: DataFrame): DataFrame = {
+    val line = concat(lit("   "), col("score"), lit("  "), col("cui"),
+      lit(":"), col("text"), lit(" ["), concat_ws(",", col("semTypes")), lit("]"),
+      when(col("negated"), lit(" [Negated]")).otherwise(lit("")))
+    val utt = mentions
+      .groupBy(col("url"), col("sentNo"))
+      .agg(concat_ws("\n", sort_array(collect_list(struct(col("start"), line.as("x"))))
+        .getField("x")).as("lines"))
+      .select(col("url"), col("sentNo"),
+        concat(lit("Utterance "), col("sentNo"), lit(":\n"), col("lines")).as("block"))
+    utt.groupBy(col("url"))
+      .agg(concat_ws("\n", sort_array(collect_list(struct(col("sentNo"), col("block").as("x"))))
+        .getField("x")).as("blocks"))
+      .select(col("url"),
+        concat(lit("Processing "), col("url"), lit("\n"), col("blocks")).as("text"))
+  }
+
   /** --dump_aas analogue: one row per (url, acronym, expansion). */
   def aaDump(pages: Dataset[Page], umls: Broadcast[UmlsTables])(
       implicit spark: SparkSession): DataFrame = {

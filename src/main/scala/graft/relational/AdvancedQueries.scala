@@ -226,7 +226,97 @@ object AdvancedQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Q21: running totals with an explicit ROWS frame per customer. */
+  def q21RunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q21Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q22: sliding 3-row moving aggregate over the event stream. */
+  def q22MovingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    e.filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q22Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+      |  COUNT(*) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+      |FROM events WHERE user_id < 20
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Q23: ntile quartiles of suppliers by balance. */
+  def q23Ntile(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.load(spark, sfDir, "supplier")
+    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    s.select(col("s_suppkey"), ntile(4).over(w).as("quartile"))
+      .groupBy(col("quartile")).agg(count(lit(1)).as("n"),
+        min(col("s_suppkey")).as("min_key"))
+      .orderBy(col("quartile"))
+  }
+
+  val q23Sql: String =
+    """SELECT quartile, COUNT(*) AS n, MIN(s_suppkey) AS min_key FROM (
+      |  SELECT s_suppkey,
+      |    CAST(NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile
+      |  FROM supplier) t
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  /** Q24: first/last value frames — each customer's cheapest and priciest
+    * order keys.
+    */
+  def q24FirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_custkey"),
+      first(col("o_orderkey")).over(w).as("cheapest"),
+      last(col("o_orderkey")).over(w).as("priciest"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  val q24Sql: String =
+    """SELECT DISTINCT o_custkey,
+      |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+      |FROM orders
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_running_total" -> (q21RunningTotal _),
+    "q22_moving_window" -> (q22MovingWindow _),
+    "q23_ntile" -> (q23Ntile _),
+    "q24_first_last" -> (q24FirstLast _),
     "q11_cube_flags" -> (q11Cube _),
     "q12_percentiles" -> (q12Percentiles _),
     "q13_above_customer_avg" -> (q13AboveCustomerAvg _),
@@ -239,6 +329,10 @@ object AdvancedQueries {
     "q20_lag_delta" -> (q20LagDelta _))
 
   val oracleSql: Map[String, String] = Map(
+    "q21_running_total" -> q21Sql,
+    "q22_moving_window" -> q22Sql,
+    "q23_ntile" -> q23Sql,
+    "q24_first_last" -> q24Sql,
     "q11_cube_flags" -> q11Sql,
     "q12_percentiles" -> q12Sql,
     "q13_above_customer_avg" -> q13Sql,
