@@ -51,7 +51,8 @@ object KgQueries {
 
   def kgHumanOutput(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
-    output.JsonOutput.humanReadable(kgMentions(spark, sfDir))
+    output.JsonOutput.humanReadable(kgMentions(spark, sfDir),
+      Pipeline.broadcastUmls(spark))
   }
 
   def kgXmlOutput(spark: SparkSession, sfDir: String): DataFrame = {

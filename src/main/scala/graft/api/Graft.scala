@@ -45,6 +45,7 @@ object Graft {
         case "-b" | "--compute_all_mappings" => o = o.copy(computeAllMappings = true)
         case "--conj" => o = o.copy(conjMerge = true)
         case "--aa_span_merge" => o = o.copy(aaSpanMerge = true)
+        case "-z" | "--term_processing" => o = o.copy(termProcessing = true)
         case "-r" | "--threshold" => o = o.copy(scoreThreshold = arg().toInt)
         case "--min_length" => o = o.copy(minLength = arg().toInt)
         case "--no_nums" => o = o.copy(noNums = true)
@@ -71,6 +72,8 @@ object Graft {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
+    // -z dispatches to term processing: annotate is THE flag-driven entry
+    if (opts.termProcessing) return annotateTerms(df, idCol, textCol, opts, Some(bc))
     // ANY id type: cast to string (a bigint doc_id would otherwise fail
     // encoder resolution before any work runs)
     df.select(df.col(idCol).cast("string"), df.col(textCol).cast("string"))
@@ -88,10 +91,11 @@ object Graft {
     * dictionary-lookup mode.
     */
   def annotateTerms(df: DataFrame, idCol: String, termCol: String,
-      opts: LinkOptions = LinkOptions.default): DataFrame = {
+      opts: LinkOptions = LinkOptions.default,
+      umls: Option[Broadcast[UmlsTables]] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bc = Pipeline.broadcastUmls(spark)
+    val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
     df.select(df.col(idCol).cast("string"), df.col(termCol).cast("string"))
       .as[(String, String)].mapPartitions { it =>
         val t = bc.value

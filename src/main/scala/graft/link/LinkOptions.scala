@@ -42,7 +42,10 @@ final case class LinkOptions(
     conjMerge: Boolean = false,
     // P8 (skr.pl:709-857): merge consecutive phrases spanned by one AA
     // parenthetical ("Coronary artery (CA) disease" -> one phrase)
-    aaSpanMerge: Boolean = false)
+    aaSpanMerge: Boolean = false,
+    // -z term_processing: input rows are dictionary terms, not documents
+    // (single phrase + F6 best-coverage discard; SURVEY §2.8 F6)
+    termProcessing: Boolean = false)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

@@ -36,6 +36,17 @@ object PhraseChunker {
     else "noun"
   }
 
+  /** Lexical form of a word token for matching: mm-normalized lowercase,
+    * first sub-word if normalization splits (shared by document chunking
+    * and -z term processing so the two paths cannot diverge).
+    */
+  def mmWord(t: Tok): String =
+    Tokenizer.tokenizeMmLc(t.lc) match {
+      case Vector(single) => single
+      case more if more.nonEmpty => more.head
+      case _ => t.lc
+    }
+
   /** Chunk one sentence's tokens (full stream incl. ws/pn) into phrases. */
   def chunk(toks: Vector[Tok], umls: UmlsTables): Vector[Phrase] = {
     val words = Tokenizer.wordToks(toks)
@@ -76,11 +87,7 @@ object PhraseChunker {
       // any breaking punctuation strictly between previous word and this one?
       val interrupted = lastEnd >= 0 && breakingPn.exists(p => p >= lastEnd && p < t.start)
       if (interrupted) flush()
-      val w = Tokenizer.tokenizeMmLc(t.lc) match {
-        case Vector(single) => single
-        case more if more.nonEmpty => more.head
-        case _ => t.lc
-      }
+      val w = mmWord(t)
       resolveCat(w, umls) match {
         case "adj" | "noun" =>
           if (cur.length >= MaxPhraseWords) flush()

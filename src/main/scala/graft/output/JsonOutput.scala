@@ -34,14 +34,21 @@ object JsonOutput {
   }
 
   /** Human-readable output (the default CLI listing shape,
-    * "Meta Mapping (score): score  concept name [semtypes]" per
-    * utterance) — one text block per document, built as column algebra.
+    * "score  CUI:Preferred Name (matched text) [semtypes]" per
+    * utterance) — one text block per document, built as column algebra;
+    * preferred names resolved by broadcast join like the reference's
+    * concept display.
     */
-  def humanReadable(mentions: DataFrame): DataFrame = {
+  def humanReadable(mentions: DataFrame, umls: Broadcast[UmlsTables]): DataFrame = {
+    import mentions.sparkSession.implicits._
+    val prefDf = umls.value.cuiPreferred.toSeq.toDF("pc", "pname")
+    val named = mentions.join(broadcast(prefDf), col("cui") === col("pc"), "left")
+      .withColumn("concept", coalesce(col("pname"), col("cui")))
     val line = concat(lit("   "), col("score"), lit("  "), col("cui"),
-      lit(":"), col("text"), lit(" ["), concat_ws(",", col("semTypes")), lit("]"),
+      lit(":"), col("concept"), lit(" ("), col("text"), lit(")"),
+      lit(" ["), concat_ws(",", col("semTypes")), lit("]"),
       when(col("negated"), lit(" [Negated]")).otherwise(lit("")))
-    val utt = mentions
+    val utt = named
       .groupBy(col("url"), col("sentNo"))
       .agg(concat_ws("\n", sort_array(collect_list(struct(col("start"), line.as("x"))))
         .getField("x")).as("lines"))

@@ -38,14 +38,7 @@ object DocKernel {
         else {
           val varIndex = VariantGather.gather(phrase, umls, aas)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
-          // F1 threshold (-r), F5 numerical filter (--no_nums),
-          // F4 semtype restrict/exclude (-J/-k) — skr.pl:1239-1318,4451-4458
-          val cands = cands0.filter { c =>
-            c.score >= opts.scoreThreshold &&
-              (!opts.noNums || c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length) &&
-              (opts.restrictSemTypes.isEmpty || c.semTypes.exists(opts.restrictSemTypes)) &&
-              (opts.excludeSemTypes.isEmpty || !c.semTypes.exists(opts.excludeSemTypes))
-          }
+          val cands = optionFilters(cands0, opts)
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length, opts)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
@@ -57,6 +50,19 @@ object DocKernel {
       Negex.mark(sent.toks, sentMentions, umls)
     }
   }
+
+  /** F1 threshold (-r), F5 numerical filter (--no_nums), F4 semtype
+    * restrict/exclude (-J/-k) — skr.pl:1239-1318,4451-4458; shared by the
+    * document and -z term paths.
+    */
+  private def optionFilters(cands: Vector[graft.link.Candidate],
+      opts: LinkOptions): Vector[graft.link.Candidate] =
+    cands.filter { c =>
+      c.score >= opts.scoreThreshold &&
+        (!opts.noNums || c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length) &&
+        (opts.restrictSemTypes.isEmpty || c.semTypes.exists(opts.restrictSemTypes)) &&
+        (opts.excludeSemTypes.isEmpty || !c.semTypes.exists(opts.excludeSemTypes))
+    }
 
   /** Term processing (-z, skr/skr_fe.pl options; SURVEY §2.8 F6): the
     * input is ONE term, not running text — no sentence split, no
@@ -70,16 +76,13 @@ object DocKernel {
       opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
     if (term.isEmpty) return Vector.empty
     val toks = Tokenizer.tokenize(term)
-    val words = Tokenizer.wordToks(toks).map(t => PWord(
-      Tokenizer.tokenizeMmLc(t.lc) match {
-        case Vector(single) => single
-        case more if more.nonEmpty => more.head
-        case _ => t.lc
-      }, t.start, t.end))
+    val words = Tokenizer.wordToks(toks)
+      .map(t => PWord(PhraseChunker.mmWord(t), t.start, t.end))
     if (words.isEmpty) return Vector.empty
     val phrase = Phrase(words, words.length - 1)
     val varIndex = VariantGather.gather(phrase, umls, Map.empty)
-    val cands = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
+    val cands = optionFilters(
+      Evaluator.evaluatePhrase(phrase, umls, varIndex, opts), opts)
     if (cands.isEmpty) return Vector.empty
     // F6: best-coverage-only — discard evaluations covering fewer phrase
     // words than the widest one

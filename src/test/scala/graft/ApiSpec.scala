@@ -18,6 +18,7 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
     assert(Graft.parseFlags(Seq("-J", "dsyn,neop")) ==
       LinkOptions(restrictSemTypes = Set("dsyn", "neop")))
     intercept[IllegalArgumentException](Graft.parseFlags(Seq("--bogus")))
+    assert(Graft.parseFlags(Seq("-z")) == LinkOptions(termProcessing = true))
     intercept[IllegalArgumentException](Graft.parseFlags(Seq("-r")))
     intercept[IllegalArgumentException](Graft.parseFlags(Seq("-r", "-i")))
     assert(Graft.parseFlags(Nil) == LinkOptions.default)
@@ -33,6 +34,21 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
 
   test("annotateTerms (-z): dictionary lookup keeps best-coverage only") {
     import spark.implicits._
+    // -z dispatches from the flag-driven annotate entry too
+    val viaFlags = Graft.annotate(
+      Seq(("t1", "heart attack")).toDF("id", "term"), "id", "term",
+      Graft.parseFlags(Seq("-z")))
+    assert(viaFlags.collect().map(_.getAs[String]("cui")).toSet == Set("C0027051"))
+    // F4 filters apply in term mode: excluding dsyn drops C0027051 and
+    // the bpoc Heart partial becomes the best-coverage survivor
+    val excl = Graft.annotateTerms(
+      Seq(("t1", "heart attack")).toDF("id", "term"), "id", "term",
+      Graft.parseFlags(Seq("-k", "dsyn")))
+    assert(excl.collect().map(_.getAs[String]("cui")).toSet == Set("C0018787"))
+    // and a threshold kills everything
+    assert(Graft.annotateTerms(
+      Seq(("t1", "heart attack")).toDF("id", "term"), "id", "term",
+      Graft.parseFlags(Seq("-r", "1001"))).count() == 0)
     val df = Seq(
       ("t1", "heart attack"),
       ("t2", "myocardial infarction"),
