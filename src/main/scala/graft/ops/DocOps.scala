@@ -61,14 +61,20 @@ object DocOps {
       |  CAST(len(string_split(text,' ')) AS INT) AS n_ws_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Quality scoring: stopword ratio + chars-per-token. */
+  /** Quality scoring: stopword ratio, punctuation ratio, chars-per-token
+    * (the length/punct/stopword heuristics of a training-data quality
+    * filter).
+    */
   def docQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     val t = toks(col("text"))
     val nTok = size(t)
     val nStop = size(filter(t, x => x.isin("the", "a")))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
     d.select(col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stop"),
       (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
+      (nPunct.cast("double") / length(col("text"))).as("punct_ratio"),
       (col("n_chars").cast("double") / nTok.cast("double")).as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
@@ -79,6 +85,8 @@ object DocOps {
       |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INT) AS n_stop,
       |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS DOUBLE)
       |    / len(string_split(text,' ')) AS stop_ratio,
+      |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS punct_ratio,
       |  CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 

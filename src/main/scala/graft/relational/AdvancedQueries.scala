@@ -312,7 +312,40 @@ object AdvancedQueries {
       |FROM orders
       |ORDER BY o_custkey""".stripMargin
 
+  /** Q25: EXCEPT — ordering customers who never placed a 400k+ order. */
+  def q25Except(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val all = o.select(col("o_custkey")).distinct()
+    val big = o.filter(col("o_totalprice") > 400000).select(col("o_custkey")).distinct()
+    all.except(big).orderBy(col("o_custkey"))
+  }
+
+  val q25Sql: String =
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Q26: ordered string aggregation — brand list per part type. */
+  def q26StringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.load(spark, sfDir, "part")
+    p.select(col("p_type"), col("p_brand")).distinct()
+      .groupBy(col("p_type"))
+      .agg(concat_ws(",", sort_array(collect_list(col("p_brand")))).as("brands"),
+        count(lit(1)).as("n_brands"))
+      .orderBy(col("p_type"))
+  }
+
+  val q26Sql: String =
+    """SELECT p_type, string_agg(p_brand, ',' ORDER BY p_brand) AS brands,
+      |  COUNT(*) AS n_brands
+      |FROM (SELECT DISTINCT p_type, p_brand FROM part) t
+      |GROUP BY p_type
+      |ORDER BY p_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_except_setop" -> (q25Except _),
+    "q26_string_agg" -> (q26StringAgg _),
     "q21_running_total" -> (q21RunningTotal _),
     "q22_moving_window" -> (q22MovingWindow _),
     "q23_ntile" -> (q23Ntile _),
@@ -329,6 +362,8 @@ object AdvancedQueries {
     "q20_lag_delta" -> (q20LagDelta _))
 
   val oracleSql: Map[String, String] = Map(
+    "q25_except_setop" -> q25Sql,
+    "q26_string_agg" -> q26Sql,
     "q21_running_total" -> q21Sql,
     "q22_moving_window" -> q22Sql,
     "q23_ntile" -> q23Sql,
