@@ -59,7 +59,8 @@ object Evaluator {
     val deduped = sorted.filter { c =>
       seenKey.add((c.cui, c.matchMap.map(e => (e.pBegin, e.pEnd))))
     }
-    deduped.take(PruneThreshold)
+    // G2: 5-level pruning with restore (no-op when within threshold)
+    Pruning.prune(deduped, PruneThreshold, opts)
   }
 
   private def evaluateOne(e: IndexEntry, phrase: Phrase, nPhrase: Int,
