@@ -54,13 +54,15 @@ object Evaluator {
 
     // sort candidates by (negscore, cui, str) — skr.pl:1407
     val sorted = out.toVector.sortBy(c => (-c.score, c.cui, c.str))
-    // F2 redundancy filter: same CUI + same phrase components -> keep best
+    // F2 redundancy filter: same CUI + same phrase components -> keep best.
+    // NOTE: G2 pruning does NOT happen here — the reference filters first
+    // (filter_evaluations, skr.pl:913,1408) and prunes inside mapping
+    // construction (skr.pl:3452-3459); DocKernel applies Pruning.prune
+    // AFTER the option filters.
     val seenKey = scala.collection.mutable.Set[(String, Vector[(Int, Int)])]()
-    val deduped = sorted.filter { c =>
+    sorted.filter { c =>
       seenKey.add((c.cui, c.matchMap.map(e => (e.pBegin, e.pEnd))))
     }
-    // G2: 5-level pruning with restore (no-op when within threshold)
-    Pruning.prune(deduped, PruneThreshold, opts)
   }
 
   private def evaluateOne(e: IndexEntry, phrase: Phrase, nPhrase: Int,

@@ -27,14 +27,23 @@ package graft.link
   */
 object Pruning {
 
-  private def coverage(c: Candidate): Set[Int] =
-    c.matchMap.iterator.flatMap(e => e.pBegin to e.pEnd).toSet
+  /** Web-scale guard under -b/-o: the reference skips pruning entirely in
+    * those modes, leaving mapping construction unbounded — fine for its
+    * per-citation CLI use, a task-stall hazard on adversarial web pages.
+    * A dense-phrase cap far above any prose phrase's candidate count.
+    */
+  val SkipModeHardCap = 500
+
+  private final case class CC(cand: Candidate, cov: Set[Int], score: Int)
 
   def prune(cands: Vector[Candidate], threshold: Int,
       opts: LinkOptions = LinkOptions.default): Vector[Candidate] = {
-    if (opts.computeAllMappings || opts.allowOvermatches) return cands
+    if (opts.computeAllMappings || opts.allowOvermatches)
+      return cands.take(SkipModeHardCap)
     if (cands.length <= threshold) return cands
-    var current = cands
+    // coverage computed ONCE per candidate; the levels/restore reuse it
+    var current = cands.map(c =>
+      CC(c, c.matchMap.iterator.flatMap(e => e.pBegin to e.pEnd).toSet, c.score))
     var level = 1
     while (level <= 5 && current.length > threshold) {
       val (kept, discarded) = pruneLevel(level, current, threshold)
@@ -42,30 +51,28 @@ object Pruning {
       current = restore(discarded, kept, minRestore)
       level += 1
     }
-    current
+    current.map(_.cand)
   }
 
   /** One pruning level. Returns (kept, discarded), each with 1-based
     * original indexes, both index-ascending.
     */
-  private def pruneLevel(level: Int, cands: Vector[Candidate], threshold: Int)
-      : (List[(Int, Candidate)], List[(Int, Candidate)]) = {
+  private def pruneLevel(level: Int, cands: Vector[CC], threshold: Int)
+      : (List[(Int, CC)], List[(Int, CC)]) = {
     var positions = Set.empty[Int]
     var ppcs = List.empty[(Set[Int], Int)]
-    val kept = List.newBuilder[(Int, Candidate)]
-    val discarded = List.newBuilder[(Int, Candidate)]
+    val kept = List.newBuilder[(Int, CC)]
+    val discarded = List.newBuilder[(Int, CC)]
     var idx = 0
     for (c <- cands) {
       idx += 1
-      val pp = coverage(c)
+      val pp = c.cov
       val pair = (pp, c.score)
       level match {
         case 1 =>
           if (ppcs.exists { case (opp, _) => pp != opp && pp.subsetOf(opp) })
             discarded += ((idx, c))
-          else {
-            positions ++= pp; ppcs ::= pair; kept += ((idx, c))
-          }
+          else { ppcs ::= pair; kept += ((idx, c)) }
         case 2 =>
           if (ppcs.contains(pair)) kept += ((idx, c)) // no state update
           else if (pp != positions && pp.subsetOf(positions)) discarded += ((idx, c))
@@ -85,16 +92,16 @@ object Pruning {
     (kept.result(), discarded.result())
   }
 
-  private def restore(discarded0: List[(Int, Candidate)],
-      kept0: List[(Int, Candidate)], restoreNum0: Int): Vector[Candidate] = {
+  private def restore(discarded0: List[(Int, CC)],
+      kept0: List[(Int, CC)], restoreNum0: Int): Vector[CC] = {
     var ppcs = Set.empty[(Set[Int], Int)]
     var rn = restoreNum0
     var d = discarded0
     var k = kept0
-    val out = Vector.newBuilder[Candidate]
+    val out = Vector.newBuilder[CC]
     while (d.nonEmpty) {
       val (di, dc) = d.head
-      val dpair = (coverage(dc), dc.score)
+      val dpair = (dc.cov, dc.score)
       if (ppcs.contains(dpair)) { // equal coverage+score: always restore
         rn = math.max(rn - 1, 0); out += dc; d = d.tail
       } else if (rn <= 0) {
@@ -104,7 +111,7 @@ object Pruning {
       } else {
         val (ki, kc) = k.head
         if (di < ki) { rn -= 1; ppcs += dpair; out += dc; d = d.tail }
-        else { ppcs += ((coverage(kc), kc.score)); out += kc; k = k.tail }
+        else { ppcs += ((kc.cov, kc.score)); out += kc; k = k.tail }
       }
     }
     k.foreach(out += _._2)

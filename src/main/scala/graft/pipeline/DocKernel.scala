@@ -38,7 +38,10 @@ object DocKernel {
         else {
           val varIndex = VariantGather.gather(phrase, umls, aas)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
-          val cands = optionFilters(cands0, opts)
+          // reference order: filter first (skr.pl:913,1408), THEN prune
+          // inside mapping construction (skr.pl:3452-3459)
+          val cands = graft.link.Pruning.prune(
+            optionFilters(cands0, opts), Evaluator.PruneThreshold, opts)
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length, opts)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
@@ -81,8 +84,9 @@ object DocKernel {
     if (words.isEmpty) return Vector.empty
     val phrase = Phrase(words, words.length - 1)
     val varIndex = VariantGather.gather(phrase, umls, Map.empty)
-    val cands = optionFilters(
-      Evaluator.evaluatePhrase(phrase, umls, varIndex, opts), opts)
+    val cands = graft.link.Pruning.prune(optionFilters(
+      Evaluator.evaluatePhrase(phrase, umls, varIndex, opts), opts),
+      Evaluator.PruneThreshold, opts)
     if (cands.isEmpty) return Vector.empty
     // F6: best-coverage-only — discard evaluations covering fewer phrase
     // words than the widest one
