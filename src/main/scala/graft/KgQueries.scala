@@ -31,6 +31,25 @@ object KgQueries {
     Pipeline.graph(Pipeline.run(CorpusGen.pages(spark, nPages)), umls)
   }
 
+  /** Graph analytics over the materialized KG: per-CUI degree (distinct
+    * neighbors in/out), predicate fan-out — the first queries a consumer
+    * runs on the graph table.
+    */
+  def kgGraphDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = kgGraph(spark, sfDir)
+    val out = g.select(col("subj_cui").as("cui"), col("obj_cui").as("nbr"),
+      col("pred"), col("n_evidence"))
+    val in = g.select(col("obj_cui").as("cui"), col("subj_cui").as("nbr"),
+      col("pred"), col("n_evidence"))
+    out.withColumn("dir", lit("out")).unionByName(in.withColumn("dir", lit("in")))
+      .groupBy(col("cui"))
+      .agg(countDistinct(col("nbr")).as("n_neighbors"),
+        countDistinct(col("pred")).as("n_predicates"),
+        sum(col("n_evidence")).as("total_evidence"))
+      .orderBy(col("n_neighbors").desc, col("cui"))
+  }
+
   def kgMmiRank(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     val umls = Pipeline.broadcastUmls(spark)
@@ -138,6 +157,7 @@ object KgQueries {
     "kg_sink_roundtrip" -> (kgSinkRoundtrip _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
+    "kg_graph_degrees" -> (kgGraphDegrees _),
     "kg_mmi_rank" -> (kgMmiRank _),
     "kg_json_output" -> (kgJsonOutput _),
     "kg_aa_dump" -> (kgAaDump _),
