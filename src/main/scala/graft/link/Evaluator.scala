@@ -85,13 +85,23 @@ object Evaluator {
           r.extraMetaIdx.count(i => varIndex.contains(metaWords(i - 1)))
         val score = Scorer.scoreOpt(mm, nPhrase, metaWords.length,
           r.involvesHead, opts, nRelevantExtra)
-        // pos info: covered phrase word char spans (E10 simplified to the
-        // mention extent: min start / max end of matched phrase words)
+        // pos info (E10, collapse_pos_info): one char span per contiguous
+        // run of covered phrase words, plus the overall extent
+        val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // idx runs
+        for (i <- coveredIdx) {
+          if (runs.nonEmpty && runs.last._2 + 1 == i)
+            runs(runs.length - 1) = (runs.last._1, i)
+          else runs += ((i, i))
+        }
+        val posInfo = runs.toVector.map { case (a, b) =>
+          val s = phrase.words(a - 1).start
+          (s, phrase.words(b - 1).end - s)
+        }
         val starts = coveredIdx.map(i => phrase.words(i - 1).start)
         val ends = coveredIdx.map(i => phrase.words(i - 1).end)
         Some(Candidate(score, e.cui, e.str, e.concept, metaWords,
           umls.cuiSemTypes.getOrElse(e.cui, Vector.empty), mm, r.involvesHead,
-          starts.min, ends.max))
+          starts.min, ends.max, posInfo))
       }
     }
   }

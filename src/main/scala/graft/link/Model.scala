@@ -31,15 +31,22 @@ final case class VInfo(genWord: String, genPos: (Int, Int), involvesHead: Boolea
   */
 final case class MatchEntry(pBegin: Int, pEnd: Int, mBegin: Int, mEnd: Int, varLevel: Int)
 
-/** An evaluated candidate (ev/15 analogue, metamap_utilities.pl:676-687). */
+/** An evaluated candidate (ev/15 analogue, metamap_utilities.pl:676-687).
+  * `posInfo` is the E10 StartPos/Length list: one (start, len) char span
+  * per contiguous run of matched phrase words (collapse_pos_info,
+  * metamap_evaluation.pl:429-513) — discontiguous matches report exact
+  * spans, while (start, end) keeps the overall extent.
+  */
 final case class Candidate(
     score: Int, cui: String, str: String, concept: String,
     metaWords: Vector[String], semTypes: Vector[String],
     matchMap: Vector[MatchEntry], involvesHead: Boolean,
-    start: Int, end: Int)
+    start: Int, end: Int, posInfo: Vector[(Int, Int)] = Vector.empty)
 
-/** A linked mention emitted by the per-document kernel. */
+/** A linked mention emitted by the per-document kernel. `posInfo` as in
+  * [[Candidate]]; empty means the single extent (start, len) covers it.
+  */
 final case class Mention(
     url: String, sentNo: Int, start: Int, len: Int,
     cui: String, score: Int, semTypes: Vector[String],
-    negated: Boolean, text: String)
+    negated: Boolean, text: String, posInfo: Vector[(Int, Int)] = Vector.empty)

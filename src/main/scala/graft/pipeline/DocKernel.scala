@@ -46,7 +46,7 @@ object DocKernel {
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
               c.semTypes, negated = false,
-              text.substring(c.start, c.end))
+              text.substring(c.start, c.end), c.posInfo)
           }
         }
       }
@@ -96,7 +96,7 @@ object DocKernel {
     val kept = cands.filter(coveredWords(_) == maxCov)
     Evaluator.bestMappingCandidates(kept, phrase.words.length, opts).map { c =>
       Mention(url, 0, c.start, c.end - c.start, c.cui, c.score,
-        c.semTypes, negated = false, term.substring(c.start, c.end))
+        c.semTypes, negated = false, term.substring(c.start, c.end), c.posInfo)
     }
   }
 }

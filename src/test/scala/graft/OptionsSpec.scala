@@ -175,6 +175,20 @@ class OptionsSpec extends AnyFunSuite {
     assert(ms.exists(_.cui == "C0038454"))
   }
 
+  test("E10 pos info: discontiguous matches report exact spans") {
+    val text = "The patient had lung and liver cancer."
+    val conj = mentions(text, LinkOptions(conjMerge = true, computeAllMappings = true))
+    val lc = conj.filter(_.cui == "C0024121") // covers 'lung' + 'cancer', skips 'liver'
+    assert(lc.nonEmpty)
+    val pi = lc.head.posInfo
+    assert(pi.length == 2, s"expected 2 runs, got $pi")
+    assert(text.substring(pi(0)._1, pi(0)._1 + pi(0)._2) == "lung")
+    assert(text.substring(pi(1)._1, pi(1)._1 + pi(1)._2) == "cancer")
+    // contiguous matches collapse to one run equal to the extent
+    val ha = mentions("The patient had a heart attack.").filter(_.cui == "C0027051")
+    assert(ha.head.posInfo == Vector((ha.head.start, ha.head.len)))
+  }
+
   test("option profiles are deterministic") {
     val text = "Coronary artery (CA) disease. CA was severe."
     val a = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
