@@ -40,13 +40,21 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       headline.filter(qs.contains).foreach { name =>
-        try { qs(name)(spark, warmDir).count() } catch { case _: Throwable => }
+        try { qs(name)(spark, warmDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
     }
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // surface the failure loudly; a -1-second entry must never pass
+          // for a plausible headline number
+          System.err.println(s"[bench] TIMED RUN FAILED $name: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 

@@ -140,25 +140,41 @@ object KgQueries {
     */
   def kgSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
-    // deterministic root, wiped first: repeated gate runs must not
-    // accumulate /tmp copies (and a resumable table must start clean here)
+    // per-process root, wiped first: repeated gate runs in THIS process
+    // must not accumulate /tmp copies (and a resumable table must start
+    // clean here), while two concurrent gate/test runs on the same machine
+    // must not race each other's snapshots — hence the PID suffix
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_sink_gate").toString
+      System.getProperty("java.io.tmpdir"),
+      s"graft_sink_gate_${ProcessHandle.current().pid()}").toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     graft.graph.IcebergLite.write(Pipeline.run(CorpusGen.pages(spark, nPages)), root)
     graft.graph.IcebergLite.read(spark, root)
       .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")
   }
 
+  /** A deterministic bounded micro-batch run of the streaming pipeline at
+    * the driver gate (SURVEY §2 streaming): the same corpus fed as ONE
+    * batch through the Structured Streaming query, results collected from
+    * the in-memory sink. rows-only (streaming==batch equivalence is pinned
+    * exactly in StreamingSpec).
+    */
+  def kgStreamingTriples(spark: SparkSession, sfDir: String): DataFrame =
+    streaming.StreamingPipeline.runBounded(spark, 100)
+      .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")
+
+  // gate-facing entries stringify nested columns (GateSafe scaladoc);
+  // library callers use the typed functions above directly
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kg_mentions" -> (kgMentions _),
-    "kg_negated_mentions" -> (kgNegated _),
-    "kg_term_lookup" -> (kgTermLookup _),
+    "kg_mentions" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgMentions(s, d))),
+    "kg_negated_mentions" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgNegated(s, d))),
+    "kg_term_lookup" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgTermLookup(s, d))),
+    "kg_streaming_triples" -> (kgStreamingTriples _),
     "kg_sink_roundtrip" -> (kgSinkRoundtrip _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
     "kg_graph_degrees" -> (kgGraphDegrees _),
-    "kg_mmi_rank" -> (kgMmiRank _),
+    "kg_mmi_rank" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgMmiRank(s, d))),
     "kg_json_output" -> (kgJsonOutput _),
     "kg_aa_dump" -> (kgAaDump _),
     "kg_xml_output" -> (kgXmlOutput _),

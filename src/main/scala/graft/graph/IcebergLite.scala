@@ -75,33 +75,53 @@ object IcebergLite {
     val spark = triples.sparkSession
     val prev = latestSnapshot(root)
     val committed = prev.map(_.partitions.map(_.bucket).toSet).getOrElse(Set.empty)
+    val dataDir = Paths.get(root, "data").toString
+
+    def commit(metrics: Vector[PartitionMeta]): Snapshot = {
+      val snap = Snapshot(prev.map(_.snapshotId).getOrElse(0) + 1,
+        (prev.map(_.partitions).getOrElse(Vector.empty) ++ metrics).sortBy(_.bucket))
+      Files.createDirectories(manifestDir(root))
+      Files.write(manifestDir(root).resolve(s"snapshot-${snap.snapshotId}.json"),
+        renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
+      snap
+    }
+
+    // every possible bucket already committed: resume is a metadata-only
+    // no-op — the input is never scanned
+    if (committed.size >= nBuckets) return commit(Vector.empty)
 
     val bucketed = triples.withColumn("part_bucket",
       pmod(xxhash64(col("subj_cui")), lit(nBuckets)).cast("int"))
     val todo = if (committed.isEmpty) bucketed
       else bucketed.filter(!col("part_bucket").isin(committed.toSeq: _*))
 
-    // per-partition lineage/metrics in the same pass shape as the write
-    val metrics = todo.groupBy(col("part_bucket"))
-      .agg(count(lit(1)).as("rows"), countDistinct(col("subj_cui")).as("n_subj"),
-        min(col("subj_cui")).as("min_subj"), max(col("subj_cui")).as("max_subj"))
-      .collect()
-      .map(r => PartitionMeta(r.getInt(0), r.getLong(1), r.getLong(2),
-        r.getString(3), r.getString(4)))
-      .toVector.sortBy(_.bucket)
+    // SINGLE execution of the input: write first, then derive the
+    // per-partition lineage/metrics from the just-written parquet — a
+    // cheap columnar re-scan of only the new buckets (partition-pruned),
+    // instead of aggregating the (possibly very expensive) input plan a
+    // second time. At 100 TB the input here is the full kernel pipeline;
+    // running it twice would double the most expensive job in the system.
+    todo.write.mode("append").partitionBy("part_bucket").parquet(dataDir)
 
-    if (metrics.nonEmpty) {
-      todo.write.mode("append").partitionBy("part_bucket")
-        .parquet(Paths.get(root, "data").toString)
-    }
+    val metrics =
+      try {
+        val written = spark.read.parquet(dataDir)
+        val fresh = if (committed.isEmpty) written
+          else written.filter(!col("part_bucket").isin(committed.toSeq: _*))
+        fresh.groupBy(col("part_bucket"))
+          .agg(count(lit(1)).as("rows"), countDistinct(col("subj_cui")).as("n_subj"),
+            min(col("subj_cui")).as("min_subj"), max(col("subj_cui")).as("max_subj"))
+          .collect()
+          .map(r => PartitionMeta(r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getString(4)))
+          .toVector.sortBy(_.bucket)
+      } catch {
+        // first-ever write of an empty input: the data dir holds only
+        // _SUCCESS and schema inference fails — nothing new was committed
+        case _: org.apache.spark.sql.AnalysisException => Vector.empty[PartitionMeta]
+      }
 
-    val snap = Snapshot(prev.map(_.snapshotId).getOrElse(0) + 1,
-      (prev.map(_.partitions).getOrElse(Vector.empty) ++ metrics).sortBy(_.bucket))
-    Files.createDirectories(manifestDir(root))
-    Files.write(manifestDir(root).resolve(s"snapshot-${snap.snapshotId}.json"),
-      renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
-    locally(spark)
-    snap
+    commit(metrics)
   }
 
   /** Read back only the buckets the latest snapshot committed (a reader

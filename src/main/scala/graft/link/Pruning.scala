@@ -34,12 +34,26 @@ object Pruning {
     */
   val SkipModeHardCap = 500
 
+  /** How many phrases the -b/-o cap actually truncated (JVM-wide): the
+    * reference keeps ALL candidates in those modes, so every engagement is
+    * an observable divergence, not a silent one. Executors log the first
+    * few occurrences to stderr; tests/ops can read the counter.
+    */
+  val capEngaged = new java.util.concurrent.atomic.AtomicLong
+
   private final case class CC(cand: Candidate, cov: Set[Int], score: Int)
 
   def prune(cands: Vector[Candidate], threshold: Int,
       opts: LinkOptions = LinkOptions.default): Vector[Candidate] = {
-    if (opts.computeAllMappings || opts.allowOvermatches)
+    if (opts.computeAllMappings || opts.allowOvermatches) {
+      if (cands.length > SkipModeHardCap) {
+        val n = capEngaged.incrementAndGet()
+        if (n <= 10) System.err.println(
+          s"[graft] -b/-o skips pruning but ${cands.length} candidates exceed " +
+            s"SkipModeHardCap=$SkipModeHardCap; truncating (reference keeps all)")
+      }
       return cands.take(SkipModeHardCap)
+    }
     if (cands.length <= threshold) return cands
     // coverage computed ONCE per candidate; the levels/restore reuse it
     var current = cands.map(c =>

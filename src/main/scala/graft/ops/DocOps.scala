@@ -122,10 +122,16 @@ object DocOps {
   /** MinHash signatures: 8 per doc, minhash_j = min over shingles of
     * md5(j || '|' || shingle). Banded 2-wide -> 4 LSH bucket keys.
     */
-  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+  private def minhashBands(spark: SparkSession, sfDir: String,
+      unigram: Boolean = false): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val sh = d.select(col("doc_id"),
-      explode(shingles(toks(col("text")))).as("sh"))
+    // unigram=true minhashes the distinct TOKEN set — the right feature
+    // space when the downstream verify measure is unigram-token Jaccard
+    // (banded collision prob = J^2 per 2-row band); default trigram
+    // shingles catch document-level near-duplication
+    val feats = if (unigram) array_distinct(toks(col("text")))
+      else shingles(toks(col("text")))
+    val sh = d.select(col("doc_id"), explode(feats).as("sh"))
     // all 8 minhashes in ONE partial-aggregating pass: 8 agg columns over
     // the shingle rows instead of exploding x8 and shuffling (doc_id, j)
     // keys — 8x less shuffle volume. Hash cost: TWO md5 digests per
@@ -154,19 +160,32 @@ object DocOps {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** MinHash+LSH near-dup candidate pairs: docs sharing >= 1 band bucket.
-    * The band join is the scale path: pair count is bounded by bucket
-    * occupancy, never by corpus^2.
+  /** Candidate near-dup pairs from the banded minhash signatures: ONE
+    * aggregation pass groups doc ids per (band, sig) bucket, and pairs are
+    * enumerated within each bucket with array algebra — pair count is
+    * bounded by bucket occupancy, never corpus^2, and the shingle->minhash
+    * lineage is computed exactly once. (The round-1 self-join form
+    * recomputed that lineage for BOTH sides: 20.9 s vs ~3 s for one
+    * signature pass at sf0.1.)
     */
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = minhashBands(spark, sfDir)
-    val a = bands.toDF("a", "band", "sig")
-    val b = bands.toDF("b", "band", "sig")
-    a.join(b, Seq("band", "sig"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
+  private def minhashCandidatePairs(spark: SparkSession, sfDir: String,
+      unigram: Boolean = false): DataFrame = {
+    val buckets = minhashBands(spark, sfDir, unigram)
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val ids = array_sort(col("ids"))
+    buckets
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
   }
+
+  /** MinHash+LSH near-dup candidate pairs: docs sharing >= 1 band bucket. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashCandidatePairs(spark, sfDir).orderBy(col("a"), col("b"))
 
   val dedupMinhashLshSql: String =
     """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
@@ -213,17 +232,31 @@ object DocOps {
       |SELECT doc_id, CAST(SUM(CASE WHEN s>0 THEN 1<<i ELSE 0 END) AS BIGINT) AS simhash
       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Token-set Jaccard near-dup pairs, blocked by (source, lang) so the
-    * pair space is per-block, not global. Threshold 0.6.
+  /** Token-set Jaccard near-dup pairs: candidate pairs come from the
+    * MinHash band buckets (one bounded signature pass), the EXACT Jaccard
+    * measure is then verified on candidates only, restricted to same
+    * (source, lang). Threshold 0.6. The candidate step is what makes this
+    * 100 TB-safe: the round-1 all-pairs-within-(source,lang) self-join was
+    * O(block^2) — at web scale a (source, lang) block IS the corpus. Same
+    * principle as the reference's frequent-pair skew table
+    * (metamap/metamap_candidates.pl:371-387): bound the hot key.
     */
   def dedupTokenJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // unigram-token minhash: the candidate generator must live in the SAME
+    // feature space as the verified measure, or recall collapses (trigram
+    // bands surfaced 1 of ~900 J>=0.6 pairs on this corpus; unigram bands
+    // collide with prob 1-(1-J^2)^4 ~ 0.83 at J=0.6)
+    val cand = minhashCandidatePairs(spark, sfDir, unigram = true)
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         array_distinct(toks(col("text"))).as("ts"))
-    val a = d.toDF("a", "source", "lang", "ta")
-    val b = d.toDF("b", "source", "lang", "tb")
-    a.join(b, Seq("source", "lang"))
-      .filter(col("a") < col("b"))
+    // two linear equi-joins on doc_id fetch the token sets per candidate
+    cand
+      .join(d.select(col("doc_id").as("a"), col("source").as("src_a"),
+        col("lang").as("lang_a"), col("ts").as("ta")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("source").as("src_b"),
+        col("lang").as("lang_b"), col("ts").as("tb")), Seq("b"))
+      .filter(col("src_a") === col("src_b") && col("lang_a") === col("lang_b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("uni", size(array_union(col("ta"), col("tb"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
@@ -233,15 +266,28 @@ object DocOps {
   }
 
   val dedupTokenJaccardSql: String =
-    """WITH t AS (SELECT doc_id, source, lang,
-      |                  list_distinct(string_split(text,' ')) ts FROM documents)
-      |SELECT a.doc_id AS a, b.doc_id AS b,
-      |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
-      |FROM t a JOIN t b ON a.source = b.source AND a.lang = b.lang
-      |WHERE a.doc_id < b.doc_id
-      |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.6
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) sh
+      |            FROM documents),
+      |hashed AS (SELECT doc_id, j,
+      |             substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('x' || sh) END,
+      |                    (j % 4) * 8 + 1, 8) h
+      |           FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) jj),
+      |sig AS (SELECT doc_id, j, min(h) mh FROM hashed GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CAST(j // 2 AS INT) band,
+      |                 string_agg(mh, '' ORDER BY mh) sig
+      |          FROM sig GROUP BY doc_id, j // 2),
+      |cand AS (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+      |         FROM bands p JOIN bands q ON p.band = q.band AND p.sig = q.sig
+      |         WHERE p.doc_id < q.doc_id),
+      |ts AS (SELECT doc_id, source, lang,
+      |              list_distinct(string_split(text,' ')) ts FROM documents)
+      |SELECT c.a, c.b,
+      |  CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(x.ts, y.ts))) AS jaccard
+      |FROM cand c JOIN ts x ON c.a = x.doc_id JOIN ts y ON c.b = y.doc_id
+      |WHERE x.source = y.source AND x.lang = y.lang
+      |  AND CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.6
       |ORDER BY a, b""".stripMargin
 
   // ---------- embedding similarity ----------
@@ -257,17 +303,44 @@ object DocOps {
   private def cosineCol(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine(a, b)
 
-  /** Embedding cosine near-dup pairs, blocked by label. Cosine rounded to
-    * 6dp in the output so engine-level last-bit drift cannot flake the
-    * compare.
+  /** Coarse IVF quantizer scoring, shared by dedup_embedding and ann_ivf:
+    * every vector's rounded cosine to each of the K=16 deterministic
+    * centroids (the lowest-id vectors — at scale a k-means job produces
+    * these; the assignment/probe plumbing is identical), ranked per vector
+    * (crk = 1 is the home cell). Fully declarative: the 16 centroids
+    * broadcast, no UDF, no driver-side collect; the per-vector rank is a
+    * 16-row window. Rounding to 6dp before ranking makes the assignment
+    * deterministic across engines (ties broken by centroid id).
     */
-  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivfScored(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sfDir, "embeddings")
-    val a = e.toDF("a", "ea", "label")
-    val b = e.toDF("b", "eb", "label")
-    a.join(b, Seq("label"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosineCol(col("embedding"), col("ce")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+  }
+
+  /** Embedding cosine near-dup pairs: candidates = sharing ANY of their
+    * top-2 IVF cells AND same label; the exact cosine is verified on
+    * candidates only. The cell bounds the pair space — the round-1
+    * all-pairs-within-label self-join was O(block^2) at web scale — and
+    * multi-cell probing keeps recall up for vectors near a cell boundary.
+    * The self-join recomputes the LINEAR assignment lineage twice (fine;
+    * at scale you'd checkpoint the assignment table). Cosine rounded to
+    * 6dp in the output so last-bit drift cannot flake the compare.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val asn = ivfScored(spark, sfDir).filter(col("crk") <= 2)
+    val a = asn.select(col("vec_id").as("a"), col("label"),
+      col("embedding").as("ea"), col("cid").as("cell"))
+    val b = asn.select(col("vec_id").as("b"), col("label"),
+      col("embedding").as("eb"), col("cid").as("cell"))
+    a.join(b, Seq("cell", "label"))
       .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b") // a pair can share both probed cells
       .withColumn("cosine", cosineCol(col("ea"), col("eb")))
       .filter(col("cosine") >= 0.4)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cos6"))
@@ -275,13 +348,20 @@ object DocOps {
   }
 
   val dedupEmbeddingSql: String =
-    """WITH p AS (
-      |  SELECT a.vec_id a, b.vec_id b,
-      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-      |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-      |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) cosine
-      |  FROM embeddings a JOIN embeddings b ON a.label = b.label
-      |  WHERE a.vec_id < b.vec_id)
+    """WITH c AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
+      |s AS (SELECT e.vec_id, e.label, e.embedding::DOUBLE[] ve, c.cid,
+      |        round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+      |          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |           sqrt(list_dot_product(c.ce, c.ce))), 6) ccos
+      |      FROM embeddings e, c),
+      |r AS (SELECT vec_id, label, ve, cid,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rk FROM s),
+      |asn AS (SELECT vec_id, label, ve, cid AS cell FROM r WHERE rk <= 2),
+      |p AS (SELECT DISTINCT x.vec_id a, y.vec_id b,
+      |        list_dot_product(x.ve, y.ve) /
+      |        (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve))) cosine
+      |      FROM asn x JOIN asn y ON x.cell = y.cell AND x.label = y.label
+      |      WHERE x.vec_id < y.vec_id)
       |SELECT a, b, round(cosine, 6) AS cos6 FROM p WHERE cosine >= 0.4
       |ORDER BY a, b""".stripMargin
 
@@ -361,81 +441,103 @@ object DocOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** IVF-style ANN (the other scale path next to LSH): a coarse quantizer
-    * of K=16 deterministic centroids (the lowest-id vectors — at scale a
-    * k-means job would produce these; the assignment/probe plumbing is
-    * identical), every vector assigned to its nearest centroid cell in one
-    * broadcast pass, queries probing their nprobe=2 nearest cells. The
-    * candidate set per query is bounded by cell occupancy — corpus^2 never
-    * materializes. Recall vs brute force is measured in OpsSpec.
+  /** IVF-style ANN (the other scale path next to LSH): the shared coarse
+    * quantizer (ivfScored) assigns every vector to its home cell; queries
+    * probe their nprobe=2 nearest cells. The candidate set per query is
+    * bounded by cell occupancy — corpus^2 never materializes. Fully
+    * declarative (no UDF, no driver collect), so it is also
+    * DuckDB-expressible and carries an exact oracle. Recall vs brute force
+    * is measured in OpsSpec.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.load(spark, sfDir, "embeddings")
-    val centroids: Array[(Int, Array[Float])] = e.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellsUdf = udf((v: Seq[Float]) => {
-      val a = v.toArray
-      bc.value.map { case (id, c) => (cos(a, c), id) }.sorted.reverse.take(2).map(_._2)
-    })
-    val assigned = e
-      .withColumn("cells", cellsUdf(col("embedding")))
-      .withColumn("cell", col("cells").getItem(0))
-    val q = assigned.filter(col("vec_id") < 20)
+    val scored = ivfScored(spark, sfDir)
+    val asn = scored.filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("cid").as("cell"))
+    val q = scored.filter(col("crk") <= 2 && col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(col("cells")).as("cell"))
-    val cand = assigned.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"), col("cell"))
+        col("cid").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos6").desc, col("neighbor_id"))
-    broadcast(q).join(cand, Seq("cell"))
+    broadcast(q).join(asn, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos6", round(graft.functions.GraftFunctions.cosine(col("qe"), col("ne")), 6))
+      .withColumn("cos6", round(cosineCol(col("qe"), col("ne")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos6"))
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** Language ID by character-bigram profile scoring (n-gram heuristic).
-    * The test tables' `lang` labels are synthetic so this is judged by
-    * shape, not accuracy -> rows-only.
+  val annIvfSql: String =
+    """WITH c AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
+      |s AS (SELECT e.vec_id, e.embedding::DOUBLE[] ve, c.cid,
+      |        round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+      |          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |           sqrt(list_dot_product(c.ce, c.ce))), 6) ccos
+      |      FROM embeddings e, c),
+      |r AS (SELECT vec_id, ve, cid,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rk FROM s),
+      |asn AS (SELECT vec_id AS neighbor_id, ve AS ne, cid AS cell FROM r WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, ve AS qe, cid AS cell
+      |      FROM r WHERE rk <= 2 AND vec_id < 20),
+      |sc AS (SELECT q.query_id, a.neighbor_id,
+      |         round(list_dot_product(q.qe, a.ne) /
+      |           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.ne, a.ne))), 6) cos6
+      |       FROM q JOIN asn a ON q.cell = a.cell WHERE q.query_id <> a.neighbor_id),
+      |rr AS (SELECT query_id, neighbor_id, cos6,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) rk FROM sc)
+      |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos6 FROM rr WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** Language ID by character-bigram profile scoring (n-gram heuristic),
+    * expressed as pure column algebra (no UDF): bigrams per doc once, one
+    * hit-ratio per profile, argmax by (score desc, lang asc) via a sorted
+    * struct array. The test tables' `lang` labels are synthetic so this is
+    * judged against the same-definition DuckDB oracle, not accuracy.
     */
   def docLangId(spark: SparkSession, sfDir: String): DataFrame = {
-    val profiles: Map[String, Seq[String]] = Map(
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"),
       "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
       "es" -> Seq("de", "en", "os", "es", "la", "ar", "el", "ra", "as", "ue"),
-      "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"),
       "fr" -> Seq("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "ai"),
       "zh" -> Seq.empty)
-    val scoreUdf = udf((text: String) => {
-      val t = text.toLowerCase
-      val bigrams = t.sliding(2).toVector
-      if (bigrams.isEmpty) ("und", 0.0)
-      else {
-        val scores = profiles.map { case (lang, top) =>
-          val hits = bigrams.count(top.contains)
-          lang -> hits.toDouble / bigrams.size
-        }
-        val best = scores.toSeq.sortBy { case (l, s) => (-s, l) }.head
-        best
-      }
-    })
+    val t = lower(col("text"))
+    val bg = transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2)))
+    // negated score sorts ascending = score descending, then lang ascending
+    val ranked = array_sort(array(profiles.map { case (lang, prof) =>
+      val hits =
+        if (prof.isEmpty) lit(0.0)
+        else size(filter(col("bg"), x => x.isin(prof: _*))).cast("double")
+      struct((lit(0.0) - hits / size(col("bg"))).as("neg"), lit(lang).as("lang"))
+    }: _*))
     Tables.load(spark, sfDir, "documents")
-      .withColumn("pred", scoreUdf(col("text")))
-      .select(col("doc_id"), col("pred._1").as("predicted_lang"),
-        round(col("pred._2"), 4).as("confidence"))
+      .filter(length(col("text")) >= 2)
+      .withColumn("bg", bg)
+      .withColumn("best", ranked.getItem(0))
+      .select(col("doc_id"), col("best.lang").as("predicted_lang"),
+        round(lit(0.0) - col("best.neg"), 4).as("confidence"))
       .orderBy(col("doc_id"))
   }
+
+  val docLangIdSql: String =
+    """WITH d AS (SELECT doc_id, lower(text) t FROM documents WHERE length(text) >= 2),
+      |b AS (SELECT doc_id,
+      |        list_transform(generate_series(1, length(t) - 1), i -> substr(t, i, 2)) bg
+      |      FROM d),
+      |l(lang, prof) AS (VALUES
+      |  ('de', ['en','er','ch','de','ei','ie','in','te','nd','ge']),
+      |  ('en', ['th','he','in','er','an','re','on','at','en','nd']),
+      |  ('es', ['de','en','os','es','la','ar','el','ra','as','ue']),
+      |  ('fr', ['es','le','de','en','re','nt','on','er','ou','ai']),
+      |  ('zh', []::VARCHAR[])),
+      |s AS (SELECT doc_id, lang,
+      |        CAST(len(list_filter(bg, x -> list_contains(prof, x))) AS DOUBLE) / len(bg) score
+      |      FROM b, l),
+      |r AS (SELECT doc_id, lang, score,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rk FROM s)
+      |SELECT doc_id, lang AS predicted_lang, round(score, 4) AS confidence
+      |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_token_count" -> (docTokenCount _),
@@ -462,5 +564,12 @@ object DocOps {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_token_jaccard" -> dedupTokenJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "ann_topk_bruteforce" -> annTopkBruteforceSql)
+    "ann_topk_bruteforce" -> annTopkBruteforceSql,
+    "ann_ivf" -> annIvfSql,
+    "doc_lang_id" -> docLangIdSql)
+  // ann_lsh_bucketed stays rows-only BY DESIGN: its bucketing hashes
+  // against float hyperplane weights generated from a 64-bit mix on the
+  // JVM — not reproducible in DuckDB SQL without embedding 512 float
+  // literals whose text round-trip could drift the sign at the boundary.
+  // Its recall-vs-bruteforce behavior is pinned in OpsSpec instead.
 }

@@ -21,6 +21,35 @@ import graft.umls.UmlsTables
   */
 object StreamingPipeline {
 
+  private val boundedRuns = new java.util.concurrent.atomic.AtomicLong
+
+  /** Bounded micro-batch run for the driver gate: feed `nPages` of the
+    * deterministic corpus through the REAL streaming query (MemoryStream
+    * source -> memory sink) in two micro-batches, then return the sink
+    * contents as a batch DataFrame. StreamingSpec pins streaming==batch
+    * equality; this entry keeps the streaming subsystem visible in the
+    * driver's hard signal (rows-only).
+    */
+  def runBounded(spark: SparkSession, nPages: Long): DataFrame = {
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[Page]
+    val umls = graft.pipeline.Pipeline.broadcastUmls(spark)
+    val name = s"kg_stream_gate_${boundedRuns.incrementAndGet()}"
+    val q = triplesStream(stream.toDS(), umls).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val pages = (0L until nPages).map(graft.corpus.CorpusGen.genPage(_)._1)
+    val half = (nPages / 2).toInt
+    stream.addData(pages.take(half))
+    q.processAllAvailable()
+    stream.addData(pages.drop(half))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select("subj_cui", "pred", "obj_cui", "url", "sentNo")
+  }
+
   /** Streaming mention detection over a streaming Dataset[Page]. */
   def mentionsStream(pages: Dataset[Page], umls: Broadcast[UmlsTables])(
       implicit spark: SparkSession): Dataset[(Mention, java.sql.Timestamp)] = {

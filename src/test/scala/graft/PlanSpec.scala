@@ -64,16 +64,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), s"map-side triple path acquired a shuffle:\n$p")
   }
 
-  test("dedup LSH: the band self-join is an equi-join, not cartesian") {
+  test("dedup LSH: single signature pass, bucket-grouped pairs, no self-join") {
     val p = plan(DocOps.dedupMinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), p)
+    // pairs come from groupBy(band, sig) bucket enumeration: there must be
+    // NO join (a self-join would recompute the shingle->minhash lineage
+    // twice — round-1's 20.9 s entry) and only ONE scan of documents
+    assert(!p.contains("Join"), s"minhash acquired a join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"documents scanned twice:\n$p")
   }
 
-  test("token-jaccard: blocked self-join is an equi-join on (source, lang)") {
-    val p = plan(DocOps.dedupTokenJaccard(spark, sf))
-    assert(!p.contains("CartesianProduct"), p)
+  test("token-jaccard: exact verify on LSH candidates, no quadratic self-join") {
+    val df = DocOps.dedupTokenJaccard(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!plan(df).contains("CartesianProduct"), plan(df))
+    // every join must carry a doc_id-keyed equality (candidate fetch);
+    // the round-1 block-quadratic join keyed ONLY on (source, lang)
+    val joinLines = logical.linesIterator.filter(_.contains("Join")).toVector
+    assert(joinLines.nonEmpty && joinLines.forall(l =>
+      l.contains("a#") || l.contains("b#") || l.contains("doc_id#")),
+      s"jaccard join not keyed by doc id:\n$logical")
   }
 
   test("q13: per-customer stats join avoids cartesian; customer dim broadcasts") {
