@@ -47,6 +47,8 @@ object Graft {
         case "--aa_span_merge" => o = o.copy(aaSpanMerge = true)
         case "-z" | "--term_processing" => o = o.copy(termProcessing = true)
         case "-r" | "--threshold" => o = o.copy(scoreThreshold = arg().toInt)
+        case "--prune" => o = o.copy(prune = Some(arg().toInt))
+        case "--no_prune" => o = o.copy(noPrune = true)
         case "--min_length" => o = o.copy(minLength = arg().toInt)
         case "--no_nums" => o = o.copy(noNums = true)
         case "-J" | "--restrict_to_sts" =>

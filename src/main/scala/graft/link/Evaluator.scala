@@ -7,8 +7,10 @@ import graft.umls.{IndexEntry, UmlsTables}
   */
 object Evaluator {
 
-  /** Max candidates carried into mapping construction (the reference's
-    * default pruning threshold of 30, skr.pl:2776-2817).
+  /** The reference's documented --prune recommendation (skr.pl:2776-2781).
+    * NOT the live default: absent an explicit --prune, the threshold is
+    * adaptive ([[Pruning.adaptivePrune]], G1) — it backtracks from the
+    * candidate count until the grid sparseness test passes.
     */
   val PruneThreshold = 30
 
@@ -24,13 +26,17 @@ object Evaluator {
     val nPhrase = phrase.words.length
     if (nPhrase == 0) return Vector.empty
 
-    // stop-variant rule (metamap_candidates.pl:189-205): skip probes for
-    // closed-class stop words and very short very-frequent words
+    // stop-variant rule (metamap_candidates.pl:189-205 + stop_variant,
+    // :191-205): skip probes for closed-class stop words and very short
+    // very-frequent words (test_count_and_length: count>4000 for len<3,
+    // count>2000 for len<2)
     def probeOk(w: String): Boolean =
-      !umls.stopWords.contains(w) &&
-        !(w.length < 3 && umls.wordCounts.getOrElse(w, 0) > 2000)
+      !umls.stopWords.contains(w) && !(w.length < 3 && {
+        val count = umls.wordCounts.getOrElse(w, 0)
+        count > 4000 || (count > 2000 && w.length < 2)
+      })
 
-    val probed = scala.collection.mutable.Set[String]()
+    val probed = scala.collection.mutable.Set[(String, String)]()
     val seenStrings = scala.collection.mutable.Set[(String, String)]()
     val out = scala.collection.mutable.ArrayBuffer[Candidate]()
 
@@ -39,17 +45,23 @@ object Evaluator {
       vis.map(vi => (vi.seq, w, vi))
     }.sortBy(_._1)
 
-    // index selection (C2, metamap_candidates.pl:298-387): all_words iff
-    // overmatches are allowed, else the first-words index
-    val index =
-      if (opts.allowOvermatches) umls.allWordIndex else umls.firstWordIndex
+    // last words of all gathered variants, for first_wordsb routing
+    // (word_is_last_word_of_some_variant, metamap_candidates.pl:381-387)
+    val lastVariantWords: Set[String] =
+      varIndex.valuesIterator.flatten.map(_.words.last).toSet
 
-    for ((_, w, vi) <- probeWords if probeOk(w) && probed.add(w)) {
-      val entries = index.getOrElse(w, Vector.empty)
-      for (e <- entries if seenStrings.add((e.cui, e.str))) {
-        evaluateOne(e, phrase, nPhrase, umls, varIndex, opts).foreach(out += _)
+    // probe once per (word, table): narrower tables are retrieval
+    // optimizations — the union of per-variant retrievals is evaluated,
+    // exactly as the reference's per-variant get_meta_uscs with its USC
+    // cache keyed on (word, table)
+    for ((_, w, vi) <- probeWords if probeOk(w)) {
+      val (tableName, index) = indexFor(vi, nPhrase, lastVariantWords, umls, opts)
+      if (probed.add((w, tableName))) {
+        val entries = index.getOrElse(w, Vector.empty)
+        for (e <- entries if seenStrings.add((e.cui, e.str))) {
+          evaluateOne(e, phrase, nPhrase, umls, varIndex, opts).foreach(out += _)
+        }
       }
-      locally { val _ = vi } // probe set is per-word; vinfo only drives order
     }
 
     // sort candidates by (negscore, cui, str) — skr.pl:1407
@@ -63,6 +75,35 @@ object Evaluator {
     sorted.filter { c =>
       seenKey.add((c.cui, c.matchMap.map(e => (e.pBegin, e.pEnd))))
     }
+  }
+
+  /** C2 full index selection (determine_table + get_meta_uscs_2,
+    * metamap_candidates.pl:298-330; determine_first_word_index,
+    * :371-387). `avail` = the variant's word count plus the phrase words
+    * right of the generator: the maximum meta-string length that could
+    * still match without overmatching, so the of_one/of_two probes are
+    * provably lossless in word-order mode (a longer string's later meta
+    * words would have no phrase words left to match, and the last-word
+    * guard rejects incomplete matches). The first_wordsb route drops
+    * frequent-pair strings <w1>...<w2> unless some gathered variant ends
+    * with w2 — the only way those entries could complete a match.
+    */
+  private[graft] def indexFor(vi: VInfo, nPhrase: Int,
+      lastVariantWords: Set[String], umls: UmlsTables, opts: LinkOptions)
+      : (String, Map[String, Vector[IndexEntry]]) = {
+    def firstWordsOrB(w: String): (String, Map[String, Vector[IndexEntry]]) = {
+      val hot = umls.frequentFirstWordPairs.getOrElse(w, Set.empty)
+      if (hot.nonEmpty && hot.exists(lastVariantWords)) ("first_words", umls.firstWordIndex)
+      else ("first_wordsb", umls.firstWordsB)
+    }
+    val avail = vi.words.length + (nPhrase - vi.genPos._2)
+    if (opts.allowOvermatches) ("all_words", umls.allWordIndex)
+    else if (avail == 1 && !opts.ignoreWordOrder)
+      ("first_words_of_one", umls.firstWordsOfOne)
+    else if (opts.allowConceptGaps || opts.ignoreWordOrder)
+      firstWordsOrB(vi.words.head)
+    else if (avail == 2) ("first_words_of_two", umls.firstWordsOfTwo)
+    else firstWordsOrB(vi.words.head)
   }
 
   private def evaluateOne(e: IndexEntry, phrase: Phrase, nPhrase: Int,
@@ -164,34 +205,68 @@ object Evaluator {
       Scorer.combine(cen, vr, cov, coh)
     }
 
-    val maximalSets: Vector[Vector[Candidate]] =
-      if (cands.length <= 16) {
-        // exact enumeration of maximal consistent sets (expand_aevs,
-        // skr.pl:3618-3663), bounded by the prune threshold upstream
-        val sets = scala.collection.mutable.ArrayBuffer[Vector[Candidate]]()
-        def extend(chosen: Vector[Candidate], rest: Vector[Candidate]): Unit = {
-          val compatible = rest.filter(r => chosen.forall(c => !interacts(c, r)))
-          if (compatible.isEmpty) { if (chosen.nonEmpty) sets += chosen }
-          else compatible.zipWithIndex.foreach { case (r, i) =>
-            extend(chosen :+ r, compatible.drop(i + 1))
-          }
+    // expansion runs on duplicate-set REPRESENTATIVES: candidates with the
+    // same score and the same merged phrase components are interchangeable
+    // in a mapping (remove_duplicate_aevs, skr.pl:2732-2744 +
+    // find_duplicate_aevs_aux, :3255-3262), so the reference enumerates
+    // over AEvaluationsNoDups and folds duplicates back in afterward. This
+    // is what keeps exact enumeration tractable up to the grid-test limit
+    // of 44 deduped candidates (G3) without the round-1 hard cap of 16.
+    val groups: Vector[Vector[Candidate]] = cands
+      .groupBy(c => (c.score, Pruning.mergedComponents(c))).values.toVector
+    val repToGroup: Map[Candidate, Vector[Candidate]] =
+      groups.map(g => g.head -> g).toMap
+    val reps = cands.filter(repToGroup.contains) // preserve sorted order
+
+    val maximalSets: Vector[Vector[Candidate]] = {
+      // exact enumeration of maximal consistent sets (expand_aevs,
+      // skr.pl:3618-3663), gated upstream by the grid test; a step budget
+      // guards adversarial dense phrases (observable via budgetExceeded —
+      // the reference has no such guard and simply stalls there)
+      var steps = 0L
+      var aborted = false
+      val sets = scala.collection.mutable.ArrayBuffer[Vector[Candidate]]()
+      def extend(chosen: Vector[Candidate], rest: Vector[Candidate]): Unit = {
+        if (aborted) return
+        steps += 1
+        if (steps > EnumStepBudget) { aborted = true; return }
+        val compatible = rest.filter(r => chosen.forall(c => !interacts(c, r)))
+        if (compatible.isEmpty) { if (chosen.nonEmpty) sets += chosen }
+        else compatible.zipWithIndex.foreach { case (r, i) =>
+          extend(chosen :+ r, compatible.drop(i + 1))
         }
-        extend(Vector.empty, cands)
-        sets.toVector
-      } else {
+      }
+      extend(Vector.empty, reps)
+      if (!aborted) sets.toVector
+      else {
+        val n = budgetExceeded.incrementAndGet()
+        if (n <= 10) System.err.println(
+          s"[graft] mapping enumeration budget exceeded on ${reps.length} " +
+            "candidates; falling back to greedy cover")
         // greedy: take by score, skip interacting (deterministic fallback)
         val chosen = scala.collection.mutable.ArrayBuffer[Candidate]()
-        cands.foreach(c => if (chosen.forall(!interacts(_, c))) chosen += c)
+        reps.foreach(c => if (chosen.forall(!interacts(_, c))) chosen += c)
         Vector(chosen.toVector)
       }
+    }
 
     if (maximalSets.isEmpty) return Vector.empty
     val scored = maximalSets.map(m => (mappingScore(m), m))
     val best = scored.map(_._1).max
     // -b compute_all_mappings keeps every maximal mapping (skr.pl:3554-3603);
     // default keeps best-score only. Subsumption (M5) is moot among
-    // maximal sets; union the surviving mappings' candidates.
+    // maximal sets; union the surviving mappings' candidates, with each
+    // representative expanded back to its full duplicate set.
     val kept = if (opts.computeAllMappings) scored else scored.filter(_._1 == best)
-    kept.flatMap(_._2).distinctBy(c => (c.cui, c.start, c.end))
+    kept.flatMap(_._2).flatMap(repToGroup(_))
+      .distinctBy(c => (c.cui, c.start, c.end))
   }
+
+  /** Backtracking-step budget for exact mapping enumeration; far above any
+    * prose phrase's cost, a stall guard for adversarial web pages.
+    */
+  val EnumStepBudget: Long = 200000L
+
+  /** How many phrases fell back to the greedy cover (JVM-wide, observable). */
+  val budgetExceeded = new java.util.concurrent.atomic.AtomicLong
 }

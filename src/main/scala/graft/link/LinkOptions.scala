@@ -45,7 +45,13 @@ final case class LinkOptions(
     aaSpanMerge: Boolean = false,
     // -z term_processing: input rows are dictionary terms, not documents
     // (single phrase + F6 best-coverage discard; SURVEY §2.8 F6)
-    termProcessing: Boolean = false)
+    termProcessing: Boolean = false,
+    // --prune T: explicit candidate-pruning threshold (G1); None = the
+    // reference's default adaptive backtracking threshold gated by the
+    // grid sparseness test (get_pruning_threshold, skr.pl:2802-2817)
+    prune: Option[Int] = None,
+    // --no_prune: disable pruning entirely (skr.pl:2803-2806)
+    noPrune: Boolean = false)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

@@ -43,6 +43,72 @@ object Pruning {
 
   private final case class CC(cand: Candidate, cov: Set[Int], score: Int)
 
+  /** Merged contiguous phrase components of a candidate's matchmap
+    * (augment_one_evaluation + merge_contiguous_components,
+    * skr.pl:2690-2712): sorted [begin,end] intervals with touching or
+    * overlapping ones fused.
+    */
+  private[graft] def mergedComponents(c: Candidate): Vector[(Int, Int)] = {
+    val sorted = c.matchMap.map(e => (e.pBegin, e.pEnd)).sorted
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    for (p <- sorted) {
+      if (out.nonEmpty && p._1 <= out.last._2 + 1)
+        out(out.length - 1) = (out.last._1, math.max(out.last._2, p._2))
+      else out += p
+    }
+    out.toVector
+  }
+
+  /** G3 candidate-grid sparseness test (test_candidate_grid_sparseness +
+    * calculate_matrix_sparseness, skr.pl:3294-3432). Duplicates = same
+    * score + same merged phrase components (find_duplicate_aevs_aux,
+    * skr.pl:3255-3262); density = 100 * sum(candidate span) /
+    * (phraseLen * nNoDup). FAILS (forcing the adaptive threshold down)
+    * when nNoDup >= 45, or nNoDup >= 24 with density <= 22.
+    */
+  private[graft] def gridTestPasses(kept: Vector[Candidate], nPhrase: Int): Boolean = {
+    if (kept.isEmpty || nPhrase <= 0) return true
+    val noDup = kept.distinctBy(c => (c.score, mergedComponents(c)))
+    val n = noDup.length
+    if (n >= 45) false
+    else if (n >= 24) {
+      val sum = noDup.map { c =>
+        val comps = mergedComponents(c)
+        comps.last._2 - comps.head._1 + 1
+      }.sum
+      100.0 * sum / (nPhrase.toDouble * n) > 22.0
+    } else true
+  }
+
+  /** G1 adaptive pruning threshold (construct_all_mappings,
+    * skr.pl:3452-3477 + get_pruning_threshold, skr.pl:2802-2817). Default
+    * mode starts the threshold at the full candidate count and backtracks
+    * down by 1, re-pruning, until the candidate grid is sparse enough for
+    * mapping enumeration. Explicit --prune T / --no_prune bypass the grid
+    * gate entirely, exactly as the reference's control-option checks do
+    * (skr.pl:3411-3412); -b / -o keep everything (capped + counted, see
+    * [[SkipModeHardCap]]).
+    */
+  def adaptivePrune(cands: Vector[Candidate], nPhrase: Int,
+      opts: LinkOptions = LinkOptions.default): Vector[Candidate] = {
+    if (opts.computeAllMappings || opts.allowOvermatches)
+      return prune(cands, 0, opts) // routed to the skip-mode cap path
+    if (opts.noPrune) return cands
+    opts.prune match {
+      case Some(t) => prune(cands, t, opts)
+      case None =>
+        if (cands.length < 24) return cands // grid passes trivially
+        var t = cands.length
+        var kept = cands
+        while (t >= 0) {
+          kept = prune(cands, t, opts)
+          if (gridTestPasses(kept, nPhrase)) return kept
+          t -= 1
+        }
+        kept
+    }
+  }
+
   def prune(cands: Vector[Candidate], threshold: Int,
       opts: LinkOptions = LinkOptions.default): Vector[Candidate] = {
     if (opts.computeAllMappings || opts.allowOvermatches) {

@@ -39,9 +39,10 @@ object DocKernel {
           val varIndex = VariantGather.gather(phrase, umls, aas)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
           // reference order: filter first (skr.pl:913,1408), THEN prune
-          // inside mapping construction (skr.pl:3452-3459)
-          val cands = graft.link.Pruning.prune(
-            optionFilters(cands0, opts), Evaluator.PruneThreshold, opts)
+          // inside mapping construction (skr.pl:3452-3459) with the
+          // adaptive threshold + grid gate (G1/G3)
+          val cands = graft.link.Pruning.adaptivePrune(
+            optionFilters(cands0, opts), phrase.words.length, opts)
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length, opts)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
@@ -78,15 +79,21 @@ object DocKernel {
   def termMentions(url: String, term: String, umls: UmlsTables,
       opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
     if (term.isEmpty) return Vector.empty
-    val toks = Tokenizer.tokenize(term)
+    // dictionary terms arrive in Metathesaurus citation form — normalize
+    // exactly like index strings (uninversion + NOS strip,
+    // lib/nls_strings.pl:491-556) so "Cancer, Liver" probes in order;
+    // the C2 narrow indexes assume in-order first-word probes
+    val normTerm = graft.umls.MiniUmls.normalizeString(term).mkString(" ")
+    if (normTerm.isEmpty) return Vector.empty
+    val toks = Tokenizer.tokenize(normTerm)
     val words = Tokenizer.wordToks(toks)
       .map(t => PWord(PhraseChunker.mmWord(t), t.start, t.end))
     if (words.isEmpty) return Vector.empty
     val phrase = Phrase(words, words.length - 1)
     val varIndex = VariantGather.gather(phrase, umls, Map.empty)
-    val cands = graft.link.Pruning.prune(optionFilters(
+    val cands = graft.link.Pruning.adaptivePrune(optionFilters(
       Evaluator.evaluatePhrase(phrase, umls, varIndex, opts), opts),
-      Evaluator.PruneThreshold, opts)
+      phrase.words.length, opts)
     if (cands.isEmpty) return Vector.empty
     // F6: best-coverage-only — discard evaluations covering fewer phrase
     // words than the widest one
@@ -96,7 +103,7 @@ object DocKernel {
     val kept = cands.filter(coveredWords(_) == maxCov)
     Evaluator.bestMappingCandidates(kept, phrase.words.length, opts).map { c =>
       Mention(url, 0, c.start, c.end - c.start, c.cui, c.score,
-        c.semTypes, negated = false, term.substring(c.start, c.end), c.posInfo)
+        c.semTypes, negated = false, normTerm.substring(c.start, c.end), c.posInfo)
     }
   }
 }

@@ -75,6 +75,50 @@ final case class UmlsTables(
       .groupBy(_._1).map { case (w, es) => w -> es.map(_._2) }
   }
 
+  /** C2 narrow word indexes (metamap_candidates.pl:298-330 +
+    * word_index.pl:80-85): strings of exactly one / at most two normalized
+    * words, keyed by first word. Probing these instead of first_words when
+    * the remaining phrase room caps the matchable string length is a pure
+    * retrieval optimization — result parity is asserted in KernelSpec.
+    * (first_words_of_two must include 1-word strings or mid-phrase words
+    * would lose their single-word concepts.)
+    */
+  @transient lazy val firstWordsOfOne: Map[String, Vector[IndexEntry]] =
+    firstWordIndex.view.mapValues(_.filter(_.nmWords.length == 1))
+      .filter(_._2.nonEmpty).toMap
+
+  @transient lazy val firstWordsOfTwo: Map[String, Vector[IndexEntry]] =
+    firstWordIndex.view.mapValues(_.filter(_.nmWords.length <= 2))
+      .filter(_._2.nonEmpty).toMap
+
+  /** frequent_first_word_pair/2 analogue
+    * (metamap/frequent_first_word_pair.pl:39-116): (first word -> last
+    * words) of multiword normalized strings occurring at least
+    * [[UmlsTables.FrequentPairCutoff]] times in the index. The reference
+    * curates a static 79-pair table from Metathesaurus frequency stats;
+    * here the same definition is computed from the index at build time.
+    */
+  @transient lazy val frequentFirstWordPairs: Map[String, Set[String]] =
+    firstWordIndex.valuesIterator.flatten
+      .filter(_.nmWords.length >= 2)
+      .toVector.groupBy(e => (e.nmWords.head, e.nmWords.last))
+      .collect { case ((w1, w2), es) if es.length >= UmlsTables.FrequentPairCutoff => (w1, w2) }
+      .groupBy(_._1).map { case (w1, ps) => w1 -> ps.map(_._2).toSet }
+
+  /** first_wordsb (word_index.pl:83; metamap_candidates.pl:371-387):
+    * first_words MINUS strings of the form <w1> ... <w2> for a frequent
+    * pair (w1, w2) — the reference's own hot-key defense. Probed instead
+    * of first_words whenever no gathered variant could complete a frequent
+    * pair (determine_first_word_index), so the skipped entries provably
+    * could not have matched.
+    */
+  @transient lazy val firstWordsB: Map[String, Vector[IndexEntry]] =
+    firstWordIndex.map { case (w, es) =>
+      val hot = frequentFirstWordPairs.getOrElse(w, Set.empty)
+      if (hot.isEmpty) w -> es
+      else w -> es.filterNot(e => e.nmWords.length >= 2 && hot.contains(e.nmWords.last))
+    }
+
   /** Trie over multiword lexicon forms (variant generators) — per-position
     * walk instead of O(n^2) substring construction per phrase.
     */
@@ -91,6 +135,11 @@ object UmlsTables {
   val closedCats: Set[String] = Set("det", "prep", "conj", "pron", "aux", "modal", "compl")
   /** Categories whose words get no variants (metamap_variants.pl:309-339). */
   val invariantCats: Set[String] = closedCats
+  /** Min (first, last)-pair frequency for the first_wordsb exclusion; the
+    * reference's curated table starts around this occurrence count at
+    * Metathesaurus scale.
+    */
+  val FrequentPairCutoff: Int = 5
 }
 
 /** Deterministic synthetic mini-Metathesaurus + lexicon (FIXTURES.md §2).
@@ -163,7 +212,19 @@ object MiniUmls {
     ("C0009443", "Common Cold", Vector("dsyn"), Vector("Common Cold", "Cold")),
     ("C0009264", "Cold Temperature", Vector("npop"), Vector("Cold Temperature", "Cold")),
     // split-word fixture (V8): index carries the two-word form only
-    ("C0006147", "Breast Feeding", Vector("phsf"), Vector("Breast Feeding"))
+    ("C0006147", "Breast Feeding", Vector("phsf"), Vector("Breast Feeding")),
+    // C2 hot-pair fixture (frequent_first_word_pair analogue): six staging
+    // concepts make (stage, lymphoma) a frequent first/last pair, so
+    // first_wordsb demonstrably drops them while the 1-word "Stage" entry
+    // survives. Corpus pages never contain these words (oracle-stable).
+    ("C4000001", "Stage 1 lymphoma", Vector("neop"), Vector("Stage 1 lymphoma")),
+    ("C4000002", "Stage 2 lymphoma", Vector("neop"), Vector("Stage 2 lymphoma")),
+    ("C4000003", "Stage 3 lymphoma", Vector("neop"), Vector("Stage 3 lymphoma")),
+    ("C4000004", "Stage 4 lymphoma", Vector("neop"), Vector("Stage 4 lymphoma")),
+    ("C4000005", "Stage 5 lymphoma", Vector("neop"), Vector("Stage 5 lymphoma")),
+    ("C4000006", "Stage 6 lymphoma", Vector("neop"), Vector("Stage 6 lymphoma")),
+    ("C4000007", "Lymphoma", Vector("neop"), Vector("Lymphoma")),
+    ("C4000008", "Stage finding", Vector("npop"), Vector("Stage"))
   )
 
   /** Word/multiword synonyms with variant level 2 (db synonyms analogue;
@@ -216,7 +277,8 @@ object MiniUmls {
     "inflammation", "arthritis", "psoriasis", "stomach", "brain", "intestine",
     "crohn", "cold", "treatment", "therapy", "doctor", "hospital", "admission",
     "study", "week", "month", "day", "examination", "scleroderma", "act",
-    "immigration", "nationality", "infarct", "arteriosclerosis")
+    "immigration", "nationality", "infarct", "arteriosclerosis",
+    "stage", "lymphoma")
 
   val adjectives: Set[String] = Set(
     "myocardial", "coronary", "cardiac", "pulmonary", "hepatic", "renal",

@@ -70,4 +70,49 @@ class PruningSpec extends AnyFunSuite {
       cand(1000 - (i * 13) % 40, 1 + i % 6, 1 + i % 6 + i % 3, f"C$i%02d"))
     assert(Pruning.prune(cs, 15) == Pruning.prune(cs, 15))
   }
+
+  // ---- G1 adaptive threshold + G3 grid sparseness test ----
+
+  test("grid test: fails at >=45 deduped, and at >=24 with density <= 22") {
+    // 45 distinct (score, coverage) candidates on a 50-word phrase
+    val dense = Vector.tabulate(45)(i => cand(1000 - i, i + 1, i + 1, s"C$i"))
+    assert(!Pruning.gridTestPasses(dense, 50))
+    // 30 single-word candidates over a 20-word phrase: density = 5 <= 22
+    val sparse = Vector.tabulate(30)(i => cand(1000 - i, 1 + i % 20, 1 + i % 20, s"S$i"))
+    assert(!Pruning.gridTestPasses(sparse, 20))
+    // same 30 but spanning 10 words each: density = 50 > 22 -> pass
+    val chunky = Vector.tabulate(30)(i => cand(1000 - i, 1, 10, s"K$i"))
+    assert(Pruning.gridTestPasses(chunky, 20))
+    // under 24 deduped always passes
+    assert(Pruning.gridTestPasses(dense.take(23), 50))
+    // duplicates (same score + coverage) collapse before counting
+    val dups = Vector.tabulate(100)(i => cand(700, 2, 3, s"D$i"))
+    assert(Pruning.gridTestPasses(dups, 10))
+  }
+
+  test("adaptive threshold backtracks until the grid passes") {
+    // 60 single-word candidates on a 60-word phrase: density stays ~1.7%,
+    // so the count gate AND the density gate both bite — the threshold
+    // must step all the way down to 23 (first n < 24)
+    val cs = Vector.tabulate(60)(i => cand(1000 - i, i + 1, i + 1, f"C$i%02d"))
+    val kept = Pruning.adaptivePrune(cs, 60)
+    assert(Pruning.gridTestPasses(kept, 60))
+    assert(kept == cs.take(23), s"expected exactly 23 kept, got ${kept.length}")
+    assert(kept == Pruning.adaptivePrune(cs, 60)) // deterministic
+
+    // 60 ten-word-span candidates on a 20-word phrase: density = 50 > 22,
+    // so the count gate alone decides — first pass at 44 (< 45)
+    val chunky = Vector.tabulate(60)(i => cand(1000 - i, 1, 10, f"K$i%02d"))
+    val keptC = Pruning.adaptivePrune(chunky, 20)
+    assert(keptC == chunky.take(44), s"expected exactly 44 kept, got ${keptC.length}")
+  }
+
+  test("adaptive: explicit --prune and --no_prune bypass the grid gate") {
+    val cs = Vector.tabulate(60)(i => cand(1000 - i, i + 1, i + 1, f"C$i%02d"))
+    assert(Pruning.adaptivePrune(cs, 60, LinkOptions(prune = Some(10))) ==
+      Pruning.prune(cs, 10))
+    assert(Pruning.adaptivePrune(cs, 60, LinkOptions(noPrune = true)) == cs)
+    // small candidate sets skip the machinery entirely
+    assert(Pruning.adaptivePrune(cs.take(20), 60) == cs.take(20))
+  }
 }
