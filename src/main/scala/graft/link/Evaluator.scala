@@ -50,11 +50,20 @@ object Evaluator {
     val lastVariantWords: Set[String] =
       varIndex.valuesIterator.flatten.map(_.words.last).toSet
 
+    // stop phrases (add_candidates, metamap_candidates.pl:138-143): in
+    // overmatch mode, a generator that is a stop phrase under one of its
+    // lexical categories produces no candidates — the reference's guard
+    // against -o exploding on common non-medical phrases (the real table
+    // holds 1,825 rows; see MiniUmls.stopPhrases)
+    def stopPhraseBlocked(gen: String): Boolean =
+      opts.allowOvermatches && umls.stopPhrases.get(gen).exists(cats =>
+        cats.exists(umls.lexCats.getOrElse(gen, Set.empty)))
+
     // probe once per (word, table): narrower tables are retrieval
     // optimizations — the union of per-variant retrievals is evaluated,
     // exactly as the reference's per-variant get_meta_uscs with its USC
     // cache keyed on (word, table)
-    for ((_, w, vi) <- probeWords if probeOk(w)) {
+    for ((_, w, vi) <- probeWords if probeOk(w) && !stopPhraseBlocked(vi.genWord)) {
       val (tableName, index) = indexFor(vi, nPhrase, lastVariantWords, umls, opts)
       if (probed.add((w, tableName))) {
         val entries = index.getOrElse(w, Vector.empty)

@@ -27,34 +27,31 @@ object Negex {
     val words = Tokenizer.wordToks(sentToks)
     val lcs = words.map(_.lc)
 
-    def isPseudo(i: Int): Boolean =
-      umls.negexPseudoTrie.matchesAt(lcs, i).nonEmpty
-
-    // longest trigger match at each position, pre and post
+    // classify the LONGEST trigger phrase at each position across all six
+    // classes — one trie probe per class per position regardless of the
+    // 285-phrase inventory size. Tie/shadow priority on equal length:
+    // pseudo (pnega/pnegb) beats the trigger it shadows; conj terminates.
     val preHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (wordIdx after trigger, charPos)
     val postHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (wordIdx before trigger, charPos)
+    val termStarts = scala.collection.mutable.ArrayBuffer[Int]() // conj word idx
     var i = 0
     while (i < lcs.length) {
-      if (!isPseudo(i)) {
-        // trie walk: longest trigger at i, one probe regardless of the
-        // 293-phrase real trigger inventory size
-        val pre = umls.negexPreTrie.matchesAt(lcs, i).headOption
-        val post = umls.negexPostTrie.matchesAt(lcs, i).headOption
-        (pre, post) match {
-          case (Some(p), None) =>
-            preHits += ((i + p, words(math.min(i + p, words.length - 1)).start))
-            i += p
-          case (None, Some(p)) =>
-            postHits += ((i, if (i > 0) words(i - 1).end else 0))
-            i += p
-          case (Some(p), Some(q)) =>
-            if (q >= p) { postHits += ((i, if (i > 0) words(i - 1).end else 0)); i += q }
-            else { preHits += ((i + p, words(math.min(i + p, words.length - 1)).start)); i += p }
-          case _ => i += 1
-        }
+      val pseudoLen = math.max(
+        umls.negexPseudoTrie.matchesAt(lcs, i).headOption.getOrElse(0),
+        umls.negexPseudoPostTrie.matchesAt(lcs, i).headOption.getOrElse(0))
+      val conjLen = umls.negexConjTrie.matchesAt(lcs, i).headOption.getOrElse(0)
+      val preLen = umls.negexPreTrie.matchesAt(lcs, i).headOption.getOrElse(0)
+      val postLen = umls.negexPostTrie.matchesAt(lcs, i).headOption.getOrElse(0)
+      val best = math.max(math.max(pseudoLen, conjLen), math.max(preLen, postLen))
+      if (best == 0) i += 1
+      else if (pseudoLen == best) i += pseudoLen // suppressed: no negation
+      else if (conjLen == best) { termStarts += i; i += conjLen }
+      else if (postLen == best) {
+        postHits += ((i, if (i > 0) words(i - 1).end else 0))
+        i += postLen
       } else {
-        // skip past the (longest) pseudo-neg phrase
-        i += umls.negexPseudoTrie.matchesAt(lcs, i).head
+        preHits += ((i + preLen, words(math.min(i + preLen, words.length - 1)).start))
+        i += preLen
       }
     }
 
@@ -64,7 +61,7 @@ object Negex {
     }
 
     def terminatorBetween(a: Int, b: Int): Boolean =
-      (a until b).exists(k => k >= 0 && k < lcs.length && umls.negexConj.contains(lcs(k)))
+      termStarts.exists(k => k >= a && k < b)
 
     mentions.map { m =>
       val mStartW = wordIdxOfChar(m.start)

@@ -28,26 +28,63 @@ object Extract {
     "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
     "br", "tr", "table", "title", "blockquote", "section", "article")
 
-  /** Fold one non-ASCII codepoint to its ASCII replacement. */
-  def foldChar(c: Char): String = c match {
-    case c if c < 128 => c.toString
-    case 'é' | 'è' | 'ê' | 'ë' => "e"
-    case 'É' | 'È' | 'Ê' | 'Ë' => "E"
-    case 'à' | 'á' | 'â' | 'ä' | 'å' => "a"
-    case 'À' | 'Á' | 'Â' | 'Ä' | 'Å' => "A"
-    case 'î' | 'ï' | 'í' | 'ì' => "i"
-    case 'ô' | 'ö' | 'ó' | 'ò' => "o"
-    case 'û' | 'ü' | 'ú' | 'ù' => "u"
-    case 'ñ' => "n"
-    case 'ç' => "c"
-    case '’' | '‘' => "'"
-    case '“' | '”' => "\""
-    case '–' | '—' => "-"
-    case '×' => "x"
-    case 'µ' => "u"
-    case ' ' => " "
-    case '…' => "..."
-    case _ => " "
+  private val greekLower = "\u03b1\u03b2\u03b3\u03b4\u03b5\u03b6\u03b7\u03b8\u03b9\u03ba\u03bb\u03bc\u03bd\u03be\u03bf\u03c0\u03c1\u03c2\u03c3\u03c4\u03c5\u03c6\u03c7\u03c8\u03c9"
+  private val greekLowerNames = Vector("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu",
+    "xi", "omicron", "pi", "rho", "sigma", "sigma", "tau", "upsilon", "phi",
+    "chi", "psi", "omega")
+  private val greekUpper = "\u0391\u0392\u0393\u0394\u0395\u0396\u0397\u0398\u0399\u039a\u039b\u039c\u039d\u039e\u039f\u03a0\u03a1\u03a3\u03a4\u03a5\u03a6\u03a7\u03a8\u03a9"
+
+  /** Greek letters fold to their spelled names, the same shape as the
+    * reference table rows (utf8_to_ascii.pl: 0x03b1 -> 'alpha',
+    * 0x00df -> 'beta', ...): Greek in biomedical text is notation
+    * ("\u03b1-blocker", "TNF-\u03b2"), so the name IS the ASCII form.
+    */
+  private val greekNames: Map[Char, String] =
+    (greekLower.zip(greekLowerNames) ++
+      greekUpper.zip(greekLowerNames.distinct.map(_.capitalize))).toMap
+
+  /** Explicit folds where the ASCII form is not a diacritic strip:
+    * ligatures, typography, math signs, fractions (the reference table's
+    * multi-char rows).
+    */
+  private val special: Map[Char, String] = Map(
+    '\u00e6' -> "ae", '\u00c6' -> "AE", '\u0153' -> "oe", '\u0152' -> "OE",
+    '\u00df' -> "beta", // utf8_to_ascii.pl 0x00df -- biomedical heritage
+    '\ufb01' -> "fi", '\ufb02' -> "fl", '\u0133' -> "ij", '\u0132' -> "IJ",
+    '\u00f0' -> "d", '\u00d0' -> "D", '\u00fe' -> "th", '\u00de' -> "TH",
+    '\u00f8' -> "o", '\u00d8' -> "O", '\u0142' -> "l", '\u0141' -> "L",
+    '\u0111' -> "d", '\u0110' -> "D", '\u0131' -> "i",
+    '\u2019' -> "'", '\u2018' -> "'", '\u201a' -> "'", '\u201b' -> "'",
+    '\u02bc' -> "'", '\u2039' -> "'", '\u203a' -> "'", '\u2032' -> "'",
+    '\u201c' -> "\"", '\u201d' -> "\"", '\u201e' -> "\"", '\u201f' -> "\"",
+    '\u00ab' -> "\"", '\u00bb' -> "\"", '\u2033' -> "\"",
+    '\u2013' -> "-", '\u2014' -> "-", '\u2015' -> "-", '\u2010' -> "-",
+    '\u2011' -> "-", '\u2012' -> "-", '\u2212' -> "-",
+    '\u2026' -> "...",
+    '\u00d7' -> "x", '\u00f7' -> "/", '\u00b1' -> "+/-", '\u00b7' -> ".",
+    '\u2022' -> "*", '\u00b5' -> "u", '\u00b0' -> " ",
+    '\u00bc' -> "1/4", '\u00bd' -> "1/2", '\u00be' -> "3/4",
+    '\u00b9' -> "1", '\u00b2' -> "2", '\u00b3' -> "3",
+    '\u00a0' -> " ", '\u2002' -> " ", '\u2003' -> " ", '\u2009' -> " ",
+    '\u200b' -> "")
+
+  /** Fold one non-ASCII codepoint to its ASCII replacement — the
+    * utf8_to_ascii analogue (text/utf8_to_ascii.pl:36-1512, 1,462 rows)
+    * re-expressed in three layers: the special table above, Greek names,
+    * then Unicode NFD decomposition with combining marks stripped (one
+    * principled rule covering the reference's hundreds of accented-Latin
+    * rows); anything still non-ASCII becomes a space, the reference's
+    * catch-all. FoldSpec pins per-layer samples.
+    */
+  def foldChar(c: Char): String = {
+    if (c < 128) c.toString
+    else special.get(c).orElse(greekNames.get(c)).getOrElse {
+      val d = java.text.Normalizer.normalize(c.toString, java.text.Normalizer.Form.NFD)
+      val stripped = d.filter(ch =>
+        java.lang.Character.getType(ch) != java.lang.Character.NON_SPACING_MARK.toInt)
+      if (stripped.nonEmpty && stripped.forall(_ < 128)) stripped else " "
+    }
   }
 
   def asciiFold(s: String): String = {

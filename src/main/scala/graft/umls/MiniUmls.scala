@@ -47,10 +47,17 @@ final case class UmlsTables(
     relationInverse: Map[String, String],
     negexPre: Vector[Vector[String]], // nega: trigger word seqs before concept
     negexPost: Vector[Vector[String]], // negb: trigger word seqs after concept
-    negexPseudo: Vector[Vector[String]], // pseudoneg: never negate
-    negexConj: Set[String], // scope terminators
+    negexPseudo: Vector[Vector[String]], // pnega/pseudoneg: suppress a pre trigger
+    negexConj: Vector[Vector[String]], // conj: scope-terminating phrases
     treecodes: Map[String, Vector[String]],
     semTypePriority: Map[String, Int], // deterministic WSD tie-break prior
+    // pnegb: suppress a post trigger ("should be ruled out" is a
+    // recommendation, not an assertion)
+    negexPseudoPost: Vector[Vector[String]] = Vector.empty,
+    // stop phrases (metamap_stop_phrase.pl:70+): generator token ->
+    // lexical categories for which candidate retrieval is skipped in
+    // overmatch mode (add_candidates, metamap_candidates.pl:138-143)
+    stopPhrases: Map[String, Set[String]] = Map.empty,
     // fused word -> its two parts ("breastfeeding" -> breast feeding;
     // split_word/3, metamap_variants.pl:1421-1454)
     splitWords: Map[String, (String, String)] = Map.empty
@@ -129,6 +136,8 @@ final case class UmlsTables(
   @transient lazy val negexPreTrie: WordTrie = WordTrie.build(negexPre)
   @transient lazy val negexPostTrie: WordTrie = WordTrie.build(negexPost)
   @transient lazy val negexPseudoTrie: WordTrie = WordTrie.build(negexPseudo)
+  @transient lazy val negexPseudoPostTrie: WordTrie = WordTrie.build(negexPseudoPost)
+  @transient lazy val negexConjTrie: WordTrie = WordTrie.build(negexConj)
 }
 
 object UmlsTables {
@@ -312,24 +321,52 @@ object MiniUmls {
     "atrial fibrillation", "diabetes mellitus", "lung cancer",
     "shortness of breath", "common cold")
 
-  /** NegEx triggers (negex_triggers.pl analogue — 6 classes compressed to
-    * the 4 that affect our pinned mode).
+  /** NegEx trigger inventory at reference scale: all 6 classes, >= 250
+    * phrases (graft.negex.NegexTriggers; negex_triggers.pl analogue).
     */
-  val negexPre: Vector[Vector[String]] = Vector(
-    Vector("no", "evidence", "of"), Vector("no", "signs", "of"),
-    Vector("no"), Vector("denies"), Vector("denied"), Vector("without"),
-    Vector("absence", "of"), Vector("negative", "for"), Vector("free", "of"),
-    Vector("not"), Vector("ruled", "out"))
+  val negexPre: Vector[Vector[String]] = graft.negex.NegexTriggers.nega
+  val negexPost: Vector[Vector[String]] = graft.negex.NegexTriggers.negb
+  val negexPseudo: Vector[Vector[String]] = graft.negex.NegexTriggers.pseudoPre
+  val negexPseudoPost: Vector[Vector[String]] = graft.negex.NegexTriggers.pseudoPost
+  val negexConj: Vector[Vector[String]] = graft.negex.NegexTriggers.conj
 
-  val negexPost: Vector[Vector[String]] = Vector(
-    Vector("was", "ruled", "out"), Vector("were", "ruled", "out"),
-    Vector("is", "ruled", "out"), Vector("has", "been", "ruled", "out"))
-
-  val negexPseudo: Vector[Vector[String]] = Vector(
-    Vector("no", "increase"), Vector("no", "change"), Vector("not", "cause"),
-    Vector("not", "certain", "if"), Vector("not", "only"))
-
-  val negexConj: Set[String] = Set("but", "however", "although", "which", "and")
+  /** Synthetic stop-phrase table at reference scale
+    * (metamap_stop_phrase.pl holds 1,825 rows of common non-medical
+    * phrases with the lexical categories under which they are skipped).
+    * A curated core of realistic entries plus a systematic
+    * function-word-frame expansion — same shape, scale and lookup key
+    * (phrase string -> categories) as the reference table. Only consulted
+    * in overmatch mode, exactly like add_candidates does.
+    */
+  val stopPhrases: Map[String, Set[String]] = {
+    val curated: Vector[(String, Set[String])] = Vector(
+      "most" -> Set("adj", "adv"), "associated" -> Set("adj"),
+      "either" -> Set("det"), "male" -> Set("noun", "adj"),
+      "female" -> Set("noun", "adj"), "group" -> Set("noun"),
+      "groups" -> Set("noun"), "well" -> Set("adv"),
+      "left" -> Set("adv"), "right" -> Set("adv"),
+      "times" -> Set("noun"), "total" -> Set("adj"),
+      "approach" -> Set("noun"), "use" -> Set("noun", "verb"),
+      "review" -> Set("noun"), "report" -> Set("noun"),
+      "case" -> Set("noun"), "cases" -> Set("noun"),
+      "type" -> Set("noun"), "types" -> Set("noun"))
+    val preps = prepositions.toVector.sorted
+    val dets = determiners.toVector.sorted
+    val prons = pronouns.toVector.sorted
+    val auxes = auxiliaries.toVector.sorted
+    val framed: Vector[(String, Set[String])] =
+      (for (p <- preps; d <- dets) yield s"$p $d" -> Set("prep")) ++
+        (for (pr <- prons; a <- auxes) yield s"$pr $a" -> Set("pron")) ++
+        (for (a <- auxes; d <- dets) yield s"$a $d" -> Set("aux")) ++
+        (for (c <- conjunctions.toVector.sorted; d <- dets)
+          yield s"$c $d" -> Set("conj")) ++
+        (for (p <- preps; pr <- prons) yield s"$p $pr" -> Set("prep")) ++
+        (for (d <- dets; p <- preps) yield s"$d $p" -> Set("det")) ++
+        (for (a <- auxes; p <- preps) yield s"$a $p" -> Set("aux")) ++
+        (for (pr <- prons; p <- preps) yield s"$pr $p" -> Set("pron")) ++
+        (for (p1 <- preps; p2 <- preps if p1 != p2) yield s"$p1 $p2" -> Set("prep"))
+    (curated ++ framed).toMap
+  }
 
   val semnetFacts: Vector[(String, String, String)] = Vector(
     ("bpoc", "location_of", "dsyn"), ("blor", "location_of", "dsyn"),
@@ -518,7 +555,9 @@ object MiniUmls {
       negexPre = negexPre,
       negexPost = negexPost,
       negexPseudo = negexPseudo,
+      negexPseudoPost = negexPseudoPost,
       negexConj = negexConj,
+      stopPhrases = stopPhrases,
       treecodes = treecodes,
       semTypePriority = semTypePriority,
       splitWords = Map(

@@ -77,20 +77,63 @@ object Morphology {
     case _ => Vector.empty
   }
 
-  /** Derivational suffix rules (dm.rul format), adj<->noun only (the
-    * reference's default filter). in_suffix, in_cat, out_suffix, out_cat.
+  /** Derivational suffix rules (dm.rul format: in_suffix, in_cat,
+    * out_suffix, out_cat), restricted to the adj<->noun subset the
+    * reference's default filter keeps (filter_an_variants,
+    * metamap/metamap_variants.pl:1005-1143). This is the full adj/noun
+    * rule set of lexicon/morph/dm.rul:66-1064 (97 rule lines; the other
+    * ~960 lines are per-word exception entries, which hook in through the
+    * `exceptions` blocklist parameter instead).
     */
   private val dmRules: Vector[(String, String, String, String)] = Vector(
     ("ability", "noun", "able", "adj"),
     ("ibility", "noun", "ible", "adj"),
-    ("ness", "noun", "", "adj"), // weakness -> weak
-    ("ity", "noun", "e", "adj"), // scarcity -> scarce
-    ("ousness", "noun", "ous", "adj"),
+    ("acy", "noun", "ate", "adj"),
     ("al", "adj", "", "noun"), // coastal -> coast
-    ("ic", "adj", "", "noun"), // anemic -> anem (blocked by vdx-style list)
+    ("al", "adj", "e", "noun"), // tidal -> tide
+    ("al", "adj", "a", "noun"), // aortal -> aorta
+    ("al", "adj", "um", "noun"), // duodenal -> duodenum
+    ("an", "adj", "a", "noun"),
+    ("an", "noun", "a", "noun"),
+    ("ary", "adj", "", "noun"),
+    ("ar", "adj", "a", "noun"), // vertebrar-like
+    ("ar", "adj", "e", "noun"),
+    ("ar", "adj", "us", "noun"),
+    ("ar", "adj", "", "noun"), // valvular -> valvul (exception-gated)
+    ("asia", "noun", "astic", "adj"),
+    ("atic", "adj", "a", "noun"), // asthmatic -> asthma
+    ("ed", "adj", "", "noun"),
+    ("ed", "adj", "e", "noun"),
+    ("ency", "noun", "ent", "adj"),
+    ("ential", "adj", "ence", "noun"),
+    ("ent", "adj", "ence", "noun"),
+    ("etic", "adj", "esis", "noun"),
+    ("iac", "noun", "ia", "noun"),
+    ("ial", "adj", "y", "noun"),
+    ("iance", "noun", "iant", "adj"),
+    ("ian", "adj", "ia", "noun"),
+    ("ian", "noun", "ia", "noun"),
+    ("iasis", "noun", "a", "noun"),
+    ("ical", "adj", "ic", "noun"),
+    ("ical", "adj", "y", "noun"),
+    ("icity", "noun", "ic", "adj"),
+    ("ic", "adj", "", "noun"), // anemic -> anem (exception-gated)
+    ("ia", "noun", "ic", "adj"), // anemia -> anemic
+    ("ic", "adj", "ism", "noun"),
+    ("ic", "adj", "y", "noun"),
+    ("ient", "adj", "iency", "noun"),
+    ("ion", "noun", "ious", "adj"),
+    ("ious", "adj", "y", "noun"),
+    ("ism", "noun", "istic", "adj"),
+    ("ity", "noun", "", "adj"), // acidity -> acid
+    ("ity", "noun", "e", "adj"), // scarcity -> scarce
+    ("ity", "noun", "ous", "adj"), // viscosity-like
+    ("ness", "noun", "", "adj"), // weakness -> weak
+    ("osity", "noun", "ous", "adj"),
+    ("otic", "adj", "osis", "noun"), // sclerotic -> sclerosis
     ("ous", "adj", "", "noun"), // cancerous -> cancer
-    ("ar", "adj", "", "noun"), // valvular -> valvul (needs exceptions)
-    ("atic", "adj", "a", "noun")) // asthmatic -> asthma
+    ("ous", "adj", "y", "noun"),
+    ("ousness", "noun", "ous", "adj"))
 
   /** Rule-generated derivations (variant level 3), minus exceptions. */
   def derivations(word: String, cat: String,
