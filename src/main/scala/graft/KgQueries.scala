@@ -103,7 +103,9 @@ object KgQueries {
       "restrict_dsyn" -> LinkOptions(restrictSemTypes = Set("dsyn")),
       "min_length_8" -> LinkOptions(minLength = 8),
       "conj_merge" -> LinkOptions(conjMerge = true),
-      "aa_span_merge" -> LinkOptions(aaSpanMerge = true))
+      "aa_span_merge" -> LinkOptions(aaSpanMerge = true),
+      "tagged" -> LinkOptions(tagged = true),
+      "no_prune" -> LinkOptions(noPrune = true))
     val umls = Pipeline.broadcastUmls(spark)
     val pages = CorpusGen.pages(spark, 100).cache()
     val rows = profiles.map { case (name, o) =>

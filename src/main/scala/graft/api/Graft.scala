@@ -49,6 +49,8 @@ object Graft {
         case "-r" | "--threshold" => o = o.copy(scoreThreshold = arg().toInt)
         case "--prune" => o = o.copy(prune = Some(arg().toInt))
         case "--no_prune" => o = o.copy(noPrune = true)
+        case "--tagged" => o = o.copy(tagged = true)
+        case "--no_tagging" => o = o.copy(tagged = false) // the pinned default
         case "--min_length" => o = o.copy(minLength = arg().toInt)
         case "--no_nums" => o = o.copy(noNums = true)
         case "-J" | "--restrict_to_sts" =>

@@ -46,6 +46,10 @@ final case class LinkOptions(
     // -z term_processing: input rows are dictionary terms, not documents
     // (single phrase + F6 best-coverage discard; SURVEY §2.8 F6)
     termProcessing: Boolean = false,
+    // tagged mode (P1/V10): run the deterministic bigram tagger and let
+    // tags drive chunk categories + variant filtering; default OFF = the
+    // reference's --no_tagging mode (our round-1 pinned parity mode)
+    tagged: Boolean = false,
     // --prune T: explicit candidate-pruning threshold (G1); None = the
     // reference's default adaptive backtracking threshold gated by the
     // grid sparseness test (get_pruning_threshold, skr.pl:2802-2817)

@@ -47,8 +47,14 @@ object PhraseChunker {
       case _ => t.lc
     }
 
-  /** Chunk one sentence's tokens (full stream incl. ws/pn) into phrases. */
-  def chunk(toks: Vector[Tok], umls: UmlsTables): Vector[Phrase] = {
+  /** Chunk one sentence's tokens (full stream incl. ws/pn) into phrases.
+    * `tagsByStart` (word start offset -> category) carries tagger output
+    * in tagged mode (P5 consult_tagged_text analogue): a provided tag
+    * replaces tagless resolution for that word, so a verb-tagged
+    * noun/verb-ambiguous word breaks the phrase instead of joining it.
+    */
+  def chunk(toks: Vector[Tok], umls: UmlsTables,
+      tagsByStart: Map[Int, String] = Map.empty): Vector[Phrase] = {
     val words = Tokenizer.wordToks(toks)
     // content runs: adj/noun sequences
     val phrases = scala.collection.mutable.ArrayBuffer[Phrase]()
@@ -88,11 +94,12 @@ object PhraseChunker {
       val interrupted = lastEnd >= 0 && breakingPn.exists(p => p >= lastEnd && p < t.start)
       if (interrupted) flush()
       val w = mmWord(t)
-      resolveCat(w, umls) match {
+      val cat = tagsByStart.getOrElse(t.start, resolveCat(w, umls))
+      cat match {
         case "adj" | "noun" =>
           if (cur.length >= MaxPhraseWords) flush()
           cur += PWord(w, t.start, t.end)
-          curCats += resolveCat(w, umls)
+          curCats += cat
         case _ =>
           flush()
       }

@@ -17,8 +17,14 @@ object VariantGather {
   /** Build the per-phrase variant index: first-variant-word -> vinfos.
     * Ordering inside each bucket preserves insertion sequence (the
     * reference AVL stores values reversed and fetch re-reverses).
+    *
+    * `tagsByStart` (word start offset -> category) activates V10 tag
+    * filtering (filter_variants_by_tags, skr.pl:1912-1987): a tagged
+    * single-word generator draws its variants from that category's table
+    * only — the reference's "keep only the tagged category's GVC".
     */
-  def gather(phrase: Phrase, umls: UmlsTables, aas: AaDict): Map[String, Vector[VInfo]] = {
+  def gather(phrase: Phrase, umls: UmlsTables, aas: AaDict,
+      tagsByStart: Map[Int, String] = Map.empty): Map[String, Vector[VInfo]] = {
     val words = phrase.words.map(_.word)
     val n = words.length
     if (n == 0) return Map.empty
@@ -65,9 +71,6 @@ object VariantGather {
         val noVariants = isSingle &&
           ((cats.nonEmpty && cats.subsetOf(UmlsTables.invariantCats)) || gen.length <= 2)
         val base = Vector(Variant(gen, 0, ""))
-        val tableVars =
-          if (noVariants) Vector.empty
-          else umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
         // document-local AA expansion as a level-2 variant (A5 re-expression)
         val aaVars = aas.get(gen).map(exp => Variant(exp.mkString(" "), 2, "a")).toVector
         // split-word expansion (V8, metamap_variants.pl:1421-1454): a fused
@@ -79,8 +82,21 @@ object VariantGather {
         else Vector.empty
         // and the reverse: if gen is an expansion's first word we do not
         // add anything — AA occurrences carry the expansion variant.
-        val allVars = base ++ tableVars ++ aaVars ++ splitVars
         for (pos <- genPositions) {
+          // V10: a tagged single-word generator draws from its category's
+          // variant table (tag can differ per occurrence position)
+          val catTable =
+            if (isSingle)
+              tagsByStart.get(phrase.words(pos._1 - 1).start)
+                .flatMap(umls.variantsByCat.get)
+            else None
+          val tableVars =
+            if (noVariants) Vector.empty
+            else catTable match {
+              case Some(ct) => ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+              case None => umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+            }
+          val allVars = base ++ tableVars ++ aaVars ++ splitVars
           val involvesHead = pos._1 <= headPos._2 && headPos._1 <= pos._2
           for (v <- allVars) {
             val vWords = Tokenizer.tokenizeMmLc(v.word)

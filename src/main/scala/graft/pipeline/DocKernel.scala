@@ -23,7 +23,17 @@ object DocKernel {
     val aas = AaDetector.findAas(toks) ++ opts.udas
     val sents = Sentences.split(toks)
     sents.flatMap { sent =>
-      val phrases0 = PhraseChunker.chunk(sent.toks, umls)
+      // tagged mode (P1): the deterministic bigram tagger assigns one
+      // category per word; tags drive chunk membership (P5 analogue) and
+      // V10 variant filtering. Default OFF = the pinned --no_tagging mode.
+      val tagsByStart: Map[Int, String] =
+        if (!opts.tagged) Map.empty
+        else {
+          val ws = Tokenizer.wordToks(sent.toks)
+          val tags = Tagger.tag(ws.map(PhraseChunker.mmWord), umls)
+          ws.map(_.start).zip(tags).toMap
+        }
+      val phrases0 = PhraseChunker.chunk(sent.toks, umls, tagsByStart)
       // optional phrase merges (P7 --conj, P8 AA-span; off in pinned mode)
       val phrases1 =
         if (opts.aaSpanMerge) PhraseChunker.aaSpanGlue(phrases0, sent.toks, aas)
@@ -36,7 +46,7 @@ object DocKernel {
         if (phrase.words.isEmpty ||
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1)) Vector.empty
         else {
-          val varIndex = VariantGather.gather(phrase, umls, aas)
+          val varIndex = VariantGather.gather(phrase, umls, aas, tagsByStart)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
           // reference order: filter first (skr.pl:913,1408), THEN prune
           // inside mapping construction (skr.pl:3452-3459) with the

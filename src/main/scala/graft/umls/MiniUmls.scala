@@ -36,6 +36,11 @@ final case class UmlsTables(
     cuiSemTypes: Map[String, Vector[String]],
     // static-mode variant table: word -> variants (incl. the word itself)
     variants: Map[String, Vector[Variant]],
+    // V10 per-category variant tables for tagged mode: category -> word ->
+    // variants generated under that category's inflection rules (the
+    // reference's GVC-per-(word, cat) structure; filter_variants_by_tags,
+    // skr.pl:1912-1987, keeps only the tagged category's GVC)
+    variantsByCat: Map[String, Map[String, Vector[Variant]]] = Map.empty,
     // multi-word lexicon forms (is_a_form) for multiword generators
     lexiconForms: Set[String],
     // word -> lexical categories (noun, adj, verb, aux, det, prep, conj, pron, adv)
@@ -301,7 +306,10 @@ object MiniUmls {
     "reveals", "denies", "denied", "confirmed", "confirm", "confirms",
     "ruled", "rule", "rules", "suffered", "suffers", "developed", "develops",
     "presented", "presents", "received", "receives", "underwent", "reported",
-    "reports", "found", "diagnosed", "treated", "admitted", "complained")
+    "reports", "found", "diagnosed", "treated", "admitted", "complained",
+    // noun/verb-ambiguous lexical items (tagger fixture material; the
+    // tagless path maps N/V to noun, so pinned-mode results are unchanged)
+    "attack", "cough", "scan")
 
   val auxiliaries: Set[String] = Set("was", "were", "is", "are", "be", "been", "being")
   val determiners: Set[String] = Set("the", "a", "an", "this", "that", "these", "those", "no")
@@ -434,7 +442,12 @@ object MiniUmls {
     Tokenizer.tokenizeMmLc(uninverted)
   }
 
-  private def buildVariantTable(): Map[String, Vector[Variant]] = {
+  /** Build the static variant table; `catRestrict` limits INFLECTION
+    * edges to one category's rules (the per-category GVC tables tagged
+    * mode selects among, V10) — spelling/synonym/derivation edges are
+    * category-crossing by nature and stay.
+    */
+  private def buildVariantTable(catRestrict: Option[String] = None): Map[String, Vector[Variant]] = {
     val spell = spellings.groupMap(_._1)(_._2)
     val syn = synonyms.groupMap(_._1)(_._2)
 
@@ -444,9 +457,15 @@ object MiniUmls {
     // only when the derived form is itself a lexicon word (the dm_vars
     // behavior: derivations land on real lexical items).
     val lexWords: Set[String] = (nouns ++ adjectives ++ verbs).toSet
+    val inflSources: Vector[(String, String)] = catRestrict match {
+      case Some("noun") => nouns.toVector.map(w => w -> "noun")
+      case Some("verb") => verbs.toVector.map(w => w -> "verb")
+      case Some(_) => Vector.empty // adj: no inflection rules
+      case None =>
+        nouns.toVector.map(w => w -> "noun") ++ verbs.toVector.map(w => w -> "verb")
+    }
     val ruleInfl: Vector[(String, String)] =
-      (nouns.toVector.map(w => w -> "noun") ++ verbs.toVector.map(w => w -> "verb"))
-        .flatMap { case (w, c) => Morphology.inflections(w, c).map(w -> _) }
+      inflSources.flatMap { case (w, c) => Morphology.inflections(w, c).map(w -> _) }
     val ruleDeriv: Vector[(String, String)] =
       (nouns.toVector.map(w => w -> "noun") ++ adjectives.toVector.map(w => w -> "adj"))
         .flatMap { case (w, c) =>
@@ -455,7 +474,15 @@ object MiniUmls {
     // symmetric edges: the reference's lexicon lookup resolves ANY form to
     // its base and back (get_spellings_and_inflections_for_form), so
     // "strokes" must reach "stroke" just as "stroke" reaches "strokes"
-    val inflPairs = (inflections ++ ruleInfl).distinct
+    // curated inflection pairs only apply when the base word belongs to
+    // the restricted category ("cough"/"coughing" serves noun AND verb)
+    val curatedInfl = catRestrict match {
+      case Some("noun") => inflections.filter(p => nouns(p._1) || nouns(p._2))
+      case Some("verb") => inflections.filter(p => verbs(p._1) || verbs(p._2))
+      case Some(_) => Vector.empty
+      case None => inflections
+    }
+    val inflPairs = (curatedInfl ++ ruleInfl).distinct
     val derivPairs = (derivations ++ ruleDeriv).distinct
     val infl = (inflPairs ++ inflPairs.map(_.swap)).distinct.groupMap(_._1)(_._2)
     val deriv = (derivPairs ++ derivPairs.map(_.swap)).distinct.groupMap(_._1)(_._2)
@@ -544,6 +571,10 @@ object MiniUmls {
       cuiPreferred = concepts.map(c => c._1 -> c._2).toMap,
       cuiSemTypes = concepts.map(c => c._1 -> c._3).toMap,
       variants = buildVariantTable(),
+      variantsByCat = Map(
+        "noun" -> buildVariantTable(Some("noun")),
+        "verb" -> buildVariantTable(Some("verb")),
+        "adj" -> buildVariantTable(Some("adj"))),
       lexiconForms = multiwordForms,
       lexCats = lexCats,
       stopWords = determiners ++ prepositions ++ conjunctions ++ pronouns ++ auxiliaries,
