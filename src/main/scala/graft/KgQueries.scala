@@ -12,23 +12,33 @@ import graft.pipeline.Pipeline
   */
 object KgQueries {
 
-  private val nPages = 400L
+  /** The kg inputs are generated (deterministic synthetic corpus), not
+    * read from parquet — but the gate's scale knob must still reach them:
+    * page count scales linearly with the sf directory (sf0.01 -> the
+    * round-1 400 pages, sf0.1 -> 4,000), so sf0.1 bench/verify runs see a
+    * 10x corpus instead of a fixed toy size.
+    */
+  private[graft] def pagesFor(sfDir: String): Long = {
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+    math.max(40L, math.round(sf / 0.01 * 400.0))
+  }
 
   def kgMentions(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     val umls = Pipeline.broadcastUmls(spark)
-    Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, nPages), umls), umls)
+    Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, pagesFor(sfDir)), umls), umls)
   }
 
   def kgTriples(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
-    Pipeline.run(CorpusGen.pages(spark, nPages))
+    Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir)))
   }
 
   def kgGraph(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     val umls = Pipeline.broadcastUmls(spark)
-    Pipeline.graph(Pipeline.run(CorpusGen.pages(spark, nPages)), umls)
+    Pipeline.graph(Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir))), umls)
   }
 
   /** Graph analytics over the materialized KG: per-CUI degree (distinct
@@ -53,7 +63,7 @@ object KgQueries {
   def kgMmiRank(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     val umls = Pipeline.broadcastUmls(spark)
-    val ms = Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, nPages), umls), umls)
+    val ms = Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, pagesFor(sfDir)), umls), umls)
     ops.MmiRank.rank(ms, umls)
   }
 
@@ -65,7 +75,7 @@ object KgQueries {
   def kgAaDump(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     val umls = Pipeline.broadcastUmls(spark)
-    output.JsonOutput.aaDump(CorpusGen.pages(spark, nPages), umls)
+    output.JsonOutput.aaDump(CorpusGen.pages(spark, pagesFor(sfDir)), umls)
   }
 
   def kgHumanOutput(spark: SparkSession, sfDir: String): DataFrame = {
@@ -150,7 +160,7 @@ object KgQueries {
       System.getProperty("java.io.tmpdir"),
       s"graft_sink_gate_${ProcessHandle.current().pid()}").toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    graft.graph.IcebergLite.write(Pipeline.run(CorpusGen.pages(spark, nPages)), root)
+    graft.graph.IcebergLite.write(Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir))), root)
     graft.graph.IcebergLite.read(spark, root)
       .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")
   }

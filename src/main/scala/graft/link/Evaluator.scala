@@ -46,8 +46,9 @@ object Evaluator {
     }.sortBy(_._1)
 
     // last words of all gathered variants, for first_wordsb routing
-    // (word_is_last_word_of_some_variant, metamap_candidates.pl:381-387)
-    val lastVariantWords: Set[String] =
+    // (word_is_last_word_of_some_variant, metamap_candidates.pl:381-387);
+    // lazy: only forced when a probe word actually has frequent pairs
+    lazy val lastVariantWords: Set[String] =
       varIndex.valuesIterator.flatten.map(_.words.last).toSet
 
     // stop phrases (add_candidates, metamap_candidates.pl:138-143): in
@@ -98,7 +99,7 @@ object Evaluator {
     * with w2 — the only way those entries could complete a match.
     */
   private[graft] def indexFor(vi: VInfo, nPhrase: Int,
-      lastVariantWords: Set[String], umls: UmlsTables, opts: LinkOptions)
+      lastVariantWords: => Set[String], umls: UmlsTables, opts: LinkOptions)
       : (String, Map[String, Vector[IndexEntry]]) = {
     def firstWordsOrB(w: String): (String, Map[String, Vector[IndexEntry]]) = {
       val hot = umls.frequentFirstWordPairs.getOrElse(w, Set.empty)
@@ -221,11 +222,19 @@ object Evaluator {
     // over AEvaluationsNoDups and folds duplicates back in afterward. This
     // is what keeps exact enumeration tractable up to the grid-test limit
     // of 44 deduped candidates (G3) without the round-1 hard cap of 16.
-    val groups: Vector[Vector[Candidate]] = cands
-      .groupBy(c => (c.score, Pruning.mergedComponents(c))).values.toVector
-    val repToGroup: Map[Candidate, Vector[Candidate]] =
-      groups.map(g => g.head -> g).toMap
-    val reps = cands.filter(repToGroup.contains) // preserve sorted order
+    // (Insertion-ordered grouping + an identity map: this runs per phrase
+    // on the hot path, and hashing full Candidate case classes — deep
+    // vectors — measurably slows the kernel.)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Vector[(Int, Int)]), scala.collection.mutable.ArrayBuffer[Candidate]]
+    for (c <- cands)
+      groups.getOrElseUpdate((c.score, Pruning.mergedComponents(c)),
+        scala.collection.mutable.ArrayBuffer.empty[Candidate]) += c
+    val hasDups = groups.size != cands.length
+    val reps: Vector[Candidate] =
+      if (!hasDups) cands else groups.valuesIterator.map(_.head).toVector
+    val groupOfRep = new java.util.IdentityHashMap[Candidate, Vector[Candidate]]
+    if (hasDups) groups.valuesIterator.foreach(g => groupOfRep.put(g.head, g.toVector))
 
     val maximalSets: Vector[Vector[Candidate]] = {
       // exact enumeration of maximal consistent sets (expand_aevs,
@@ -267,8 +276,10 @@ object Evaluator {
     // maximal sets; union the surviving mappings' candidates, with each
     // representative expanded back to its full duplicate set.
     val kept = if (opts.computeAllMappings) scored else scored.filter(_._1 == best)
-    kept.flatMap(_._2).flatMap(repToGroup(_))
-      .distinctBy(c => (c.cui, c.start, c.end))
+    val expanded =
+      if (!hasDups) kept.flatMap(_._2)
+      else kept.flatMap(_._2).flatMap(groupOfRep.get(_))
+    expanded.distinctBy(c => (c.cui, c.start, c.end))
   }
 
   /** Backtracking-step budget for exact mapping enumeration; far above any

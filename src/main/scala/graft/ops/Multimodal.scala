@@ -126,21 +126,21 @@ object Multimodal {
 
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    decodeMetadata(mediaTable(spark, 2000)).toDF().orderBy(col("media_id"))
+    decodeMetadata(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5)).toDF().orderBy(col("media_id"))
   }
 
   def mediaFrameSample(spark: SparkSession, sfDir: String): DataFrame =
-    frameSample(decodeMetadata(mediaTable(spark, 2000)), 7).orderBy(col("media_id"), col("frame_idx"))
+    frameSample(decodeMetadata(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5)), 7).orderBy(col("media_id"), col("frame_idx"))
 
   def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
-    resizePlan(decodeMetadata(mediaTable(spark, 2000)), 256).orderBy(col("media_id"))
+    resizePlan(decodeMetadata(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5)), 256).orderBy(col("media_id"))
 
   /** Feature vectors fed straight into the native cosine ANN — the
     * multimodal -> embedding -> similarity plumbing end to end.
     */
   def mediaFeaturesTopk(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val f = extractFeatures(mediaTable(spark, 2000))
+    val f = extractFeatures(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5))
     val q = f.filter(col("media_id") < 8).toDF("query_id", "qk", "qe")
     val c = f.toDF("neighbor_id", "nk", "ne")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))

@@ -59,13 +59,16 @@ object Pipeline {
   def wsdDedup(mentions: Dataset[Mention], umls: Broadcast[UmlsTables])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val prio = umls.value.semTypePriority
-    val prioUdf = udf((sts: Seq[String]) =>
-      if (sts == null || sts.isEmpty) 99 else sts.map(prio.getOrElse(_, 99)).min)
+    // semtype prior as pure column algebra (no UDF): the priority table is
+    // ~130 entries at real scale — a map literal keeps the plan constant
+    // and the projection codegen-friendly
+    val prioMap = typedlit(umls.value.semTypePriority)
+    val stPrio = coalesce(array_min(transform(col("semTypes"),
+      st => coalesce(element_at(prioMap, st), lit(99)))), lit(99))
     val w = Window.partitionBy(col("url"), col("sentNo"), col("start"), col("len"))
       .orderBy(col("score").desc, col("stPrio"), col("cui"))
     mentions.toDF()
-      .withColumn("stPrio", prioUdf(col("semTypes")))
+      .withColumn("stPrio", stPrio)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("rk", "stPrio")

@@ -63,6 +63,44 @@ object Tokenizer {
     out.toVector
   }
 
+  /** T3 tokenize_text (metamap_tokenization.pl:679-724): tokens are
+    * maximal runs of non-break characters — break chars are space and
+    * hyphen — with ignore chars (colon) dropped from inside tokens; all
+    * other punctuation stays attached ("anti-viral drug: ok," ->
+    * [anti, viral, drug, "ok,"]).
+    */
+  def tokenizeText(text: String): Vector[String] = {
+    val out = new ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == ' ' || c == '-' || isWsChar(c)) {
+        if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+      } else if (c != ':') cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toVector
+  }
+
+  /** T4 tokenize_text_more[_lc] (metamap_tokenization.pl:726-751): maximal
+    * alphanumeric sequences (the "wordind" regime), punctuation and
+    * whitespace dropped.
+    */
+  def tokenizeMore(text: String): Vector[String] =
+    tokenize(text).collect { case t if t.isWord => t.text }
+
+  def tokenizeMoreLc(text: String): Vector[String] =
+    tokenize(text).collect { case t if t.isWord => t.lc }
+
+  /** T6 tokenize_text_utterly (metamap_tokenization.pl:1008-1100): every
+    * token including whitespace runs and single-char punctuation, as
+    * strings — concatenating the result reproduces the input exactly.
+    */
+  def tokenizeUtterly(text: String): Vector[String] =
+    tokenize(text).map(_.text)
+
   /** tokenize_text_mm analogue (metamap_tokenization.pl:765-903): maximal
     * alphanumeric word list, lowercased, with possessives stripped
     * ("crohn's" -> "crohn", "patients'" -> "patients").

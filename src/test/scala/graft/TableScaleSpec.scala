@@ -83,6 +83,20 @@ class TableScaleSpec extends AnyFunSuite {
     assert(Extract.foldChar('中') == " ")
   }
 
+  test("tokenizer forms T3/T4/T6 (tokenize_text / _more / _utterly)") {
+    import graft.text.Tokenizer
+    // T3: break at space+hyphen, colon ignored, other punct attached
+    assert(Tokenizer.tokenizeText("anti-viral drug: ok,") ==
+      Vector("anti", "viral", "drug", "ok,"))
+    // T4: maximal alnum runs, punct/ws gone
+    assert(Tokenizer.tokenizeMore("X-ray (CT) scan!") ==
+      Vector("X", "ray", "CT", "scan"))
+    assert(Tokenizer.tokenizeMoreLc("X-ray 3D") == Vector("x", "ray", "3d"))
+    // T6: lossless — concatenation reproduces the input
+    val s = "No evidence of MI.  (Heart attack)"
+    assert(Tokenizer.tokenizeUtterly(s).mkString == s)
+  }
+
   test("dm.rul rules generalize: derivations at rule-set scale") {
     // sclerotic -> sclerosis (otic/osis), anemia -> anemic (ia/ic)
     assert(Morphology.derivations("sclerotic", "adj").contains(("sclerosis", "noun")))
