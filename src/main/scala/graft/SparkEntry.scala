@@ -12,10 +12,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++ relational.AdvancedQueries.queries ++
-      KgQueries.queries ++ ops.DocOps.queries ++ ops.Multimodal.queries
+      KgQueries.queries ++ ops.DocOps.queries ++ ops.Multimodal.queries ++
+      ops.CorpusOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracleSql ++ relational.AdvancedQueries.oracleSql ++
-      ops.DocOps.oracleSql
+      ops.DocOps.oracleSql ++ ops.CorpusOps.oracleSql
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * before anything touches a model: quality filtering with bucket
+  * decisions (cc_net-style), vocabulary building, per-slice corpus stats,
+  * and PII scrubbing. All pure column algebra (codegen'd, no UDFs), all
+  * with exact DuckDB oracles.
+  *
+  * Scale notes: every op here is scan -> map -> (partial) aggregate; the
+  * only shuffles are the keyed aggregations, whose keys (token, (source,
+  * lang)) have bounded cardinality, with map-side combine doing the heavy
+  * lifting. Nothing is pairwise.
+  */
+object CorpusOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Quality filter with keep/bucket decision: repetition ratio
+    * (1 - distinct/total tokens — THE signal for boilerplate and
+    * tag-soup), stopword ratio, and length gates, bucketed like a
+    * cc_net-style head/middle/tail split. Thresholds are fixed so the
+    * decision is deterministic and engine-portable.
+    */
+  def docQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t)
+    val repRatio = lit(1.0) - size(array_distinct(t)).cast("double") / nTok.cast("double")
+    val stopRatio = size(filter(t, x => x.isin("the", "a"))).cast("double") / nTok.cast("double")
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        round(repRatio, 6).as("rep_ratio"), round(stopRatio, 6).as("stop_ratio"))
+      .withColumn("bucket",
+        when(col("rep_ratio") <= 0.6, "head")
+          .when(col("rep_ratio") <= 0.75, "middle")
+          .otherwise("tail"))
+      .withColumn("keep",
+        col("bucket") =!= "tail" && col("n_tokens") >= 20 && col("stop_ratio") <= 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  val docQualityFilterSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+      |    round(1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |      / len(string_split(text,' ')), 6) AS rep_ratio,
+      |    round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS DOUBLE)
+      |      / len(string_split(text,' ')), 6) AS stop_ratio
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, rep_ratio, stop_ratio,
+      |  CASE WHEN rep_ratio <= 0.6 THEN 'head'
+      |       WHEN rep_ratio <= 0.75 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  (CASE WHEN rep_ratio <= 0.6 THEN 'head'
+      |        WHEN rep_ratio <= 0.75 THEN 'middle' ELSE 'tail' END) <> 'tail'
+      |    AND n_tokens >= 20 AND stop_ratio <= 0.3 AS keep
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary building: top-100 tokens by global count (ties by token).
+    * The shuffle key is the token — bounded cardinality, partial
+    * aggregation does the work map-side; a skewed token ("the") is ONE
+    * reducer key carrying a pre-combined count, not raw rows.
+    */
+  def corpusVocab(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  val corpusVocabSql: String =
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  /** Per-(source, lang) corpus stats: the slice inventory a curation run
+    * reports before sampling decisions.
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(toks(col("text")))
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("total_tokens"),
+        round(avg(nTok.cast("double")), 4).as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val corpusStatsSql: String =
+    """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+      |  round(AVG(CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS avg_tokens,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  /** PII patterns shared by the Spark op and the unit spec. Deliberately
+    * conservative, RE2/Java-compatible (no lookaround, \d and \b only).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Scrub a text column: emails, phone numbers and SSN-shaped numbers
+    * become typed placeholder tokens. Exposed as a Column function so any
+    * pipeline (not just the gate query) can apply it.
+    */
+  def scrubbed(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      PhoneRe, "<PHONE>")
+
+  def nRedactions(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(SsnRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("int")
+
+  /** PII scrub over the documents table: redaction count + md5 of the
+    * scrubbed text per doc (the hash keeps the gate compare exact without
+    * shipping full text through the checker).
+    */
+  def docPiiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), nRedactions(col("text")).as("n_redactions"),
+        md5(scrubbed(col("text")).cast("binary")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
+  val docPiiScrubSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+      |    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_redactions,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_quality_filter" -> (docQualityFilter _),
+    "corpus_vocab" -> (corpusVocab _),
+    "corpus_stats" -> (corpusStats _),
+    "doc_pii_scrub" -> (docPiiScrub _))
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_quality_filter" -> docQualityFilterSql,
+    "corpus_vocab" -> corpusVocabSql,
+    "corpus_stats" -> corpusStatsSql,
+    "doc_pii_scrub" -> docPiiScrubSql)
+}
