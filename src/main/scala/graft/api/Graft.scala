@@ -64,6 +64,30 @@ object Graft {
     o
   }
 
+  /** Register the NLP surface as SQL functions on a session, so pure-SQL
+    * users get the same kernel:
+    * {{{
+    *   Graft.registerSql(spark)
+    *   spark.sql("""SELECT id, m.cui, m.score, m.negated
+    *                FROM docs LATERAL VIEW explode(graft_mentions(id, body)) AS m""")
+    * }}}
+    * `graft_mentions(id, text)` returns the full typed mention array;
+    * `graft_triples(id, text)` the document-local triples. The broadcast
+    * tables are captured once at registration.
+    */
+  def registerSql(spark: SparkSession, opts: LinkOptions = LinkOptions.default,
+      umls: Option[Broadcast[UmlsTables]] = None): Unit = {
+    val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
+    spark.udf.register("graft_mentions",
+      org.apache.spark.sql.functions.udf((id: String, text: String) =>
+        if (text == null) Seq.empty[Mention]
+        else DocKernel.mentions(if (id == null) "" else id, text, bc.value, opts)))
+    spark.udf.register("graft_triples",
+      org.apache.spark.sql.functions.udf((id: String, text: String) =>
+        if (text == null) Seq.empty[(String, String, String, String, Int)]
+        else DocTriples.fromDoc(if (id == null) "" else id, text, bc.value, opts)))
+  }
+
   /** Annotate any table: one mention row per linked concept occurrence.
     * `textCol` must hold plain text (use Extract.htmlToText upstream for
     * html). Runs the full per-document kernel map-side against the

@@ -124,11 +124,30 @@ object IcebergLite {
     commit(metrics)
   }
 
+  /** Load one specific snapshot's manifest (time travel). */
+  def snapshot(root: String, id: Int): Option[Snapshot] = {
+    val p = manifestDir(root).resolve(s"snapshot-$id.json")
+    if (!Files.exists(p)) None
+    else Some(parseSnapshot(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  }
+
   /** Read back only the buckets the latest snapshot committed (a reader
     * never sees a half-written partition).
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val snap = latestSnapshot(root).getOrElse(Snapshot(0, Vector.empty))
+  def read(spark: SparkSession, root: String): DataFrame =
+    readAsOf(spark, root, None)
+
+  /** Time travel: read the table as of snapshot `asOfSnapshot` (None =
+    * latest). Buckets are committed at most once (resume skips committed
+    * ones), so the bucket set of snapshot k IS the table state at k —
+    * the Iceberg snapshot-isolation read, without the catalog.
+    */
+  def readAsOf(spark: SparkSession, root: String, asOfSnapshot: Option[Int]): DataFrame = {
+    val snap = asOfSnapshot match {
+      case Some(id) => snapshot(root, id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id at $root"))
+      case None => latestSnapshot(root).getOrElse(Snapshot(0, Vector.empty))
+    }
     val df = spark.read.parquet(Paths.get(root, "data").toString)
     val ok = snap.partitions.map(_.bucket)
     if (ok.isEmpty) df.limit(0)

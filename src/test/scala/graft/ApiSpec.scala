@@ -80,6 +80,28 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL registration: graft_mentions/graft_triples run from pure SQL") {
+    import spark.implicits._
+    Graft.registerSql(spark)
+    Seq(("d1", "The patient had a heart attack."),
+      ("d2", "No evidence of myocardial infarction."))
+      .toDF("id", "body").createOrReplaceTempView("g_docs")
+    val ms = spark.sql(
+      """SELECT id, m.cui AS cui, m.negated AS negated
+        |FROM g_docs LATERAL VIEW explode(graft_mentions(id, body)) AS m""".stripMargin)
+      .collect()
+    assert(ms.exists(r => r.getString(0) == "d1" && r.getString(1) == "C0027051"
+      && !r.getBoolean(2)))
+    assert(ms.exists(r => r.getString(0) == "d2" && r.getString(1) == "C0027051"
+      && r.getBoolean(2)))
+    val ts = spark.sql(
+      """SELECT t.* FROM g_docs LATERAL VIEW explode(graft_triples(id, body)) AS t""")
+      .collect()
+    // SQL path must agree with the library path on the same rows
+    val lib = Graft.triples(spark.table("g_docs"), "id", "body").count()
+    assert(ts.length.toLong == lib)
+  }
+
   test("annotate works on an arbitrary two-column table") {
     import spark.implicits._
     val df = Seq(

@@ -43,6 +43,30 @@ class IcebergLiteSpec extends AnyFunSuite with SparkTestBase {
     rm(java.nio.file.Paths.get(root))
   }
 
+  test("time travel: readAsOf(snapshot k) returns the table state at k") {
+    implicit val s = spark
+    val root = tmpDir().toString
+    val all = Pipeline.run(CorpusGen.pages(spark, 150)).cache()
+    // snapshot 1 commits exactly the lower half of the bucket space (the
+    // same subj_cui hash the writer buckets by), snapshot 2 the rest
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val part = all.filter(pmod(xxhash64(col("subj_cui")), lit(32)) < 16)
+    val s1 = IcebergLite.write(part, root)
+    val s2 = IcebergLite.write(all, root)
+    assert(s1.snapshotId == 1 && s2.snapshotId == 2)
+    val atS1 = IcebergLite.readAsOf(spark, root, Some(1)).count()
+    val atS2 = IcebergLite.readAsOf(spark, root, Some(2)).count()
+    val latest = IcebergLite.read(spark, root).count()
+    assert(atS2 == latest)
+    assert(atS1 < atS2, s"$atS1 vs $atS2")
+    assert(atS1 == s1.partitions.map(_.rows).sum)
+    intercept[IllegalArgumentException] {
+      IcebergLite.readAsOf(spark, root, Some(99))
+    }
+    all.unpersist()
+    rm(java.nio.file.Paths.get(root))
+  }
+
   test("resume: only missing buckets are recomputed after partial commit") {
     implicit val s = spark
     val root = tmpDir().toString
