@@ -95,6 +95,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SparkSessionExtensions injection point — the deployment-grade
+  * registration: any session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` gets the native
+  * expressions with no code call (cluster-wide enablement via config).
+  * `GraftFunctions.register` remains the per-session programmatic path.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}
+
 /** Session registration + Column-API facade for the graft native
   * expressions (the SparkSessionExtensions-style injection point, kept
   * explicit so tests and queries can opt in per session).

@@ -76,4 +76,29 @@ class VectorExprSpec extends AnyFunSuite with SparkTestBase {
     val v = df.select(GraftFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
     assert(math.abs(v - 1.0 / math.sqrt(26.0)) < 1e-12 || v == 1.0)
   }
+
+  test("GraftExtensions: config-driven session picks up graft_cosine") {
+    // build a sibling session on the same context with the extensions
+    // config — the deployment path (spark.sql.extensions=...GraftExtensions)
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // (spark.sql.extensions is STATIC conf — locked at context creation —
+      // so the shared test context can't take the config-string route;
+      // withExtensions applies the same class through the builder)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val v = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+        .toDF("a", "b")
+        .selectExpr("graft_cosine(a, b) AS c").head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
