@@ -15,9 +15,11 @@ object Bench {
     "q01_pricing_summary", "q02_top_revenue_orders", "q05_supplier_distinct_parts",
     "q06_window_top_orders", "q08_event_sessions",
     "q11_cube_flags", "q14_string_funcs", "q16_date_buckets", "q17_filtered_agg",
-    "q20_lag_delta",
+    "q20_lag_delta", "q27_skew_safe_distinct",
     "doc_token_count", "doc_token_count_bpe", "doc_fingerprint", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_bruteforce", "ann_ivf")
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_token_jaccard",
+    "ann_topk_bruteforce", "ann_ivf",
+    "doc_quality_filter", "corpus_vocab", "doc_pii_scrub", "doc_lang_id")
 
   private val kgPages = 200000L
 

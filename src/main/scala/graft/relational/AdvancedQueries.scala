@@ -343,7 +343,34 @@ object AdvancedQueries {
       |GROUP BY p_type
       |ORDER BY p_type""".stripMargin
 
+  /** Skew-safe distinct aggregation: COUNT(DISTINCT user) per event_type
+    * computed by TWO keyed stages — stage 1 keys on (event_type, user_id),
+    * whose cardinality grows with the data, stage 2 folds the per-user
+    * partials. At 100 TB a low-cardinality event_type is a guaranteed hot
+    * key, and a single-stage countDistinct would funnel every raw row of
+    * that key through one reducer; the two-phase form (same defusal
+    * Pipeline.graph uses) bounds every exchange by a corpus-scaling key.
+    * Result provably equals the naive form — the oracle IS the naive SQL.
+    */
+  def q27SkewSafeDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value")).cast("decimal(18,2)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_rows")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+
+  val q27Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_skew_safe_distinct" -> (q27SkewSafeDistinct _),
     "q25_except_setop" -> (q25Except _),
     "q26_string_agg" -> (q26StringAgg _),
     "q21_running_total" -> (q21RunningTotal _),
@@ -362,6 +389,7 @@ object AdvancedQueries {
     "q20_lag_delta" -> (q20LagDelta _))
 
   val oracleSql: Map[String, String] = Map(
+    "q27_skew_safe_distinct" -> q27Sql,
     "q25_except_setop" -> q25Sql,
     "q26_string_agg" -> q26Sql,
     "q21_running_total" -> q21Sql,
