@@ -123,15 +123,17 @@ object DocOps {
     * md5(j || '|' || shingle). Banded 2-wide -> 4 LSH bucket keys.
     */
   private def minhashBands(spark: SparkSession, sfDir: String,
-      unigram: Boolean = false): DataFrame = {
+      unigram: Boolean = false,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     // unigram=true minhashes the distinct TOKEN set — the right feature
     // space when the downstream verify measure is unigram-token Jaccard
     // (banded collision prob = J^2 per 2-row band); default trigram
-    // shingles catch document-level near-duplication
+    // shingles catch document-level near-duplication. blockCols carry
+    // extra blocking keys (e.g. source/lang) into the bucket key.
     val feats = if (unigram) array_distinct(toks(col("text")))
       else shingles(toks(col("text")))
-    val sh = d.select(col("doc_id"), explode(feats).as("sh"))
+    val sh = d.select(col("doc_id") +: blockCols.map(col) :+ explode(feats).as("sh"): _*)
     // all 8 minhashes in ONE partial-aggregating pass: 8 agg columns over
     // the shingle rows instead of exploding x8 and shuffling (doc_id, j)
     // keys — 8x less shuffle volume. Hash cost: TWO md5 digests per
@@ -148,17 +150,28 @@ object DocOps {
       val h = if (j < 4) h1 else h2
       min(substring(h, (j % 4) * 8 + 1, 8)).as(s"mh$j")
     }
-    val sig = sh.groupBy(col("doc_id")).agg(mh.head, mh.tail: _*)
+    val sig = sh.groupBy(col("doc_id") +: blockCols.map(col): _*)
+      .agg(mh.head, mh.tail: _*)
     // band b pairs (mh_{2b}, mh_{2b+1}); sig = order-independent concat
     // (identical to string_agg(mh, '' ORDER BY mh) in the oracle)
     def bandSig(b: Int) = {
       val x = col(s"mh${2 * b}"); val y = col(s"mh${2 * b + 1}")
       struct(lit(b).as("band"), when(x <= y, concat(x, y)).otherwise(concat(y, x)).as("sig"))
     }
-    sig.select(col("doc_id"),
-      explode(array((0 until 4).map(bandSig): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sig.select(col("doc_id") +: blockCols.map(col) :+
+        explode(array((0 until 4).map(bandSig): _*)).as("bs"): _*)
+      .select(col("doc_id") +: blockCols.map(col) :+
+        col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
   }
+
+  /** Hot-bucket guard for candidate-pair enumeration: a bucket holding
+    * more members than this is a non-discriminative signature (tiny
+    * vocabularies, boilerplate floods) whose in-bucket pair expansion
+    * would be quadratic — the same bound-the-hot-key defense as the
+    * reference's first_wordsb table. Never reached by healthy data at
+    * test SFs; the oracle applies the identical HAVING bound.
+    */
+  val HotBucketCap = 4096
 
   /** Candidate near-dup pairs from the banded minhash signatures: ONE
     * aggregation pass groups doc ids per (band, sig) bucket, and pairs are
@@ -169,11 +182,19 @@ object DocOps {
     * signature pass at sf0.1.)
     */
   private def minhashCandidatePairs(spark: SparkSession, sfDir: String,
-      unigram: Boolean = false): DataFrame = {
-    val buckets = minhashBands(spark, sfDir, unigram)
-      .groupBy(col("band"), col("sig"))
+      unigram: Boolean = false,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
+    // blockCols join the bucket key: when the downstream verify measure
+    // only pairs within a block anyway (same source/lang), keying the
+    // bucket by the block too is result-lossless AND shrinks buckets by
+    // the block count — without it, a low-diversity corpus (tiny shared
+    // vocabulary) makes band signatures non-discriminative and a bucket
+    // approaches the corpus (measured: 45 s at sf0.1 for the unblocked
+    // unigram form vs ~2 s blocked)
+    val buckets = minhashBands(spark, sfDir, unigram, blockCols)
+      .groupBy(blockCols.map(col) :+ col("band") :+ col("sig"): _*)
       .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= HotBucketCap)
     val ids = array_sort(col("ids"))
     buckets
       .select(explode(flatten(transform(ids, (a, i) =>
@@ -245,8 +266,11 @@ object DocOps {
     // unigram-token minhash: the candidate generator must live in the SAME
     // feature space as the verified measure, or recall collapses (trigram
     // bands surfaced 1 of ~900 J>=0.6 pairs on this corpus; unigram bands
-    // collide with prob 1-(1-J^2)^4 ~ 0.83 at J=0.6)
-    val cand = minhashCandidatePairs(spark, sfDir, unigram = true)
+    // collide with prob 1-(1-J^2)^4 ~ 0.83 at J=0.6). Buckets are keyed by
+    // (source, lang) too — lossless, since only same-block pairs survive
+    // the verify filter below
+    val cand = minhashCandidatePairs(spark, sfDir, unigram = true,
+      blockCols = Seq("source", "lang"))
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         array_distinct(toks(col("text"))).as("ts"))
@@ -266,19 +290,27 @@ object DocOps {
   }
 
   val dedupTokenJaccardSql: String =
-    """WITH sh AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) sh
+    """WITH sh AS (SELECT doc_id, source, lang,
+      |                   unnest(list_distinct(string_split(text,' '))) sh
       |            FROM documents),
-      |hashed AS (SELECT doc_id, j,
+      |hashed AS (SELECT doc_id, source, lang, j,
       |             substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('x' || sh) END,
       |                    (j % 4) * 8 + 1, 8) h
       |           FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) jj),
-      |sig AS (SELECT doc_id, j, min(h) mh FROM hashed GROUP BY doc_id, j),
-      |bands AS (SELECT doc_id, CAST(j // 2 AS INT) band,
+      |sig AS (SELECT doc_id, source, lang, j, min(h) mh
+      |        FROM hashed GROUP BY doc_id, source, lang, j),
+      |bands AS (SELECT doc_id, source, lang, CAST(j // 2 AS INT) band,
       |                 string_agg(mh, '' ORDER BY mh) sig
-      |          FROM sig GROUP BY doc_id, j // 2),
+      |          FROM sig GROUP BY doc_id, source, lang, j // 2),
+      |bsize AS (SELECT source, lang, band, sig, COUNT(*) n
+      |          FROM bands GROUP BY source, lang, band, sig),
       |cand AS (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
-      |         FROM bands p JOIN bands q ON p.band = q.band AND p.sig = q.sig
-      |         WHERE p.doc_id < q.doc_id),
+      |         FROM bands p
+      |         JOIN bands q ON p.source = q.source AND p.lang = q.lang
+      |                     AND p.band = q.band AND p.sig = q.sig
+      |         JOIN bsize s ON s.source = p.source AND s.lang = p.lang
+      |                     AND s.band = p.band AND s.sig = p.sig
+      |         WHERE p.doc_id < q.doc_id AND s.n BETWEEN 2 AND 4096),
       |ts AS (SELECT doc_id, source, lang,
       |              list_distinct(string_split(text,' ')) ts FROM documents)
       |SELECT c.a, c.b,
@@ -312,15 +344,42 @@ object DocOps {
     * 16-row window. Rounding to 6dp before ranking makes the assignment
     * deterministic across engines (ties broken by centroid id).
     */
-  private def ivfScored(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivfScoredWith(spark: SparkSession, sfDir: String,
+      cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.load(spark, sfDir, "embeddings")
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    e.crossJoin(broadcast(cents))
+    Tables.load(spark, sfDir, "embeddings")
+      .crossJoin(broadcast(cents))
       .withColumn("ccos", round(cosineCol(col("embedding"), col("ce")), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+  }
+
+  private def ivfScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    ivfScoredWith(spark, sfDir, cents)
+  }
+
+  /** Shared IVF probe: home cell per candidate, nprobe=2 cells per query,
+    * native cosine, row_number top-k.
+    */
+  private def ivfProbe(scored: DataFrame): DataFrame = {
+    val asn = scored.filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("cid").as("cell"))
+    val q = scored.filter(col("crk") <= 2 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos6").desc, col("neighbor_id"))
+    broadcast(q).join(asn, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos6", round(cosineCol(col("qe"), col("ne")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos6"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** Embedding cosine near-dup pairs: candidates = sharing ANY of their
@@ -449,23 +508,20 @@ object DocOps {
     * DuckDB-expressible and carries an exact oracle. Recall vs brute force
     * is measured in OpsSpec.
     */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = ivfScored(spark, sfDir)
-    val asn = scored.filter(col("crk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-        col("cid").as("cell"))
-    val q = scored.filter(col("crk") <= 2 && col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cid").as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos6").desc, col("neighbor_id"))
-    broadcast(q).join(asn, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos6", round(cosineCol(col("qe"), col("ne")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos6"))
-      .orderBy(col("query_id"), col("rk"))
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfProbe(ivfScored(spark, sfDir))
+
+  /** IVF with a REAL coarse quantizer: deterministic Lloyd k-means
+    * (Kmeans.fit, 2 iterations over the lowest-id init) replaces the
+    * lowest-id centroid stand-in — the trained-quantizer path a 100 TB
+    * deployment runs. Same probe plumbing as ann_ivf; recall vs brute
+    * force measured in OpsSpec. rows-only at the gate (iterative float
+    * means are not practically DuckDB-replicable).
+    */
+  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = Kmeans.centroidsDf(spark, Kmeans.fit(e, 16, 2))
+    ivfProbe(ivfScoredWith(spark, sfDir, cents))
   }
 
   val annIvfSql: String =
@@ -552,7 +608,8 @@ object DocOps {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
-    "ann_ivf" -> (annIvf _))
+    "ann_ivf" -> (annIvf _),
+    "ann_ivf_kmeans" -> (annIvfKmeans _))
 
   val oracleSql: Map[String, String] = Map(
     "doc_token_count" -> docTokenCountSql,

@@ -45,6 +45,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(mean >= 0.25)
   }
 
+  test("ANN: k-means quantizer matches or beats the lowest-id stand-in") {
+    import spark.implicits._
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val bf = DocOps.annTopkBruteforce(spark, sf)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = bf.map { case (q, truth) =>
+        (truth & got.getOrElse(q, Set.empty)).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    val base = recall(DocOps.annIvf(spark, sf))
+    val km = recall(DocOps.annIvfKmeans(spark, sf))
+    info(f"IVF recall@5: lowest-id $base%.3f vs k-means $km%.3f")
+    assert(km >= 0.25)
+    // the trained quantizer must not be materially worse than the stand-in
+    assert(km >= base - 0.1, f"k-means recall $km%.3f << lowest-id $base%.3f")
+    // determinism: same fit twice
+    val km2 = recall(DocOps.annIvfKmeans(spark, sf))
+    assert(math.abs(km - km2) < 1e-12)
+  }
+
   test("media: resize plan and feature->ANN plumbing produce sane rows") {
     import graft.ops.Multimodal
     val rs = Multimodal.mediaResize(spark, sf).collect()
