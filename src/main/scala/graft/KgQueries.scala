@@ -60,6 +60,13 @@ object KgQueries {
       .orderBy(col("n_neighbors").desc, col("cui"))
   }
 
+  /** PageRank over the KG edges (3 deterministic iterations): the
+    * centrality ranking a KG consumer uses for entity importance.
+    * rows-only at the gate; GraphOpsSpec pins closed-form values.
+    */
+  def kgPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    graph.GraphOps.pageRank(kgGraph(spark, sfDir))
+
   def kgMmiRank(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     val umls = Pipeline.broadcastUmls(spark)
@@ -186,6 +193,7 @@ object KgQueries {
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
     "kg_graph_degrees" -> (kgGraphDegrees _),
+    "kg_pagerank" -> (kgPagerank _),
     "kg_mmi_rank" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgMmiRank(s, d))),
     "kg_json_output" -> (kgJsonOutput _),
     "kg_aa_dump" -> (kgAaDump _),
