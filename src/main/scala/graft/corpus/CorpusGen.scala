@@ -167,7 +167,24 @@ object CorpusGen {
       // [liver, cancer] phrase keeps only its 1000 mapping (see P6)
       (Vector("The patient had lung and liver cancer."),
         Vector(m(0, 16, 4, "C0024109", 1000), m(0, 25, 12, "C0345904", 1000)),
-        Vector(("C0024109", "location_of", "C0345904", 0))))
+        Vector(("C0024109", "location_of", "C0345904", 0))),
+      // P9 (round 2, C2 hot pair): probing "stage" must route to the FULL
+      // first-word index (frequent pair (stage, lymphoma) completable by
+      // the phrase's own "lymphoma" variant) — best mapping keeps only the
+      // exact 3-word candidate
+      (Vector("Stage 4 lymphoma was confirmed."),
+        Vector(m(0, 0, 16, "C4000004", 1000)), Vector.empty),
+      // P10 (round 2, pnegb): the modal recommendation suppresses the
+      // post-position trigger — NOT negated
+      (Vector("Pneumonia should be ruled out."),
+        Vector(m(0, 0, 9, "C0032285", 1000)), Vector.empty),
+      // P11 (round 2, multiword conj scope): "aside from" terminates the
+      // negation scope opened by "no" — fever negated, chest pain not;
+      // the negated mention joins no triple
+      (Vector("No fever aside from chest pain."),
+        Vector(m(0, 3, 5, "C0015967", 1000, neg = true),
+          m(0, 20, 10, "C0008031", 1000)),
+        Vector.empty))
   }
 
   val nSpecial: Int = specialPages.length

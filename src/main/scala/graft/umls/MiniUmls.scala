@@ -311,14 +311,17 @@ object MiniUmls {
     // tagless path maps N/V to noun, so pinned-mode results are unchanged)
     "attack", "cough", "scan")
 
-  val auxiliaries: Set[String] = Set("was", "were", "is", "are", "be", "been", "being")
+  val auxiliaries: Set[String] = Set("was", "were", "is", "are", "be", "been", "being",
+    // modals (closed class): phrase-breaking like aux in the chunker
+    "should", "would", "could", "may", "might", "must", "can", "will", "shall", "ought")
   val determiners: Set[String] = Set("the", "a", "an", "this", "that", "these", "those", "no")
   val prepositions: Set[String] = Set(
     "of", "on", "in", "with", "without", "for", "to", "after", "before",
     "during", "at", "by", "from", "into", "out", "over", "under")
   val conjunctions: Set[String] = Set("and", "or", "but", "however", "although", "while")
   val pronouns: Set[String] = Set("he", "she", "it", "they", "his", "her", "its", "their", "we")
-  val adverbs: Set[String] = Set("severely", "also", "not", "then", "later", "subsequently")
+  val adverbs: Set[String] = Set("severely", "also", "not", "then", "later",
+    "subsequently", "aside", "apart")
 
   /** Multi-word lexicon forms (is_a_form analogue) enabling multiword
     * variant generators (metamap_variants.pl:201-283).
