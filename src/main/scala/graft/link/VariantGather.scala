@@ -82,21 +82,33 @@ object VariantGather {
         else Vector.empty
         // and the reverse: if gen is an expansion's first word we do not
         // add anything — AA occurrences carry the expansion variant.
+        // untagged (the pinned default): one variant set per generator —
+        // hoisted out of the position loop, the hot path
+        val untaggedVars =
+          if (tagsByStart.nonEmpty) null
+          else {
+            val tableVars =
+              if (noVariants) Vector.empty
+              else umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+            base ++ tableVars ++ aaVars ++ splitVars
+          }
         for (pos <- genPositions) {
           // V10: a tagged single-word generator draws from its category's
           // variant table (tag can differ per occurrence position)
-          val catTable =
-            if (isSingle)
-              tagsByStart.get(phrase.words(pos._1 - 1).start)
-                .flatMap(umls.variantsByCat.get)
-            else None
-          val tableVars =
-            if (noVariants) Vector.empty
-            else catTable match {
-              case Some(ct) => ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
-              case None => umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
-            }
-          val allVars = base ++ tableVars ++ aaVars ++ splitVars
+          val allVars = if (untaggedVars != null) untaggedVars else {
+            val catTable =
+              if (isSingle)
+                tagsByStart.get(phrase.words(pos._1 - 1).start)
+                  .flatMap(umls.variantsByCat.get)
+              else None
+            val tableVars =
+              if (noVariants) Vector.empty
+              else catTable match {
+                case Some(ct) => ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+                case None => umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+              }
+            base ++ tableVars ++ aaVars ++ splitVars
+          }
           val involvesHead = pos._1 <= headPos._2 && headPos._1 <= pos._2
           for (v <- allVars) {
             val vWords = Tokenizer.tokenizeMmLc(v.word)

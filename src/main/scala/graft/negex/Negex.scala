@@ -36,22 +36,27 @@ object Negex {
     val termStarts = scala.collection.mutable.ArrayBuffer[Int]() // conj word idx
     var i = 0
     while (i < lcs.length) {
-      val pseudoLen = math.max(
-        umls.negexPseudoTrie.matchesAt(lcs, i).headOption.getOrElse(0),
-        umls.negexPseudoPostTrie.matchesAt(lcs, i).headOption.getOrElse(0))
-      val conjLen = umls.negexConjTrie.matchesAt(lcs, i).headOption.getOrElse(0)
-      val preLen = umls.negexPreTrie.matchesAt(lcs, i).headOption.getOrElse(0)
-      val postLen = umls.negexPostTrie.matchesAt(lcs, i).headOption.getOrElse(0)
-      val best = math.max(math.max(pseudoLen, conjLen), math.max(preLen, postLen))
-      if (best == 0) i += 1
-      else if (pseudoLen == best) i += pseudoLen // suppressed: no negation
-      else if (conjLen == best) { termStarts += i; i += conjLen }
-      else if (postLen == best) {
-        postHits += ((i, if (i > 0) words(i - 1).end else 0))
-        i += postLen
-      } else {
-        preHits += ((i + preLen, words(math.min(i + preLen, words.length - 1)).start))
-        i += preLen
+      // one set-membership test gates the five trie probes: almost no
+      // word starts a trigger, so the common case is a single hash lookup
+      if (!umls.negexFirstWords.contains(lcs(i))) i += 1
+      else {
+        val pseudoLen = math.max(
+          umls.negexPseudoTrie.matchesAt(lcs, i).headOption.getOrElse(0),
+          umls.negexPseudoPostTrie.matchesAt(lcs, i).headOption.getOrElse(0))
+        val conjLen = umls.negexConjTrie.matchesAt(lcs, i).headOption.getOrElse(0)
+        val preLen = umls.negexPreTrie.matchesAt(lcs, i).headOption.getOrElse(0)
+        val postLen = umls.negexPostTrie.matchesAt(lcs, i).headOption.getOrElse(0)
+        val best = math.max(math.max(pseudoLen, conjLen), math.max(preLen, postLen))
+        if (best == 0) i += 1
+        else if (pseudoLen == best) i += pseudoLen // suppressed: no negation
+        else if (conjLen == best) { termStarts += i; i += conjLen }
+        else if (postLen == best) {
+          postHits += ((i, if (i > 0) words(i - 1).end else 0))
+          i += postLen
+        } else {
+          preHits += ((i + preLen, words(math.min(i + preLen, words.length - 1)).start))
+          i += preLen
+        }
       }
     }
 

@@ -143,6 +143,13 @@ final case class UmlsTables(
   @transient lazy val negexPseudoTrie: WordTrie = WordTrie.build(negexPseudo)
   @transient lazy val negexPseudoPostTrie: WordTrie = WordTrie.build(negexPseudoPost)
   @transient lazy val negexConjTrie: WordTrie = WordTrie.build(negexConj)
+  /** First words of ANY negex trigger class: one set membership test per
+    * word position gates the five per-class trie probes (the overwhelming
+    * majority of words start no trigger).
+    */
+  @transient lazy val negexFirstWords: Set[String] =
+    (negexPre ++ negexPost ++ negexPseudo ++ negexPseudoPost ++ negexConj)
+      .filter(_.nonEmpty).map(_.head).toSet
 }
 
 object UmlsTables {
