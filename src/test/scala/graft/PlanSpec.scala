@@ -112,6 +112,43 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p) // broadcast NL join is fine
   }
 
+  test("bucketed tables: co-located join elides the shuffle") {
+    // the 100 TB co-location strategy: both sides bucketed by the join key
+    // at write time -> the join needs NO Exchange on either side
+    // external tables at explicit paths: the static warehouse dir is
+    // untouched
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+    val o = graft.Tables.load(spark, sf, "orders").limit(2000)
+    val l = graft.Tables.load(spark, sf, "lineitem").limit(2000)
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/g_orders_b").saveAsTable("g_orders_b")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/g_lineitem_b").saveAsTable("g_lineitem_b")
+    // small test tables would broadcast-join (also shuffle-free, but that
+    // proves nothing about bucketing): force the sort-merge path the
+    // tables would take at real size
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try {
+      val joined = spark.table("g_lineitem_b").join(spark.table("g_orders_b"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+        .count()
+      joined.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // no Exchange may appear BELOW the join (bucket co-location); the
+    // final groupBy may still shuffle its 5 keys
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p)
+    assert(!p.substring(joinIdx).contains("Exchange"),
+      s"bucketed join re-shuffled:\n$p")
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+  }
+
   test("whole-stage codegen covers the scoring-free column pipelines") {
     // token counting: scan -> project -> sort, all codegen'd. (The
     // fingerprint op uses higher-order array functions, which Spark
