@@ -51,13 +51,15 @@ object Bench {
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // surface the failure loudly; a -1-second entry must never pass
-          // for a plausible headline number
-          System.err.println(s"[bench] TIMED RUN FAILED $name: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] TIMED RUN FAILED $name: ${e.getMessage}")
+            false
+        }
+      // a failed run must never pass for a plausible headline number:
+      // it lands as -1 in the JSON, not as its (short) elapsed time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // KG pipeline throughput (JIT-warm with a small run first; best of 2 —
@@ -74,7 +76,7 @@ object Bench {
     val all = results :+ ("kg_pipeline_200k_pages" -> kgSec)
     val qjson = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val total = all.map(_._2).filter(_ >= 0).sum // -1 failure markers excluded
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""pages_per_sec":${kgPages / kgSec},"triples_per_sec":${triples / kgSec},""" +
       s""""kg_triples":$triples,"sf":"$sfDir"}""")

@@ -162,10 +162,20 @@ object KgQueries {
     // per-process root, wiped first: repeated gate runs in THIS process
     // must not accumulate /tmp copies (and a resumable table must start
     // clean here), while two concurrent gate/test runs on the same machine
-    // must not race each other's snapshots — hence the PID suffix
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_sink_gate_${ProcessHandle.current().pid()}").toString
+    // must not race each other's snapshots — hence the PID suffix. Stale
+    // roots from DEAD processes (each gate run is a fresh JVM) are swept
+    // here too, so /tmp never accumulates table copies across runs.
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val name = f.getName
+      if (name.startsWith("graft_sink_gate") && name != s"graft_sink_gate_$pid") {
+        val alive = name.stripPrefix("graft_sink_gate_").toLongOption
+          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (!alive) org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
+    }
+    val root = java.nio.file.Paths.get(tmp.getPath, s"graft_sink_gate_$pid").toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     graft.graph.IcebergLite.write(Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir))), root)
     graft.graph.IcebergLite.read(spark, root)
@@ -182,19 +192,20 @@ object KgQueries {
     streaming.StreamingPipeline.runBounded(spark, 100)
       .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")
 
-  // gate-facing entries stringify nested columns (GateSafe scaladoc);
-  // library callers use the typed functions above directly
+  // nested output columns are stringified ONCE, by Verify's blanket
+  // GateSafe.stringifyNested over every query — no per-entry wrapping, so
+  // the convention cannot drift as entries are added
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kg_mentions" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgMentions(s, d))),
-    "kg_negated_mentions" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgNegated(s, d))),
-    "kg_term_lookup" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgTermLookup(s, d))),
+    "kg_mentions" -> (kgMentions _),
+    "kg_negated_mentions" -> (kgNegated _),
+    "kg_term_lookup" -> (kgTermLookup _),
     "kg_streaming_triples" -> (kgStreamingTriples _),
     "kg_sink_roundtrip" -> (kgSinkRoundtrip _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
     "kg_graph_degrees" -> (kgGraphDegrees _),
     "kg_pagerank" -> (kgPagerank _),
-    "kg_mmi_rank" -> ((s: SparkSession, d: String) => GateSafe.stringifyNested(kgMmiRank(s, d))),
+    "kg_mmi_rank" -> (kgMmiRank _),
     "kg_json_output" -> (kgJsonOutput _),
     "kg_aa_dump" -> (kgAaDump _),
     "kg_xml_output" -> (kgXmlOutput _),

@@ -107,7 +107,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_cosine requires 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }
 
@@ -122,8 +126,27 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_cosine",
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
+    registry.createOrReplaceTempFunction("graft_capped_collect_set",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_capped_collect_set requires (bigint column, int literal cap)")
+        val cap = exprs(1).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_capped_collect_set cap must be an int literal, got $other")
+        }
+        CappedCollectSetLong(exprs.head, cap)
+      },
+      "built-in")
   }
 
   /** Requires register(spark) once per session. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Capped distinct-collect (see [[CappedCollectSetLong]]); requires
+    * register(spark) once per session.
+    */
+  def cappedCollectSet(c: Column, cap: Int): Column =
+    call_function("graft_capped_collect_set", c,
+      org.apache.spark.sql.functions.lit(cap))
 }

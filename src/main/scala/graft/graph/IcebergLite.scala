@@ -103,8 +103,22 @@ object IcebergLite {
     // running it twice would double the most expensive job in the system.
     todo.write.mode("append").partitionBy("part_bucket").parquet(dataDir)
 
+    // first-ever write of an empty input leaves only _SUCCESS behind —
+    // checked EXPLICITLY (a broad AnalysisException catch here would turn
+    // any unrelated read failure into an empty snapshot that orphans the
+    // just-written buckets and duplicates them on the next write)
+    val hasDataFiles = {
+      val dp = Paths.get(dataDir)
+      Files.isDirectory(dp) && {
+        val stream = Files.walk(dp, 2)
+        try stream.iterator().asScala.exists(
+          p => p.getFileName.toString.endsWith(".parquet"))
+        finally stream.close()
+      }
+    }
     val metrics =
-      try {
+      if (!hasDataFiles) Vector.empty[PartitionMeta]
+      else {
         val written = spark.read.parquet(dataDir)
         val fresh = if (committed.isEmpty) written
           else written.filter(!col("part_bucket").isin(committed.toSeq: _*))
@@ -115,10 +129,6 @@ object IcebergLite {
           .map(r => PartitionMeta(r.getInt(0), r.getLong(1), r.getLong(2),
             r.getString(3), r.getString(4)))
           .toVector.sortBy(_.bucket)
-      } catch {
-        // first-ever write of an empty input: the data dir holds only
-        // _SUCCESS and schema inference fails — nothing new was committed
-        case _: org.apache.spark.sql.AnalysisException => Vector.empty[PartitionMeta]
       }
 
     commit(metrics)

@@ -55,13 +55,22 @@ object NegexTriggers {
   ) ++ p("not able to be", "not been able to be")).distinct
 
   /** Post-position pseudo-negations (pnegb): modal "should be ruled out"
-    * frames that recommend exclusion rather than assert it.
+    * frames that recommend exclusion rather than assert it, and NEGATED
+    * exclusion frames ("cannot be ruled out" asserts the concept is STILL
+    * suspected) — both must suppress the bare "be ruled out" negb trigger.
     */
-  val pseudoPost: Vector[Vector[String]] = (
-    Vector("should", "ought to", "may", "might", "must", "could", "will",
-      "would", "can").map(m => s"$m be ruled out".split(' ').toVector) ++
-      p("did not rule out", "not been ruled out", "not ruled out",
+  val pseudoPost: Vector[Vector[String]] = {
+    val modals = Vector("should", "ought to", "may", "might", "must",
+      "could", "will", "would", "can")
+    (modals.map(m => s"$m be ruled out".split(' ').toVector) ++
+      modals.map(m => s"$m not be ruled out".split(' ').toVector) ++
+      p("cannot be ruled out", "can not be ruled out",
+        "could not be ruled out", "has not been ruled out",
+        "have not been ruled out", "had not been ruled out",
+        "did not rule out", "not been ruled out", "not ruled out",
+        "not be ruled out",
         "needs to be ruled out", "needed to be ruled out")).distinct
+  }
 
   /** Scope-terminating conjunction phrases (conj class). */
   val conj: Vector[Vector[String]] = (p(

@@ -190,10 +190,15 @@ object DocOps {
     // the block count — without it, a low-diversity corpus (tiny shared
     // vocabulary) makes band signatures non-discriminative and a bucket
     // approaches the corpus (measured: 45 s at sf0.1 for the unblocked
-    // unigram form vs ~2 s blocked)
+    // unigram form vs ~2 s blocked). The capped collect (a custom typed
+    // aggregate) stops buffering a hot bucket at cap+1 ids, so the size
+    // filter below drops overflowed buckets WITHOUT the aggregation ever
+    // holding a corpus-sized array in one buffer.
+    graft.functions.GraftFunctions.register(spark)
     val buckets = minhashBands(spark, sfDir, unigram, blockCols)
       .groupBy(blockCols.map(col) :+ col("band") :+ col("sig"): _*)
-      .agg(collect_set(col("doc_id")).as("ids"))
+      .agg(graft.functions.GraftFunctions
+        .cappedCollectSet(col("doc_id"), HotBucketCap).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= HotBucketCap)
     val ids = array_sort(col("ids"))
     buckets
@@ -219,10 +224,12 @@ object DocOps {
       |sig AS (SELECT doc_id, j, min(h) mh FROM hashed GROUP BY doc_id, j),
       |bands AS (SELECT doc_id, CAST(j // 2 AS INT) band,
       |                 string_agg(mh, '' ORDER BY mh) sig
-      |          FROM sig GROUP BY doc_id, j // 2)
+      |          FROM sig GROUP BY doc_id, j // 2),
+      |bsize AS (SELECT band, sig, COUNT(*) n FROM bands GROUP BY band, sig)
       |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-      |WHERE a.doc_id < b.doc_id
+      |JOIN bsize s ON s.band = a.band AND s.sig = a.sig
+      |WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND 4096
       |ORDER BY a, b""".stripMargin
 
   /** 16-bit SimHash per document from md5-derived token hashes. */
@@ -567,12 +574,16 @@ object DocOps {
         else size(filter(col("bg"), x => x.isin(prof: _*))).cast("double")
       struct((lit(0.0) - hits / size(col("bg"))).as("neg"), lit(lang).as("lang"))
     }: _*))
+    // one row per document, ALWAYS: sub-bigram docs predict ("und", 0.0)
+    // instead of silently vanishing from the output
+    val isLong = length(col("text")) >= 2
     Tables.load(spark, sfDir, "documents")
-      .filter(length(col("text")) >= 2)
       .withColumn("bg", bg)
       .withColumn("best", ranked.getItem(0))
-      .select(col("doc_id"), col("best.lang").as("predicted_lang"),
-        round(lit(0.0) - col("best.neg"), 4).as("confidence"))
+      .select(col("doc_id"),
+        when(isLong, col("best.lang")).otherwise(lit("und")).as("predicted_lang"),
+        when(isLong, round(lit(0.0) - col("best.neg"), 4)).otherwise(lit(0.0))
+          .as("confidence"))
       .orderBy(col("doc_id"))
   }
 
@@ -581,6 +592,7 @@ object DocOps {
       |b AS (SELECT doc_id,
       |        list_transform(generate_series(1, length(t) - 1), i -> substr(t, i, 2)) bg
       |      FROM d),
+      |-- sub-bigram docs fall out of d and rejoin as ('und', 0.0) at the end
       |l(lang, prof) AS (VALUES
       |  ('de', ['en','er','ch','de','ei','ie','in','te','nd','ge']),
       |  ('en', ['th','he','in','er','an','re','on','at','en','nd']),
@@ -591,9 +603,12 @@ object DocOps {
       |        CAST(len(list_filter(bg, x -> list_contains(prof, x))) AS DOUBLE) / len(bg) score
       |      FROM b, l),
       |r AS (SELECT doc_id, lang, score,
-      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rk FROM s)
-      |SELECT doc_id, lang AS predicted_lang, round(score, 4) AS confidence
-      |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rk FROM s),
+      |best AS (SELECT doc_id, lang, score FROM r WHERE rk = 1)
+      |SELECT doc.doc_id, COALESCE(best.lang, 'und') AS predicted_lang,
+      |  COALESCE(round(best.score, 4), 0.0) AS confidence
+      |FROM documents doc LEFT JOIN best ON doc.doc_id = best.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_token_count" -> (docTokenCount _),

@@ -43,6 +43,10 @@ class TableScaleSpec extends AnyFunSuite {
     // pnegb suppresses: modal recommendation is not an assertion
     assert(!cuisNeg("Pneumonia should be ruled out.").contains("C0032285"))
     assert(!cuisNeg("Pneumonia must be ruled out.").contains("C0032285"))
+    // negated exclusion asserts CONTINUED suspicion — never negate
+    assert(!cuisNeg("Pneumonia cannot be ruled out.").contains("C0032285"))
+    assert(!cuisNeg("Pneumonia could not be ruled out.").contains("C0032285"))
+    assert(!cuisNeg("Pneumonia has not been ruled out.").contains("C0032285"))
     // conj phrase terminates scope: fever negated, chest pain not
     val m = cuisNeg("No fever but chest pain persisted.")
     assert(m.contains("C0015967") && !m.contains("C0008031"))
@@ -67,6 +71,13 @@ class TableScaleSpec extends AnyFunSuite {
     val wrongCat = t.copy(stopPhrases = Map("heart" -> Set("adj")))
     assert(DocKernel.mentions("u", "The heart was examined.",
       wrongCat, LinkOptions(allowOvermatches = true)).exists(_.cui == "C0018787"))
+    // the SHIPPED table is live, not dead data: "stage" (noun) is a stop
+    // phrase, so in -o mode the 1-word Stage concept — reachable only via
+    // the stage probe — disappears, while default mode keeps it
+    val text = "The stage results were confirmed."
+    assert(DocKernel.mentions("u", text, t).exists(_.cui == "C4000008"))
+    assert(!DocKernel.mentions("u", text, t, LinkOptions(allowOvermatches = true))
+      .exists(_.cui == "C4000008"))
   }
 
   test("ascii fold: greek names, ligatures, NFD accents, typography") {

@@ -77,6 +77,26 @@ class VectorExprSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(v - 1.0 / math.sqrt(26.0)) < 1e-12 || v == 1.0)
   }
 
+  test("capped collect set: exact under cap, overflow marker above, sorted") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = spark.range(0, 100)
+      .select((col("id") % 10).as("k"), col("id"))
+      .repartition(7) // exercise partial buffers + merge
+    // 10 distinct ids per key, cap 5: buffer stops at cap+1 = 6 (overflow)
+    val over = df.groupBy("k")
+      .agg(GraftFunctions.cappedCollectSet(col("id"), 5).as("ids"))
+      .select(org.apache.spark.sql.functions.size(col("ids")).as("n")).collect()
+    assert(over.forall(_.getAs[Int]("n") == 6), over.mkString(","))
+    // 3 per key <= cap: exact distinct set, sorted
+    val exact = df.filter(col("id") < 30).groupBy("k")
+      .agg(GraftFunctions.cappedCollectSet(col("id"), 5).as("ids")).collect()
+    exact.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getSeq[Long](1) == Seq(k, k + 10, k + 20), r.toString)
+    }
+  }
+
   test("GraftExtensions: config-driven session picks up graft_cosine") {
     // build a sibling session on the same context with the extensions
     // config — the deployment path (spark.sql.extensions=...GraftExtensions)
