@@ -552,6 +552,67 @@ object DocOps {
       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos6 FROM rr WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Hybrid retrieval: keyword score (distinct query-term hits over the
+    * token set) fused with vector similarity (cosine to a fixed query
+    * embedding) by reciprocal-rank fusion, the standard
+    * lexical-plus-dense retrieval composition. Deterministic: fixed query
+    * terms, query vector = embedding of id 0, ties broken by doc id.
+    * The global row_number ranks ONE query's scored candidates — at web
+    * scale a score-threshold cut bounds that set before ranking; the
+    * fusion math is the part under test.
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val kwTerms = Seq("spark", "join", "window")
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"))
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val kwScore = kwTerms.map(t =>
+      when(array_contains(col("ts"), t), 1).otherwise(0)).reduce(_ + _)
+    val scored = d.join(e, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(qv))
+      .filter(col("doc_id") =!= 0)
+      .withColumn("kw_score", kwScore)
+      .withColumn("cos6", round(cosineCol(col("embedding"), col("qe")), 6))
+    val kwW = Window.orderBy(col("kw_score").desc, col("doc_id"))
+    val vecW = Window.orderBy(col("cos6").desc, col("doc_id"))
+    scored
+      .withColumn("kw_rank", row_number().over(kwW))
+      .withColumn("vec_rank", row_number().over(vecW))
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(60) + col("kw_rank")) +
+          lit(1.0) / (lit(60) + col("vec_rank")), 8))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("doc_id"), col("kw_score"), col("cos6"), col("rrf"))
+      .orderBy(col("rk"))
+  }
+
+  val hybridSearchSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT d.doc_id,
+      |        CAST((CASE WHEN list_contains(list_distinct(string_split(d.text,' ')), 'spark') THEN 1 ELSE 0 END)
+      |          + (CASE WHEN list_contains(list_distinct(string_split(d.text,' ')), 'join') THEN 1 ELSE 0 END)
+      |          + (CASE WHEN list_contains(list_distinct(string_split(d.text,' ')), 'window') THEN 1 ELSE 0 END) AS INT) kw_score,
+      |        round(list_dot_product(e.embedding::DOUBLE[], q.qe) /
+      |          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |           sqrt(list_dot_product(q.qe, q.qe))), 6) cos6
+      |      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q
+      |      WHERE d.doc_id <> 0),
+      |r AS (SELECT doc_id, kw_score, cos6,
+      |        ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) kw_rank,
+      |        ROW_NUMBER() OVER (ORDER BY cos6 DESC, doc_id) vec_rank
+      |      FROM s),
+      |f AS (SELECT doc_id, kw_score, cos6,
+      |        round(1.0 / (60 + kw_rank) + 1.0 / (60 + vec_rank), 8) rrf
+      |      FROM r),
+      |t AS (SELECT doc_id, kw_score, cos6, rrf,
+      |        ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) rk FROM f)
+      |SELECT CAST(rk AS INT) AS rk, doc_id, kw_score, cos6, rrf
+      |FROM t WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   /** Language ID by character-bigram profile scoring (n-gram heuristic),
     * expressed as pure column algebra (no UDF): bigrams per doc once, one
     * hit-ratio per profile, argmax by (score desc, lang asc) via a sorted
@@ -624,7 +685,8 @@ object DocOps {
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "ann_ivf" -> (annIvf _),
-    "ann_ivf_kmeans" -> (annIvfKmeans _))
+    "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "hybrid_search" -> (hybridSearch _))
 
   val oracleSql: Map[String, String] = Map(
     "doc_token_count" -> docTokenCountSql,
@@ -638,7 +700,8 @@ object DocOps {
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
     "ann_ivf" -> annIvfSql,
-    "doc_lang_id" -> docLangIdSql)
+    "doc_lang_id" -> docLangIdSql,
+    "hybrid_search" -> hybridSearchSql)
   // ann_lsh_bucketed stays rows-only BY DESIGN: its bucketing hashes
   // against float hyperplane weights generated from a 64-bit mix on the
   // JVM — not reproducible in DuckDB SQL without embedding 512 float
