@@ -76,7 +76,9 @@ object Bench {
     val all = results :+ ("kg_pipeline_200k_pages" -> kgSec)
     val qjson = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum // -1 failure markers excluded
+    // ANY failed query poisons the total: a crashed entry must read as an
+    // invalid round, never as a faster one
+    val total = if (all.exists(_._2 < 0)) -1.0 else all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""pages_per_sec":${kgPages / kgSec},"triples_per_sec":${triples / kgSec},""" +
       s""""kg_triples":$triples,"sf":"$sfDir"}""")

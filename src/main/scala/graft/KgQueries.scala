@@ -170,8 +170,13 @@ object KgQueries {
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       val name = f.getName
       if (name.startsWith("graft_sink_gate") && name != s"graft_sink_gate_$pid") {
+        // best-effort: malformed/non-positive pids count as dead
+        // (ProcessHandle.of throws on pid <= 0); a recycled pid may retain
+        // a stale dir until its holder exits — acceptable residual
         val alive = name.stripPrefix("graft_sink_gate_").toLongOption
-          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+          .filter(_ > 0)
+          .exists(p => try ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+            catch { case _: IllegalArgumentException => false })
         if (!alive) org.apache.commons.io.FileUtils.deleteQuietly(f)
       }
     }

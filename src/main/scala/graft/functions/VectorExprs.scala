@@ -112,6 +112,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           s"graft_cosine requires 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_capped_collect_set"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CappedCollectSetLong].getName, "graft_capped_collect_set"),
+      GraftFunctions.cappedCollectSetBuilder))
   }
 }
 
@@ -121,23 +126,28 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   */
 object GraftFunctions {
 
+  /** Shared builder so the programmatic registry and GraftExtensions paths
+    * can never drift.
+    */
+  private[functions] val cappedCollectSetBuilder: Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "graft_capped_collect_set requires (bigint column, int literal cap)")
+      val cap = exprs(1).eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"graft_capped_collect_set cap must be an int literal, got $other")
+      }
+      CappedCollectSetLong(exprs.head, cap)
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_cosine",
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction("graft_capped_collect_set",
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          "graft_capped_collect_set requires (bigint column, int literal cap)")
-        val cap = exprs(1).eval() match {
-          case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"graft_capped_collect_set cap must be an int literal, got $other")
-        }
-        CappedCollectSetLong(exprs.head, cap)
-      },
-      "built-in")
+      cappedCollectSetBuilder, "built-in")
   }
 
   /** Requires register(spark) once per session. */

@@ -200,7 +200,7 @@ object DocOps {
       .agg(graft.functions.GraftFunctions
         .cappedCollectSet(col("doc_id"), HotBucketCap).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= HotBucketCap)
-    val ids = array_sort(col("ids"))
+    val ids = col("ids") // already sorted by CappedCollectSetLong.eval
     buckets
       .select(explode(flatten(transform(ids, (a, i) =>
         transform(slice(ids, i + lit(2), size(ids)),
@@ -214,7 +214,7 @@ object DocOps {
     minhashCandidatePairs(spark, sfDir).orderBy(col("a"), col("b"))
 
   val dedupMinhashLshSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') sh
       |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) g),
       |hashed AS (SELECT doc_id, j,
@@ -229,7 +229,7 @@ object DocOps {
       |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
       |JOIN bsize s ON s.band = a.band AND s.sig = a.sig
-      |WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND 4096
+      |WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND $HotBucketCap
       |ORDER BY a, b""".stripMargin
 
   /** 16-bit SimHash per document from md5-derived token hashes. */
@@ -297,7 +297,7 @@ object DocOps {
   }
 
   val dedupTokenJaccardSql: String =
-    """WITH sh AS (SELECT doc_id, source, lang,
+    s"""WITH sh AS (SELECT doc_id, source, lang,
       |                   unnest(list_distinct(string_split(text,' '))) sh
       |            FROM documents),
       |hashed AS (SELECT doc_id, source, lang, j,
@@ -317,7 +317,7 @@ object DocOps {
       |                     AND p.band = q.band AND p.sig = q.sig
       |         JOIN bsize s ON s.source = p.source AND s.lang = p.lang
       |                     AND s.band = p.band AND s.sig = p.sig
-      |         WHERE p.doc_id < q.doc_id AND s.n BETWEEN 2 AND 4096),
+      |         WHERE p.doc_id < q.doc_id AND s.n BETWEEN 2 AND $HotBucketCap),
       |ts AS (SELECT doc_id, source, lang,
       |              list_distinct(string_split(text,' ')) ts FROM documents)
       |SELECT c.a, c.b,
