@@ -15,7 +15,7 @@ object Bench {
     "q01_pricing_summary", "q02_top_revenue_orders", "q05_supplier_distinct_parts",
     "q06_window_top_orders", "q08_event_sessions",
     "q11_cube_flags", "q14_string_funcs", "q16_date_buckets", "q17_filtered_agg",
-    "q20_lag_delta", "q27_skew_safe_distinct",
+    "q20_lag_delta", "q27_skew_safe_distinct", "q28_asof_join",
     "doc_token_count", "doc_token_count_bpe", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_token_jaccard",
     "ann_topk_bruteforce", "ann_ivf",

@@ -369,7 +369,42 @@ object AdvancedQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** AS-OF join — the canonical operator Spark lacks (a naive range join
+    * `c.user = p.user AND p.ts <= c.ts` + max explodes to
+    * O(clicks x purchases) per user). Re-expressed as a WINDOW: union both
+    * event roles, sort per user by time, carry the latest purchase
+    * timestamp forward — ONE shuffle on user_id, linear per partition, no
+    * join at all; this is the shape that survives 100x. At equal
+    * timestamps the purchase sorts first, matching ASOF's inclusive
+    * `>=` bound. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def q28AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "purchase", 0).otherwise(1), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    e.withColumn("p_ts", when(col("event_type") === "purchase", col("ts")))
+      .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        col("purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val q28Sql: String =
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purchases AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_asof_join" -> (q28AsofJoin _),
     "q27_skew_safe_distinct" -> (q27SkewSafeDistinct _),
     "q25_except_setop" -> (q25Except _),
     "q26_string_agg" -> (q26StringAgg _),
@@ -389,6 +424,7 @@ object AdvancedQueries {
     "q20_lag_delta" -> (q20LagDelta _))
 
   val oracleSql: Map[String, String] = Map(
+    "q28_asof_join" -> q28Sql,
     "q27_skew_safe_distinct" -> q27Sql,
     "q25_except_setop" -> q25Sql,
     "q26_string_agg" -> q26Sql,
