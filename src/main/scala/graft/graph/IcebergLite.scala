@@ -134,6 +134,20 @@ object IcebergLite {
     commit(metrics)
   }
 
+  /** Union-read every per-batch table under `root` (the streaming layout
+    * [[graft.streaming.StreamingPipeline.sinkStream]] writes: one table
+    * per micro-batch at root/batch-<id>). Committed buckets only, as
+    * always.
+    */
+  def readAll(spark: SparkSession, root: String): DataFrame = {
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .sortBy(_.getName)
+    require(dirs.nonEmpty, s"no batch-* tables under $root")
+    dirs.map(d => read(spark, d.getPath)).reduce(_.unionByName(_))
+  }
+
   /** Load one specific snapshot's manifest (time travel). */
   def snapshot(root: String, id: Int): Option[Snapshot] = {
     val p = manifestDir(root).resolve(s"snapshot-$id.json")

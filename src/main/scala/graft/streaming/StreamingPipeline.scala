@@ -75,6 +75,25 @@ object StreamingPipeline {
     }.toDF("subj_cui", "pred", "obj_cui", "url", "sentNo", "warc_ts")
   }
 
+  /** Exactly-once streaming ingestion into the IcebergLite layout: each
+    * micro-batch commits through the snapshot writer into its own table
+    * at root/batch-<id>. Replayed batches (restart after a crash between
+    * sink write and offset commit — the Structured Streaming at-least-once
+    * window) are IDEMPOTENT for free: the writer's resume protocol skips
+    * buckets the batch's earlier attempt already committed. Read the whole
+    * stream's output with [[graft.graph.IcebergLite.readAll]].
+    */
+  def sinkStream(triples: DataFrame, root: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    triples
+      .select("subj_cui", "pred", "obj_cui", "url", "sentNo")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.graph.IcebergLite.write(batch,
+          java.nio.file.Paths.get(root, s"batch-$batchId").toString)
+        ()
+      }
+
   /** Windowed graph rollup with a watermark: evidence counts per
     * (subj, pred, obj) per event-time hour, tolerating 10 minutes of
     * lateness (the streaming analogue of the batch graph materialization).

@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.toSet == batch.toSet)
   }
 
+  test("streaming sink: exactly-once into IcebergLite, replay-idempotent") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val stream = MemoryStream[Page]
+    val umls = Pipeline.broadcastUmls(spark)
+    val triples = StreamingPipeline.triplesStream(stream.toDS(), umls)
+    val q = StreamingPipeline.sinkStream(triples, root).start()
+    val pagesVec = (0L until 60L).map(CorpusGen.genPage(_)._1)
+    stream.addData(pagesVec.take(30))
+    q.processAllAvailable()
+    stream.addData(pagesVec.drop(30))
+    q.processAllAvailable()
+    q.stop()
+    val expected = Pipeline.run(CorpusGen.pages(spark, 60)).count()
+    assert(graft.graph.IcebergLite.readAll(spark, root).count() == expected)
+    // crash-replay simulation: re-committing batch 0's data into its own
+    // table is a no-op (every bucket already committed)
+    val batch0 = pagesVec.take(30)
+    val replay = Pipeline.run(spark.createDataset(batch0))
+    graft.graph.IcebergLite.write(replay,
+      java.nio.file.Paths.get(root, "batch-0").toString)
+    assert(graft.graph.IcebergLite.readAll(spark, root).count() == expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("windowed graph rollup with watermark runs in append mode") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
