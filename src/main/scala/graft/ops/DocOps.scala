@@ -476,19 +476,16 @@ object DocOps {
       val h = (j * 2654435761L + dim * 40503L) * 0x9e3779b97f4a7c15L
       ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
     }
-    val bucketUdf = udf((v: Seq[Float]) => {
-      var b = 0
-      var j = 0
-      while (j < 8) {
-        var dot = 0.0
-        var d = 0
-        while (d < v.length && d < 64) { dot += v(d) * planes(j)(d); d += 1 }
-        if (dot > 0) b |= (1 << j)
-        j += 1
-      }
-      b
-    })
-    val withBucket = e.withColumn("bucket", bucketUdf(col("embedding")))
+    // hyperplane side test as NATIVE column algebra: sign(dot) ==
+    // sign(cosine) (norms are positive), so the codegen'd cosine
+    // expression against 8 plane literals replaces the last Scala UDF on
+    // an ops hot path — bucket bit j set iff the vector lies on plane j's
+    // positive side
+    val bucketCol = planes.zipWithIndex.map { case (p, j) =>
+      when(graft.functions.GraftFunctions.cosine(
+        col("embedding"), typedlit(p.toSeq)) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+    val withBucket = e.withColumn("bucket", bucketCol)
     val q = withBucket.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(array((0 to 8).map(i =>
