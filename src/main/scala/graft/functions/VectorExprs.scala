@@ -95,6 +95,75 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd dot product over two float/double array columns —
+  * CosineSimilarity's cheaper sibling for sign tests and pre-normalized
+  * vectors (no norms, no divide; a zero vector yields 0.0, never NaN).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemGetter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case t => throw new IllegalArgumentException(s"graft_dot over array<$t> unsupported")
+    }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float|double>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xv: Double = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv: Double = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gx = elemGetter(left)
+    val gy = elemGetter(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.$gx($i)) * ((double) $b.$gy($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SparkSessionExtensions injection point — the deployment-grade
   * registration: any session built with
   * `spark.sql.extensions=graft.functions.GraftExtensions` gets the native
@@ -111,6 +180,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         if (exprs.length != 2) throw new IllegalArgumentException(
           s"graft_cosine requires 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_dot requires 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_capped_collect_set"),
@@ -146,12 +224,18 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_cosine",
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
+    registry.createOrReplaceTempFunction("graft_dot",
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
+      "built-in")
     registry.createOrReplaceTempFunction("graft_capped_collect_set",
       cappedCollectSetBuilder, "built-in")
   }
 
   /** Requires register(spark) once per session. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Dot product (see [[DotProduct]]); requires register(spark). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Capped distinct-collect (see [[CappedCollectSetLong]]); requires
     * register(spark) once per session.

@@ -143,8 +143,11 @@ object IcebergLite {
     val dirs = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
-      .sortBy(_.getName)
-    require(dirs.nonEmpty, s"no batch-* tables under $root")
+      .sortBy(_.getName.stripPrefix("batch-").toLong) // numeric: batch-10 > batch-2
+      // an all-non-English micro-batch commits an EMPTY snapshot whose data
+      // dir has no parquet to infer a schema from — skip, don't poison
+      .filter(d => latestSnapshot(d.getPath).exists(_.partitions.nonEmpty))
+    require(dirs.nonEmpty, s"no non-empty committed batch-* tables under $root")
     dirs.map(d => read(spark, d.getPath)).reduce(_.unionByName(_))
   }
 

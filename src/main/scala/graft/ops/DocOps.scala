@@ -476,13 +476,14 @@ object DocOps {
       val h = (j * 2654435761L + dim * 40503L) * 0x9e3779b97f4a7c15L
       ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
     }
-    // hyperplane side test as NATIVE column algebra: sign(dot) ==
-    // sign(cosine) (norms are positive), so the codegen'd cosine
-    // expression against 8 plane literals replaces the last Scala UDF on
-    // an ops hot path — bucket bit j set iff the vector lies on plane j's
-    // positive side
+    // hyperplane side test as NATIVE column algebra: the codegen'd dot
+    // product against 8 plane literals replaces the old Scala UDF —
+    // bucket bit j set iff the vector lies on plane j's positive side.
+    // (Dot, not cosine: a zero vector dots to 0.0, never NaN — Spark
+    // orders NaN above every value, which would flip such a bucket to
+    // 255 — and it skips two norms and a divide per plane.)
     val bucketCol = planes.zipWithIndex.map { case (p, j) =>
-      when(graft.functions.GraftFunctions.cosine(
+      when(graft.functions.GraftFunctions.dot(
         col("embedding"), typedlit(p.toSeq)) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
     val withBucket = e.withColumn("bucket", bucketCol)

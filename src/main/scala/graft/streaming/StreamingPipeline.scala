@@ -77,20 +77,35 @@ object StreamingPipeline {
 
   /** Exactly-once streaming ingestion into the IcebergLite layout: each
     * micro-batch commits through the snapshot writer into its own table
-    * at root/batch-<id>. Replayed batches (restart after a crash between
-    * sink write and offset commit — the Structured Streaming at-least-once
-    * window) are IDEMPOTENT for free: the writer's resume protocol skips
-    * buckets the batch's earlier attempt already committed. Read the whole
-    * stream's output with [[graft.graph.IcebergLite.readAll]].
+    * at root/batch-<id>, with the manifest as THE commit marker. Replay
+    * semantics (restart after a crash anywhere in Structured Streaming's
+    * at-least-once window):
+    *  - earlier attempt fully committed (manifest present): write() resume
+    *    makes the replay a no-op;
+    *  - earlier attempt died between parquet append and manifest commit
+    *    (orphan data, no manifest): the batch dir is wiped and rewritten —
+    *    uncommitted data was never readable, so the rewrite is safe.
+    * The checkpoint defaults to root/_checkpoint so batch ids stay
+    * monotonic across restarts (a FRESH checkpoint against an existing
+    * root would reuse batch ids for different data — callers overriding
+    * checkpointLocation must keep it paired with the root for the table's
+    * lifetime). Read the output with [[graft.graph.IcebergLite.readAll]].
     */
   def sinkStream(triples: DataFrame, root: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     triples
       .select("subj_cui", "pred", "obj_cui", "url", "sentNo")
       .writeStream
       .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Paths.get(root, "_checkpoint").toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.graph.IcebergLite.write(batch,
-          java.nio.file.Paths.get(root, s"batch-$batchId").toString)
+        val dir = java.nio.file.Paths.get(root, s"batch-$batchId")
+        if (java.nio.file.Files.exists(dir) &&
+          graft.graph.IcebergLite.latestSnapshot(dir.toString).isEmpty) {
+          // orphaned partial attempt: never committed, never readable
+          org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+        }
+        graft.graph.IcebergLite.write(batch, dir.toString)
         ()
       }
 
