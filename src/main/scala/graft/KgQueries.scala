@@ -26,17 +26,39 @@ object KgQueries {
 
   def kgMentions(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
+    KgOracleTables.ensure(spark, sfDir)
     val umls = Pipeline.broadcastUmls(spark)
     Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, pagesFor(sfDir)), umls), umls)
   }
 
+  /** The corpus-level WSD stage in isolation, reading the materialized
+    * mention checkpoint (the shape mentions arrive in when they come from
+    * a table rather than in-document): one window rank per span. Exact
+    * DuckDB oracle — this is the shuffle stage the 100 TB plan cares
+    * about, now under the hard rows+schema+hash signal.
+    */
+  def kgWsdDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val root = KgOracleTables.ensure(spark, sfDir)
+    val w = Window.partitionBy(col("url"), col("sentNo"), col("start"), col("len"))
+      .orderBy(col("score").desc, col("st_prio"), col("cui"))
+    spark.read.parquet(s"$root/mentions")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("url"), col("sentNo"), col("start"), col("len"),
+        col("cui"), col("score"), col("negated"))
+  }
+
   def kgTriples(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
+    KgOracleTables.ensure(spark, sfDir)
     Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir)))
   }
 
   def kgGraph(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
+    KgOracleTables.ensure(spark, sfDir)
     val umls = Pipeline.broadcastUmls(spark)
     Pipeline.graph(Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir))), umls)
   }
@@ -200,8 +222,14 @@ object KgQueries {
   // nested output columns are stringified ONCE, by Verify's blanket
   // GateSafe.stringifyNested over every query — no per-entry wrapping, so
   // the convention cannot drift as entries are added
+  /** Exact DuckDB oracles for the corpus-level stages (everything
+    * downstream of the kernel-produced mention checkpoint).
+    */
+  def oracleSql: Map[String, String] = KgOracleTables.oracleSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
+    "kg_wsd_dedup" -> (kgWsdDedup _),
     "kg_negated_mentions" -> (kgNegated _),
     "kg_term_lookup" -> (kgTermLookup _),
     "kg_streaming_triples" -> (kgStreamingTriples _),

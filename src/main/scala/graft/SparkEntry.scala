@@ -18,5 +18,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracleSql ++ relational.AdvancedQueries.oracleSql ++
-      ops.DocOps.oracleSql ++ ops.CorpusOps.oracleSql
+      ops.DocOps.oracleSql ++ ops.CorpusOps.oracleSql ++ KgQueries.oracleSql
 }

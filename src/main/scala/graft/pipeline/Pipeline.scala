@@ -56,15 +56,20 @@ object Pipeline {
     * score desc, then semantic-type prior, then CUI — all deterministic, so
     * results are invariant under repartitioning.
     */
+  /** The WSD tie-break prior over a mention's semTypes column, as pure
+    * column algebra (no UDF): the priority table is ~130 entries at real
+    * scale — a map literal keeps the plan constant and the projection
+    * codegen-friendly. Shared by wsdDedup and the oracle-aux mention dump.
+    */
+  def stPrioCol(umls: UmlsTables): org.apache.spark.sql.Column = {
+    val prioMap = typedlit(umls.semTypePriority)
+    coalesce(array_min(transform(col("semTypes"),
+      st => coalesce(element_at(prioMap, st), lit(99)))), lit(99))
+  }
+
   def wsdDedup(mentions: Dataset[Mention], umls: Broadcast[UmlsTables])(
       implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    // semtype prior as pure column algebra (no UDF): the priority table is
-    // ~130 entries at real scale — a map literal keeps the plan constant
-    // and the projection codegen-friendly
-    val prioMap = typedlit(umls.value.semTypePriority)
-    val stPrio = coalesce(array_min(transform(col("semTypes"),
-      st => coalesce(element_at(prioMap, st), lit(99)))), lit(99))
+    val stPrio = stPrioCol(umls.value)
     val w = Window.partitionBy(col("url"), col("sentNo"), col("start"), col("len"))
       .orderBy(col("score").desc, col("stPrio"), col("cui"))
     mentions.toDF()
@@ -86,6 +91,14 @@ object Pipeline {
     * blow a single key because the join key is (url, sentNo), whose
     * cardinality scales with the corpus, not with CUI popularity.
     */
+  /** Canonical-direction semnet rows (st1, rel, st2) — shared by the
+    * triple join and the oracle-aux dim dump (KgOracleTables).
+    */
+  def semnetRows(umls: UmlsTables): Seq[(String, String, String)] =
+    umls.semnet.toSeq.flatMap { case ((s1, s2), rels) =>
+      rels.filter(umls.preferredRelations.contains).map(r => (s1, r, s2))
+    }
+
   def triples(wsdMentions: DataFrame, umls: Broadcast[UmlsTables])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -99,10 +112,7 @@ object Pipeline {
       .filter(col("a_start") < col("b_start") && col("subj_cui") =!= col("obj_cui"))
 
     // broadcast semnet relation table, canonical direction only
-    val semnetRows = umls.value.semnet.toSeq.flatMap { case ((s1, s2), rels) =>
-      rels.filter(umls.value.preferredRelations.contains).map(r => (s1, r, s2))
-    }
-    val semnetDf = semnetRows.toDF("st1", "rel", "st2")
+    val semnetDf = semnetRows(umls.value).toDF("st1", "rel", "st2")
 
     // forward: subj semtype relates to obj semtype
     val fwd = pairs.join(broadcast(semnetDf),
