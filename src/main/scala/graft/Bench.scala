@@ -48,39 +48,48 @@ object Bench {
         }
       }
     }
+    // Box-noise defense: single-shot numbers on this machine swing 2-3x
+    // with CPU contention (round-2's kg entry read 26 s in the driver
+    // artifact vs 1.9 s quiet same-day). Every timed entry is therefore
+    // best-of-N with ALL raw runs emitted in the JSON ("queries_runs"),
+    // so a contended round is diagnosable from the artifact alone.
+    val headlineRuns = 2
+    def timed(fn: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { fn; (System.nanoTime() - t0) / 1e9 } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] TIMED RUN FAILED: ${e.getMessage}")
+          -1.0 // a failed run must never pass for a plausible number
+      }
+    }
     val results = headline.filter(qs.contains).map { name =>
-      val fn = qs(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] TIMED RUN FAILED $name: ${e.getMessage}")
-            false
-        }
-      // a failed run must never pass for a plausible headline number:
-      // it lands as -1 in the JSON, not as its (short) elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val runs = (1 to headlineRuns).map(_ => timed(qs(name)(spark, sfDir).count()))
+      name -> runs
     }
 
-    // KG pipeline throughput (JIT-warm with a small run first; best of 2 —
-    // single-shot numbers on this box swing 2-3x with CPU contention)
+    // KG pipeline throughput (JIT-warm with a small run first; best of 3)
     Pipeline.run(CorpusGen.pages(spark, 20000, 128)).count()
-    var kgSec = Double.MaxValue
     var triples = 0L
-    for (_ <- 1 to 2) {
-      val t0 = System.nanoTime()
-      triples = Pipeline.run(CorpusGen.pages(spark, kgPages, 128)).count()
-      kgSec = math.min(kgSec, (System.nanoTime() - t0) / 1e9)
+    val kgRuns = (1 to 3).map { _ =>
+      timed { triples = Pipeline.run(CorpusGen.pages(spark, kgPages, 128)).count() }
     }
 
-    val all = results :+ ("kg_pipeline_200k_pages" -> kgSec)
-    val qjson = all.map { case (k, v) => "\"" + k + "\":" + v }
+    val all = results :+ ("kg_pipeline_200k_pages" -> kgRuns)
+    // best-of per entry; any failed run (-1) poisons the entry, and any
+    // poisoned entry poisons the total — a crash must read as an invalid
+    // round, never as a faster one
+    def best(rs: Seq[Double]): Double = if (rs.exists(_ < 0)) -1.0 else rs.min
+    val bests = all.map { case (k, rs) => k -> best(rs) }
+    val kgSec = best(kgRuns)
+    val qjson = bests.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // ANY failed query poisons the total: a crashed entry must read as an
-    // invalid round, never as a faster one
-    val total = if (all.exists(_._2 < 0)) -1.0 else all.map(_._2).sum
+    val rjson = all.map { case (k, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = if (bests.exists(_._2 < 0)) -1.0 else bests.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""pages_per_sec":${kgPages / kgSec},"triples_per_sec":${triples / kgSec},""" +
+      s""""queries_runs":$rjson,""" +
+      s""""pages_per_sec":${if (kgSec > 0) kgPages / kgSec else -1.0},""" +
+      s""""triples_per_sec":${if (kgSec > 0) triples / kgSec else -1.0},""" +
       s""""kg_triples":$triples,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -463,19 +463,29 @@ object DocOps {
       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos6 FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** The 8 LSH hyperplanes as deterministic hash-derived INTEGER weights
+    * in [-8, 8]: integers cast to double exactly, and double(float) *
+    * double(int) products summed in array order are bit-identical between
+    * the native DotProduct expression and DuckDB's list_dot_product — so
+    * the bucketing (a strict sign test, no rounding available) is exactly
+    * oracle-expressible, unlike the former [-0.5,0.5) float weights whose
+    * SQL text round-trip could drift a boundary sign.
+    */
+  private[ops] val lshPlanes: Array[Array[Int]] = Array.tabulate(8, 64) { (j, dim) =>
+    val h = (j * 2654435761L + dim * 40503L) * 0x9e3779b97f4a7c15L
+    (((h >>> 43) % 17).toInt + 17) % 17 - 8
+  }
+
   /** LSH-bucketed ANN (the scale path): 8 deterministic pseudo-random
     * hyperplanes -> 8-bit bucket; candidates searched within the query's
     * bucket plus all 1-bit-flip neighbor buckets (multi-probe). Recall vs
-    * brute force is measured in OpsSpec. Not SQL-expressible -> rows-only.
+    * brute force is measured in OpsSpec; the bucketing + probe + rank is
+    * verified exactly by the DuckDB oracle (integer hyperplanes).
     */
   def annLshBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sfDir, "embeddings")
-    // hyperplane j, dim d weight: deterministic hash -> [-0.5, 0.5)
-    val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (j, dim) =>
-      val h = (j * 2654435761L + dim * 40503L) * 0x9e3779b97f4a7c15L
-      ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-    }
+    val planes: Array[Array[Double]] = lshPlanes.map(_.map(_.toDouble))
     // hyperplane side test as NATIVE column algebra: the codegen'd dot
     // product against 8 plane literals replaces the old Scala UDF —
     // bucket bit j set iff the vector lies on plane j's positive side.
@@ -503,6 +513,35 @@ object DocOps {
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos6"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The LSH oracle replicates the bucketing bit-for-bit: the plane
+    * weights are integer literals, xor() probes the 9 multi-probe buckets,
+    * and a neighbor's single home bucket matches at most one probe so no
+    * dedup is needed (same as the Spark side).
+    */
+  val annLshBucketedSql: String = {
+    val planeLits = lshPlanes.map(_.mkString("[", ", ", "]::DOUBLE[]"))
+    val bucketExpr = planeLits.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(ve, $p) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n        + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
+       |b AS (SELECT vec_id, ve,
+       |        $bucketExpr AS bucket
+       |      FROM e),
+       |q AS (SELECT vec_id query_id, ve qe, xor(bucket, f) bucket
+       |      FROM b, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f)
+       |      WHERE vec_id < 20),
+       |s AS (SELECT q.query_id, c.vec_id neighbor_id,
+       |        round(list_dot_product(q.qe, c.ve) /
+       |          (sqrt(list_dot_product(q.qe, q.qe)) *
+       |           sqrt(list_dot_product(c.ve, c.ve))), 6) cos6
+       |      FROM q JOIN b c USING (bucket) WHERE q.query_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos6,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos6 DESC, neighbor_id) rk FROM s)
+       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos6
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
   /** IVF-style ANN (the other scale path next to LSH): the shared coarse
@@ -555,10 +594,15 @@ object DocOps {
     * embedding) by reciprocal-rank fusion, the standard
     * lexical-plus-dense retrieval composition. Deterministic: fixed query
     * terms, query vector = embedding of id 0, ties broken by doc id.
-    * The global row_number ranks ONE query's scored candidates — at web
-    * scale a score-threshold cut bounds that set before ranking; the
-    * fusion math is the part under test.
+    * The candidate CUT comes first: only docs with a lexical hit OR
+    * cosine above threshold enter the rank windows, so the global
+    * row_number ranks a score-bounded candidate set, never the corpus —
+    * the shape that survives 100x (the corpus-wide scan is map-only; the
+    * single-partition window sees only survivors). The oracle applies the
+    * identical cut.
     */
+  private val hybridCosCut = 0.15
+
   def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val kwTerms = Seq("spark", "join", "window")
@@ -574,6 +618,9 @@ object DocOps {
       .filter(col("doc_id") =!= 0)
       .withColumn("kw_score", kwScore)
       .withColumn("cos6", round(cosineCol(col("embedding"), col("qe")), 6))
+      // the bound: survivors only — this filter is what keeps the rank
+      // windows off the full corpus at scale
+      .filter(col("kw_score") >= 1 || col("cos6") >= hybridCosCut)
     val kwW = Window.orderBy(col("kw_score").desc, col("doc_id"))
     val vecW = Window.orderBy(col("cos6").desc, col("doc_id"))
     scored
@@ -589,7 +636,7 @@ object DocOps {
   }
 
   val hybridSearchSql: String =
-    """WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
+    s"""WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
       |s AS (SELECT d.doc_id,
       |        CAST((CASE WHEN list_contains(list_distinct(string_split(d.text,' ')), 'spark') THEN 1 ELSE 0 END)
       |          + (CASE WHEN list_contains(list_distinct(string_split(d.text,' ')), 'join') THEN 1 ELSE 0 END)
@@ -602,7 +649,7 @@ object DocOps {
       |r AS (SELECT doc_id, kw_score, cos6,
       |        ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) kw_rank,
       |        ROW_NUMBER() OVER (ORDER BY cos6 DESC, doc_id) vec_rank
-      |      FROM s),
+      |      FROM s WHERE kw_score >= 1 OR cos6 >= CAST($hybridCosCut AS DOUBLE)),
       |f AS (SELECT doc_id, kw_score, cos6,
       |        round(1.0 / (60 + kw_rank) + 1.0 / (60 + vec_rank), 8) rrf
       |      FROM r),
@@ -698,11 +745,10 @@ object DocOps {
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
     "ann_ivf" -> annIvfSql,
+    "ann_lsh_bucketed" -> annLshBucketedSql,
     "doc_lang_id" -> docLangIdSql,
     "hybrid_search" -> hybridSearchSql)
-  // ann_lsh_bucketed stays rows-only BY DESIGN: its bucketing hashes
-  // against float hyperplane weights generated from a 64-bit mix on the
-  // JVM — not reproducible in DuckDB SQL without embedding 512 float
-  // literals whose text round-trip could drift the sign at the boundary.
-  // Its recall-vs-bruteforce behavior is pinned in OpsSpec instead.
+  // ann_ivf_kmeans stays rows-only BY DESIGN: iterative float k-means
+  // is not practically DuckDB-replicable; recall + determinism are
+  // pinned in OpsSpec.
 }

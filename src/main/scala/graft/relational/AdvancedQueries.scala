@@ -269,22 +269,28 @@ object AdvancedQueries {
       |FROM events WHERE user_id < 20
       |ORDER BY user_id, event_id""".stripMargin
 
-  /** Q23: ntile quartiles of suppliers by balance. */
+  /** Q23: ntile quartiles of suppliers by balance WITHIN each nation —
+    * partitioned by a natural key so no single task ever sorts the whole
+    * table (the earlier global-ntile form was the one no-partition window
+    * left in the q* suite).
+    */
   def q23Ntile(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.load(spark, sfDir, "supplier")
-    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
-    s.select(col("s_suppkey"), ntile(4).over(w).as("quartile"))
-      .groupBy(col("quartile")).agg(count(lit(1)).as("n"),
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    s.select(col("s_nationkey"), col("s_suppkey"), ntile(4).over(w).as("quartile"))
+      .groupBy(col("s_nationkey"), col("quartile")).agg(count(lit(1)).as("n"),
         min(col("s_suppkey")).as("min_key"))
-      .orderBy(col("quartile"))
+      .orderBy(col("s_nationkey"), col("quartile"))
   }
 
   val q23Sql: String =
-    """SELECT quartile, COUNT(*) AS n, MIN(s_suppkey) AS min_key FROM (
-      |  SELECT s_suppkey,
-      |    CAST(NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile
+    """SELECT s_nationkey, quartile, COUNT(*) AS n, MIN(s_suppkey) AS min_key FROM (
+      |  SELECT s_nationkey, s_suppkey,
+      |    CAST(NTILE(4) OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile
       |  FROM supplier) t
-      |GROUP BY quartile ORDER BY quartile""".stripMargin
+      |GROUP BY s_nationkey, quartile ORDER BY s_nationkey, quartile""".stripMargin
 
   /** Q24: first/last value frames — each customer's cheapest and priciest
     * order keys.
