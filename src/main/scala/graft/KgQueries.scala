@@ -123,6 +123,18 @@ object KgQueries {
     output.XmlOutput.mmiFielded(kgMmiRank(spark, sfDir))
   }
 
+  /** MMO machine-output term lines (--machine_output,
+    * skr/skr_utilities.pl:1290-1416): the byte-level parity format a
+    * Prolog-CLI consumer diffs. rows-only at the gate; byte-stable golden
+    * pinned in MmoSpec.
+    */
+  def kgMmoOutput(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    output.MmoOutput.mmoLines(CorpusGen.pages(spark, pagesFor(sfDir)),
+      Pipeline.broadcastUmls(spark))
+      .orderBy("url", "line_no")
+  }
+
   /** Option surface (SURVEY §2.7 E7, §2.8): mention counts per reference
     * CLI mode over the same corpus — demonstrates -i/-o/-g/-Y/-b/-r and
     * the semtype filters are live, each a full kernel run.
@@ -166,6 +178,44 @@ object KgQueries {
     }.toDF("mode", "n")
       .groupBy(col("mode")).agg(sum(col("n")).as("n_mentions"))
       .orderBy(col("mode"))
+  }
+
+  /** Fielded MEDLINE/RIS input (S1 parity): the synthetic corpus is
+    * FORMATTED as fielded citations (PMID / TI / AB with 6-space-padded
+    * continuation lines, the reference's own wrap shape) and read back
+    * through MedlineReader — parse + field extraction + per-field kernel,
+    * with utterance labels `<pmid>.<ti|ab>` + sentNo. rows-only at the
+    * gate (the parser and labels are pinned exactly in MedlineSpec).
+    */
+  def kgMedlineMentions(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    import spark.implicits._
+    val umls = Pipeline.broadcastUmls(spark)
+    val raw = CorpusGen.pages(spark, pagesFor(sfDir))
+      .filter(_.lang == "en")
+      .map { p =>
+        val text = graft.text.Extract.htmlToText(p.html)
+        val cut = {
+          val i = text.indexOf(". ")
+          if (i > 0) i + 1 else math.min(text.length, 60)
+        }
+        val ti = text.substring(0, cut).trim
+        val ab = text.substring(cut).trim
+        // wrap the abstract at ~70 chars on spaces; continuation lines
+        // carry the reference's 6-space padding
+        val wrapped = new StringBuilder
+        var lineLen = 0
+        ab.split(" ").filter(_.nonEmpty).foreach { w =>
+          if (lineLen == 0) { wrapped.append(w); lineLen = w.length }
+          else if (lineLen + 1 + w.length > 70) {
+            wrapped.append("\n      ").append(w); lineLen = w.length
+          } else { wrapped.append(' ').append(w); lineLen += 1 + w.length }
+        }
+        val abField = if (ab.isEmpty) "" else s"\nAB  - ${wrapped.result()}"
+        s"PMID- ${p.url}\nTI  - $ti$abField"
+      }
+    sources.MedlineReader.mentions(raw, umls).toDF()
+      .orderBy("url", "sentNo", "start", "cui")
   }
 
   /** Term processing (-z, F6) at the driver gate: link every fixture
@@ -239,6 +289,7 @@ object KgQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
     "kg_wsd_dedup" -> (kgWsdDedup _),
+    "kg_medline_mentions" -> (kgMedlineMentions _),
     "kg_negated_mentions" -> (kgNegated _),
     "kg_term_lookup" -> (kgTermLookup _),
     "kg_streaming_triples" -> (kgStreamingTriples _),
@@ -253,5 +304,6 @@ object KgQueries {
     "kg_xml_output" -> (kgXmlOutput _),
     "kg_human_output" -> (kgHumanOutput _),
     "kg_mmi_fielded" -> (kgMmiFielded _),
+    "kg_mmo_output" -> (kgMmoOutput _),
     "kg_option_profiles" -> (kgOptionProfiles _))
 }

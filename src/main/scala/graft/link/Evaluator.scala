@@ -177,9 +177,19 @@ object Evaluator {
     * exact search at 16).
     */
   def bestMappingCandidates(cands: Vector[Candidate], nPhrase: Int,
-      opts: LinkOptions = LinkOptions.default): Vector[Candidate] = {
+      opts: LinkOptions = LinkOptions.default): Vector[Candidate] =
+    bestMappings(cands, nPhrase, opts).flatMap(_._2)
+      .distinctBy(c => (c.cui, c.start, c.end))
+
+  /** The kept mappings themselves, (score, candidates) per mapping —
+    * the structure the MMO machine-output writer prints as
+    * map(NegScore,[ev...]) terms (skr.pl:946-959). bestMappingCandidates
+    * is the flattened union of these.
+    */
+  def bestMappings(cands: Vector[Candidate], nPhrase: Int,
+      opts: LinkOptions = LinkOptions.default): Vector[(Int, Vector[Candidate])] = {
     if (cands.isEmpty) return Vector.empty
-    if (cands.length == 1) return cands
+    if (cands.length == 1) return Vector((cands.head.score, cands))
 
     def mappingScore(m: Vector[Candidate]): Int = {
       if (opts.conjMerge) {
@@ -273,13 +283,12 @@ object Evaluator {
     val best = scored.map(_._1).max
     // -b compute_all_mappings keeps every maximal mapping (skr.pl:3554-3603);
     // default keeps best-score only. Subsumption (M5) is moot among
-    // maximal sets; union the surviving mappings' candidates, with each
-    // representative expanded back to its full duplicate set.
+    // maximal sets; each representative expands back to its full
+    // duplicate set within its mapping.
     val kept = if (opts.computeAllMappings) scored else scored.filter(_._1 == best)
-    val expanded =
-      if (!hasDups) kept.flatMap(_._2)
-      else kept.flatMap(_._2).flatMap(groupOfRep.get(_))
-    expanded.distinctBy(c => (c.cui, c.start, c.end))
+    kept.map { case (s, m) =>
+      (s, if (!hasDups) m else m.flatMap(groupOfRep.get(_)))
+    }
   }
 
   /** Backtracking-step budget for exact mapping enumeration; far above any

@@ -65,6 +65,44 @@ object DocKernel {
     }
   }
 
+  /** Rich per-phrase analysis for the MMO machine-output writer
+    * (generate_MMO_terms, skr/skr_utilities.pl:1273-1416 + the
+    * MMOPhraseTerm shape, skr/skr.pl:946-959): the same stages as
+    * [[mentions]] — chunk, gather, evaluate, filter, prune, map — but
+    * keeping the per-phrase candidate COUNTS (Total/Excluded/Pruned/
+    * Remaining) and the kept mappings instead of flattening to mentions.
+    */
+  final case class PhraseMmo(
+      sent: graft.text.Sentence, phrase: Phrase,
+      total: Int, excluded: Int, pruned: Int, remaining: Int,
+      mappings: Vector[(Int, Vector[Candidate])])
+
+  def phraseMmo(url: String, text: String, umls: UmlsTables,
+      opts: LinkOptions = LinkOptions.default): Vector[PhraseMmo] = {
+    if (text.isEmpty) return Vector.empty
+    val toks = Tokenizer.tokenize(text)
+    val aas = AaDetector.findAas(toks) ++ opts.udas
+    Sentences.split(toks).flatMap { sent =>
+      val phrases = PhraseChunker.chunk(sent.toks, umls, Map.empty)
+      phrases.map { phrase =>
+        if (phrase.words.isEmpty ||
+          (phrase.words.length == 1 && phrase.words.head.word.length <= 1))
+          PhraseMmo(sent, phrase, 0, 0, 0, 0, Vector.empty)
+        else {
+          val varIndex = VariantGather.gather(phrase, umls, aas, Map.empty)
+          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
+          val filtered = optionFilters(cands0, opts)
+          val cands = graft.link.Pruning.adaptivePrune(
+            filtered, phrase.words.length, opts)
+          val maps = Evaluator.bestMappings(cands, phrase.words.length, opts)
+          PhraseMmo(sent, phrase, cands0.length,
+            cands0.length - filtered.length, filtered.length - cands.length,
+            cands.length, maps)
+        }
+      }
+    }
+  }
+
   /** F1 threshold (-r), F5 numerical filter (--no_nums), F4 semtype
     * restrict/exclude (-J/-k) — skr.pl:1239-1318,4451-4458; shared by the
     * document and -z term paths.

@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.link.Mention
+import graft.pipeline.DocKernel
+import graft.umls.UmlsTables
+
+/** Fielded MEDLINE / RIS citation input (S1 parity): the first input a
+  * MetaMap-parity user feeds the engine. Re-expresses the reference's
+  * citation reader (/root/reference/skr/skr_text_processing.pl:189-361):
+  *
+  *  - a block is a citation when its first line is `PMID` / `UI` (MEDLINE)
+  *    or `TY` (RIS) followed by a separator in `- | : .` or space, and a
+  *    later line carries a title field (`TI T1 TT BTI CTI VTI`)
+  *    (medlineRIS_citation, :286-298);
+  *  - a line BEGINS a field when it starts with a dense token (no space,
+  *    no `-`) naming a field, then a separator (f_begins_field grammar,
+  *    :505-525); any other line CONTINUES the open field; empty lines
+  *    inside a field are dropped (extract_rest_of_field, :491-502);
+  *  - the document id comes from `PMID` / `UI` / `U1` (:320-322), and the
+  *    TEXT fields are `TI T1 AB TX` (text_field/1, :1342-1345) — all
+  *    other fields are carried as non-text metadata;
+  *  - continuation lines are joined with a single space (the reference
+  *    gloms whitespace fields with a space, :230-236).
+  *
+  * Spark shape: parsing is a pure per-citation function run inside
+  * mapPartitions (embarrassingly parallel, like the page kernel); one
+  * output row per (pmid, field) with utterance labels `<pmid>.<ti|ab>.<n>`
+  * carried as url = "<pmid>.<field>" + the kernel's per-field sentNo.
+  */
+object MedlineReader {
+
+  private val firstFieldNames = Set("PMID", "UI", "TY")
+  private val titleFieldNames = Set("TI", "T1", "TT", "BTI", "CTI", "VTI")
+  private val idFieldNames = Seq("PMID", "UI", "U1") // probe order
+  private val textFieldNames = Set("TI", "T1", "AB", "TX")
+  private val separators = Set('-', '|', ':', '.', ' ')
+
+  /** The known MEDLINE element mnemonics + RIS tags
+    * (medline_field/1 + ris_field/1, skr_text_processing.pl:560-740):
+    * only a KNOWN name can begin a field, so a prose continuation line
+    * starting with a short word + separator cannot shear a field apart.
+    */
+  private val knownFields: Set[String] = Set(
+    // MEDLINE
+    "UI", "TX", "QU", "QT", "AB", "AD", "AID", "AU", "CI", "CIN", "CN",
+    "CON", "DA", "DCOM", "DEP", "DP", "EDAT", "EFR", "EIN", "FAU", "FIR",
+    "FPS", "GN", "GR", "GS", "IP", "IR", "IRAD", "IS", "JID", "LA", "LR",
+    "MH", "MHDA", "OAB", "OCI", "OID", "ORI", "OT", "OTO", "OWN", "PG",
+    "PHST", "PL", "PMID", "PS", "PST", "PT", "PUBM", "RF", "RIN", "RN",
+    "ROF", "RPF", "RPI", "SB", "SFM", "SI", "SO", "SPIN", "STAT", "TA",
+    "TI", "TT", "UIN", "UOF", "VI",
+    // RIS
+    "TY", "A1", "A2", "A3", "A4", "AN", "AV", "BT", "C1", "C2", "C3",
+    "C4", "C5", "C6", "C7", "C8", "CA", "CP", "CT", "CY", "DB", "DO",
+    "ED", "EP", "ET", "ID", "J1", "J2", "JA", "JF", "JO", "KW", "L1",
+    "L2", "L3", "L4", "LB", "LK", "M1", "M2", "M3", "N1", "N2", "NV",
+    "OP", "PB", "PP", "PY", "RI", "RP", "SE", "SN", "SP", "ST", "T1",
+    "T2", "T3", "U1", "U2", "U3", "U4", "U5", "UR", "VL", "VO", "Y1",
+    "Y2", "ER")
+
+  /** One parsed citation field (in citation order). */
+  final case class Field(name: String, value: String)
+
+  /** One citation: id + all fields. */
+  final case class Citation(id: String, fields: Vector[Field])
+
+  /** If the line begins a field, return (NAME, rest-of-line). A field
+    * line starts with a dense token (no whitespace, no '-') naming a
+    * KNOWN field, followed by a separator char (f_begins_field grammar).
+    */
+  private[graft] def beginsField(line: String): Option[(String, String)] = {
+    val t = line.dropWhile(_ == ' ')
+    val dense = t.takeWhile(c => c != ' ' && c != '-')
+    if (dense.isEmpty || !knownFields.contains(dense.toUpperCase))
+      None
+    else {
+      val after = t.drop(dense.length)
+      val sepTrim = after.dropWhile(_ == ' ')
+      if (after.isEmpty) None
+      else {
+        val sep = if (after.head == ' ' && sepTrim.nonEmpty) sepTrim.head else after.head
+        if (!separators.contains(sep)) None
+        else {
+          val body =
+            if (sepTrim.nonEmpty && separators.contains(sepTrim.head) && sepTrim.head != ' ')
+              sepTrim.drop(1)
+            else after.drop(1)
+          Some((dense.toUpperCase, body.dropWhile(_ == ' ')))
+        }
+      }
+    }
+  }
+
+  /** Is this block a MEDLINE/RIS citation? (medlineRIS_citation/1) */
+  def isCitation(lines: Seq[String]): Boolean = {
+    val nonEmpty = lines.dropWhile(_.trim.isEmpty)
+    nonEmpty.headOption.flatMap(beginsField).exists(f => firstFieldNames(f._1)) &&
+      nonEmpty.drop(1).exists(l => beginsField(l).exists(f => titleFieldNames(f._1)))
+  }
+
+  /** Parse one citation block into ordered fields; continuation lines
+    * append to the open field with a single space, blank lines drop.
+    */
+  def parseCitation(block: String): Option[Citation] = {
+    val lines = block.split("\n", -1).toVector
+    if (!isCitation(lines)) return None
+    val fields = Vector.newBuilder[Field]
+    var open: Option[(String, StringBuilder)] = None
+    def close(): Unit = open.foreach { case (n, sb) =>
+      fields += Field(n, sb.result().trim)
+    }
+    lines.foreach { raw =>
+      val line = raw.replace('\t', ' ')
+      beginsField(line) match {
+        case Some((name, rest)) =>
+          close(); open = Some((name, new StringBuilder(rest)))
+        case None =>
+          val t = line.trim
+          if (t.nonEmpty) open.foreach { case (_, sb) =>
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(t)
+          }
+      }
+    }
+    close()
+    val fs = fields.result()
+    val id = idFieldNames.iterator
+      .flatMap(n => fs.find(_.name == n)).map(_.value.takeWhile(_ != ' '))
+      .find(_.nonEmpty).getOrElse("00000000")
+    Some(Citation(id, fs))
+  }
+
+  /** Split a raw file body into citation blocks: a new block starts at
+    * each PMID/UI/TY field line (RIS `ER` also closes a record).
+    */
+  def splitCitations(body: String): Vector[String] = {
+    val blocks = Vector.newBuilder[String]
+    var cur = new StringBuilder
+    var seenAny = false
+    body.split("\n", -1).foreach { line =>
+      val starts = beginsField(line).exists(f => firstFieldNames(f._1))
+      if (starts && seenAny) { blocks += cur.result(); cur = new StringBuilder }
+      if (starts) seenAny = true
+      if (line.trim == "ER" || beginsField(line).exists(_._1 == "ER")) {
+        if (seenAny) { blocks += cur.result(); cur = new StringBuilder; seenAny = false }
+      } else if (seenAny) {
+        if (cur.nonEmpty) cur.append('\n')
+        cur.append(line)
+      }
+    }
+    if (seenAny && cur.nonEmpty) blocks += cur.result()
+    blocks.result()
+  }
+
+  /** Distributed parse: raw citation bodies -> one row per TEXT field,
+    * (pmid, field, text), field lowercased for the utterance label.
+    * Non-text fields are dropped here (the reference carries them to
+    * output formatting only).
+    */
+  def textFields(raw: Dataset[String])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    raw.flatMap { body =>
+      splitCitations(body).flatMap(parseCitation).flatMap { c =>
+        c.fields.filter(f => textFieldNames(f.name) && f.value.nonEmpty)
+          .map(f => (c.id, f.name.toLowerCase, f.value))
+      }
+    }.toDF("pmid", "field", "text")
+  }
+
+  /** Run the per-document kernel over each text field: mentions carry
+    * url = "<pmid>.<field>" so the reference's `<id>.<ti|ab>.<n>`
+    * utterance labels are (url, sentNo).
+    */
+  def mentions(raw: Dataset[String], umls: org.apache.spark.broadcast.Broadcast[UmlsTables])(
+      implicit spark: SparkSession): Dataset[Mention] = {
+    import spark.implicits._
+    raw.mapPartitions { it =>
+      it.flatMap { body =>
+        splitCitations(body).flatMap(parseCitation).flatMap { c =>
+          val t = umls.value
+          c.fields.filter(f => textFieldNames(f.name) && f.value.nonEmpty)
+            .flatMap(f => DocKernel.mentions(s"${c.id}.${f.name.toLowerCase}", f.value, t))
+        }.iterator
+      }
+    }
+  }
+}

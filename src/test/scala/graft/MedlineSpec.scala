@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MedlineReader
+import graft.umls.MiniUmls
+
+/** Fielded MEDLINE/RIS reader (S1 parity,
+  * /root/reference/skr/skr_text_processing.pl:189-361): citation
+  * detection, the begins-field grammar, continuation glomming, id
+  * fallback, text-field selection, and field-labelled kernel mentions.
+  */
+class MedlineSpec extends AnyFunSuite {
+
+  private val umls = MiniUmls.tables
+
+  private val citation =
+    """PMID- 12345678
+      |STAT- MEDLINE
+      |TI  - Myocardial infarction after aspirin withdrawal.
+      |AB  - Aspirin treats heart attack in the elderly. The drug
+      |      prevents myocardial infarction and chest pain when taken
+      |      daily.
+      |AU  - Smith J
+      |MH  - Aspirin/therapeutic use""".stripMargin
+
+  test("S1 medline: begins-field grammar (known names + separators only)") {
+    assert(MedlineReader.beginsField("PMID- 12345678") == Some(("PMID", "12345678")))
+    assert(MedlineReader.beginsField("TI  - A title") == Some(("TI", "A title")))
+    assert(MedlineReader.beginsField("TY  - JOUR") == Some(("TY", "JOUR")))
+    // continuation lines: padding, prose starting with a known mnemonic
+    // but no separator, unknown names
+    assert(MedlineReader.beginsField("      continued text").isEmpty)
+    assert(MedlineReader.beginsField("AB initio methods are used").isEmpty)
+    assert(MedlineReader.beginsField("NOPE- not a field").isEmpty)
+  }
+
+  test("S1 medline: citation parse — fields, continuation glom, text fields") {
+    val c = MedlineReader.parseCitation(citation).get
+    assert(c.id == "12345678")
+    val ab = c.fields.find(_.name == "AB").get.value
+    // 6-space-padded continuation lines joined with single spaces
+    assert(ab == "Aspirin treats heart attack in the elderly. The drug " +
+      "prevents myocardial infarction and chest pain when taken daily.")
+    assert(c.fields.map(_.name) ==
+      Vector("PMID", "STAT", "TI", "AB", "AU", "MH"))
+  }
+
+  test("S1 medline: non-citations are rejected; UI is an id fallback") {
+    assert(MedlineReader.parseCitation("Just some arbitrary text.\nMore.").isEmpty)
+    // UI-headed dummy citation (form_dummy_citation shape)
+    val dummy = "UI  - 00000042\nTX  - Aspirin treats heart attack."
+    // no title field -> not a citation per medlineRIS_citation/1
+    assert(MedlineReader.parseCitation(dummy).isEmpty)
+    val withTitle = "UI  - 00000042\nTI  - Aspirin.\nAB  - Treats heart attack."
+    assert(MedlineReader.parseCitation(withTitle).get.id == "00000042")
+  }
+
+  test("S1 ris: TY-headed record with T1 title and ER terminator") {
+    val ris =
+      """TY  - JOUR
+        |T1  - Aspirin and myocardial infarction
+        |AB  - Aspirin prevents heart attack.
+        |U1  - 777
+        |ER  -""".stripMargin
+    val blocks = MedlineReader.splitCitations(ris)
+    assert(blocks.size == 1)
+    val c = MedlineReader.parseCitation(blocks.head).get
+    assert(c.id == "777")
+    assert(c.fields.find(_.name == "T1").get.value ==
+      "Aspirin and myocardial infarction")
+  }
+
+  test("S1 medline: multi-citation split on PMID boundaries") {
+    val two = citation + "\n" + citation.replace("12345678", "99999999")
+    val blocks = MedlineReader.splitCitations(two)
+    assert(blocks.size == 2)
+    assert(MedlineReader.parseCitation(blocks(0)).get.id == "12345678")
+    assert(MedlineReader.parseCitation(blocks(1)).get.id == "99999999")
+  }
+
+  test("S1 medline: kernel mentions carry <pmid>.<ti|ab> utterance labels") {
+    val c = MedlineReader.parseCitation(citation).get
+    val textFields = c.fields.filter(f => Set("TI", "AB").contains(f.name))
+    val ms = textFields.flatMap(f =>
+      graft.pipeline.DocKernel.mentions(s"${c.id}.${f.name.toLowerCase}", f.value, umls))
+    val urls = ms.map(_.url).toSet
+    assert(urls.contains("12345678.ti"), s"no TI mentions in $urls")
+    assert(urls.contains("12345678.ab"), s"no AB mentions in $urls")
+    // the TI "myocardial infarction" must link (C0027051 in the fixture)
+    assert(ms.exists(m => m.url == "12345678.ti" && m.cui == "C0027051"))
+  }
+}
