@@ -55,7 +55,16 @@ final case class LinkOptions(
     // grid sparseness test (get_pruning_threshold, skr.pl:2802-2817)
     prune: Option[Int] = None,
     // --no_prune: disable pruning entirely (skr.pl:2803-2806)
-    noPrune: Boolean = false)
+    noPrune: Boolean = false,
+    // --all_derivational_variants: unlock the full dm.rul category-pair
+    // inventory (adj<->verb, adv->adj/verb, noun<->verb, noun->noun)
+    // instead of the default adj<->noun filter (filter_an_variants,
+    // metamap_variants.pl:1005-1143)
+    allDerivationalVariants: Boolean = false,
+    // runtime variant closure for generators missing from the static
+    // table — the reference's automatic static->dynamic fallback
+    // (metamap_variants.pl:356-364); ON by default like the reference
+    dynamicVariants: Boolean = true)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

@@ -24,7 +24,13 @@ object VariantGather {
     * only — the reference's "keep only the tagged category's GVC".
     */
   def gather(phrase: Phrase, umls: UmlsTables, aas: AaDict,
-      tagsByStart: Map[Int, String] = Map.empty): Map[String, Vector[VInfo]] = {
+      tagsByStart: Map[Int, String] = Map.empty,
+      opts: LinkOptions = LinkOptions.default): Map[String, Vector[VInfo]] = {
+    // --all_derivational_variants swaps in the full-dm.rul table
+    val mainTable =
+      if (opts.allDerivationalVariants && umls.variantsAllDeriv.nonEmpty)
+        umls.variantsAllDeriv
+      else umls.variants
     val words = phrase.words.map(_.word)
     val n = words.length
     if (n == 0) return Map.empty
@@ -84,12 +90,22 @@ object VariantGather {
         // add anything — AA occurrences carry the expansion variant.
         // untagged (the pinned default): one variant set per generator —
         // hoisted out of the position loop, the hot path
+        // OOV fallback (the reference's static->dynamic switch,
+        // metamap_variants.pl:356-364): a single-word generator with NO
+        // static entry runs the rule-morphology closure at runtime
+        def lookupVars(table: Map[String, Vector[Variant]]): Vector[Variant] = {
+          val static = table.getOrElse(gen, Vector.empty)
+          if (static.nonEmpty) static.filterNot(_.word == gen)
+          else if (isSingle && opts.dynamicVariants)
+            graft.umls.DynamicVariants.closure(gen, umls)
+          else Vector.empty
+        }
         val untaggedVars =
           if (tagsByStart.nonEmpty) null
           else {
             val tableVars =
               if (noVariants) Vector.empty
-              else umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+              else lookupVars(mainTable)
             base ++ tableVars ++ aaVars ++ splitVars
           }
         for (pos <- genPositions) {
@@ -105,7 +121,7 @@ object VariantGather {
               if (noVariants) Vector.empty
               else catTable match {
                 case Some(ct) => ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
-                case None => umls.variants.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+                case None => lookupVars(mainTable)
               }
             base ++ tableVars ++ aaVars ++ splitVars
           }

@@ -46,7 +46,7 @@ object DocKernel {
         if (phrase.words.isEmpty ||
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1)) Vector.empty
         else {
-          val varIndex = VariantGather.gather(phrase, umls, aas, tagsByStart)
+          val varIndex = VariantGather.gather(phrase, umls, aas, tagsByStart, opts)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
           // reference order: filter first (skr.pl:913,1408), THEN prune
           // inside mapping construction (skr.pl:3452-3459) with the
@@ -89,7 +89,7 @@ object DocKernel {
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1))
           PhraseMmo(sent, phrase, 0, 0, 0, 0, Vector.empty)
         else {
-          val varIndex = VariantGather.gather(phrase, umls, aas, Map.empty)
+          val varIndex = VariantGather.gather(phrase, umls, aas, Map.empty, opts)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
           val filtered = optionFilters(cands0, opts)
           val cands = graft.link.Pruning.adaptivePrune(
@@ -138,7 +138,7 @@ object DocKernel {
       .map(t => PWord(PhraseChunker.mmWord(t), t.start, t.end))
     if (words.isEmpty) return Vector.empty
     val phrase = Phrase(words, words.length - 1)
-    val varIndex = VariantGather.gather(phrase, umls, Map.empty)
+    val varIndex = VariantGather.gather(phrase, umls, Map.empty, opts = opts)
     val cands = graft.link.Pruning.adaptivePrune(optionFilters(
       Evaluator.evaluatePhrase(phrase, umls, varIndex, opts), opts),
       phrase.words.length, opts)

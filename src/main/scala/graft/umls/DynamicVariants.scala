@@ -1,0 +1,74 @@
+package graft.umls
+
+/** Runtime variant closure for OOV generators — the reference's dynamic
+  * variant-generation mode (metamap_variants.pl:375-446), entered exactly
+  * like the reference enters it: static mode falls back to dynamic when
+  * db_get_variants returns nothing for a generator
+  * (augment_GVCs_with_variants_mode(static,...), metamap_variants.pl:
+  * 356-364).
+  *
+  * For a word with no static table entry, facts (spellings, synonyms,
+  * curated inflections) cannot apply by construction — the static table's
+  * key set covers every fact-table word. What remains is RULE morphology:
+  * the closure walks inflection rules both directions (level 1) and
+  * derivation rules (level 3), and whenever a reached form IS a static
+  * table word, merges that word's full precomputed variant set at the
+  * accumulated level (the reference's compose-then-glean shape:
+  * spelling/inflection/derivation of AAs and synonyms, gleaned best per
+  * word, metamap_variants.pl:430-436).
+  *
+  * Memoized JVM-wide with a bounded map (the reference memoizes per
+  * invocation); at the cap new words compute without caching — bounded
+  * memory, identical results.
+  */
+object DynamicVariants {
+
+  private val MaxLevel = 5
+  private val MemoCap = 1 << 16
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Variant]]()
+
+  def closure(word: String, umls: UmlsTables): Vector[Variant] = {
+    val cached = memo.get(word)
+    if (cached != null) return cached
+    val result = compute(word, umls)
+    if (memo.size < MemoCap) memo.put(word, result)
+    result
+  }
+
+  private def compute(word: String, umls: UmlsTables): Vector[Variant] = {
+    val best = scala.collection.mutable.Map[String, (Int, String)](word -> (0, ""))
+    var frontier = List((word, 0, ""))
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer[(String, Int, String)]()
+      for ((w, lvl, hist) <- frontier) {
+        def add(v: String, dl: Int, h: Char): Unit = {
+          val nl = lvl + dl
+          if (v != w && nl <= MaxLevel && best.get(v).forall(_._1 > nl)) {
+            best(v) = (nl, hist + h)
+            next += ((v, nl, hist + h))
+          }
+        }
+        // a reached form that IS a static-table word contributes its whole
+        // precomputed variant set (already gleaned-best) at our level
+        umls.variants.get(w).foreach(_.foreach(v =>
+          add(v.word, v.varLevel, if (v.history.nonEmpty) v.history.last else 'i')))
+        // rule inflections, both directions; forward inflection never
+        // stacks on an inflection (the reference inflects each composed
+        // form once, compute_all_inflections — no walks->walkses chains)
+        if (hist.isEmpty || hist.last != 'i') {
+          Morphology.inflections(w, "noun").foreach(add(_, 1, 'i'))
+          Morphology.inflections(w, "verb").foreach(add(_, 1, 'i'))
+          Morphology.deinflections(w).foreach(add(_, 1, 'i'))
+        }
+        // rule derivations (default adj<->noun filter, like static mode)
+        Morphology.derivations(w, "noun").foreach(p => add(p._1, 3, 'd'))
+        Morphology.derivations(w, "adj").foreach(p => add(p._1, 3, 'd'))
+      }
+      frontier = next.toList
+    }
+    best.remove(word)
+    best.toVector.sortBy { case (v, (l, _)) => (l, v) }
+      .map { case (v, (l, h)) => Variant(v, l, h) }
+  }
+}

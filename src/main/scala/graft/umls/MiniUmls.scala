@@ -65,7 +65,11 @@ final case class UmlsTables(
     stopPhrases: Map[String, Set[String]] = Map.empty,
     // fused word -> its two parts ("breastfeeding" -> breast feeding;
     // split_word/3, metamap_variants.pl:1421-1454)
-    splitWords: Map[String, (String, String)] = Map.empty
+    splitWords: Map[String, (String, String)] = Map.empty,
+    // --all_derivational_variants: the variant table rebuilt with the
+    // FULL dm.rul category-pair inventory (noun<->verb, adj<->verb,
+    // adv->adj, noun->noun) instead of the default adj<->noun filter
+    variantsAllDeriv: Map[String, Vector[Variant]] = Map.empty
 ) extends Serializable {
 
   /** Closed-class categories that never start a concept-bearing phrase. */
@@ -294,7 +298,8 @@ object MiniUmls {
     "tumour", "fever", "pyrexia", "cough", "coughing", "dyspnea", "breath",
     "shortness", "anemia", "anaemia", "headache", "headaches", "nausea",
     "vomiting", "asthma", "failure", "accident", "stroke", "blood", "pressure",
-    "electrocardiogram", "imaging", "resonance", "tomography", "scan",
+    "electrocardiogram", "electrocardiography", "imaging", "resonance",
+    "tomography", "scan",
     "inflammation", "arthritis", "psoriasis", "stomach", "brain", "intestine",
     "crohn", "cold", "treatment", "therapy", "doctor", "hospital", "admission",
     "study", "week", "month", "day", "examination", "scleroderma", "act",
@@ -462,7 +467,8 @@ object MiniUmls {
     * mode selects among, V10) — spelling/synonym/derivation edges are
     * category-crossing by nature and stay.
     */
-  private def buildVariantTable(catRestrict: Option[String] = None): Map[String, Vector[Variant]] = {
+  private def buildVariantTable(catRestrict: Option[String] = None,
+      allDeriv: Boolean = false): Map[String, Vector[Variant]] = {
     val spell = spellings.groupMap(_._1)(_._2)
     val syn = synonyms.groupMap(_._1)(_._2)
 
@@ -481,11 +487,15 @@ object MiniUmls {
     }
     val ruleInfl: Vector[(String, String)] =
       inflSources.flatMap { case (w, c) => Morphology.inflections(w, c).map(w -> _) }
+    val derivSources: Vector[(String, String)] =
+      nouns.toVector.map(w => w -> "noun") ++
+        adjectives.toVector.map(w => w -> "adj") ++
+        (if (allDeriv) verbs.toVector.map(w => w -> "verb") else Vector.empty)
     val ruleDeriv: Vector[(String, String)] =
-      (nouns.toVector.map(w => w -> "noun") ++ adjectives.toVector.map(w => w -> "adj"))
-        .flatMap { case (w, c) =>
-          Morphology.derivations(w, c).map(_._1).filter(lexWords).map(w -> _)
-        }
+      derivSources.flatMap { case (w, c) =>
+        Morphology.derivations(w, c, all = allDeriv).map(_._1)
+          .filter(lexWords).map(w -> _)
+      }
     // symmetric edges: the reference's lexicon lookup resolves ANY form to
     // its base and back (get_spellings_and_inflections_for_form), so
     // "strokes" must reach "stroke" just as "stroke" reaches "strokes"
@@ -608,6 +618,7 @@ object MiniUmls {
       semTypePriority = semTypePriority,
       splitWords = Map(
         "breastfeeding" -> ("breast", "feeding"),
-        "healthcare" -> ("health", "care")))
+        "healthcare" -> ("health", "care")),
+      variantsAllDeriv = buildVariantTable(allDeriv = true))
   }
 }

@@ -135,15 +135,84 @@ object Morphology {
     ("ous", "adj", "y", "noun"),
     ("ousness", "noun", "ous", "adj"))
 
-  /** Rule-generated derivations (variant level 3), minus exceptions. */
+  /** The REMAINING dm.rul category pairs behind --all_derivational_variants
+    * (lexicon/morph/dm.rul:66-1064: adj<->verb, adv->adj/verb,
+    * noun<->verb, noun->noun beyond the curated few) — the reference's
+    * default filter_an_variants drops these; the flag unlocks them.
+    */
+  private val dmRulesExtra: Vector[(String, String, String, String)] = Vector(
+    ("able", "adj", "", "verb"), ("able", "adj", "ate", "verb"),
+    ("able", "adj", "e", "verb"),
+    ("ably", "adv", "", "verb"),
+    ("age", "noun", "e", "verb"),
+    ("ance", "noun", "", "verb"), ("ance", "noun", "e", "verb"),
+    ("ant", "adj", "", "verb"), ("ant", "noun", "", "verb"),
+    ("ant", "adj", "ate", "verb"), ("ant", "noun", "ate", "verb"),
+    ("ant", "noun", "e", "verb"),
+    ("ar", "adj", "ate", "verb"),
+    ("ation", "noun", "", "verb"), ("ation", "noun", "ate", "verb"),
+    ("ation", "noun", "e", "verb"),
+    ("ative", "noun", "ate", "verb"),
+    ("ency", "noun", "ent", "noun"),
+    ("ery", "noun", "e", "noun"),
+    ("er", "noun", "", "verb"), ("er", "noun", "e", "verb"),
+    ("ily", "adv", "y", "adj"),
+    ("ism", "noun", "", "noun"), ("ist", "noun", "", "noun"),
+    ("ist", "noun", "ism", "noun"),
+    ("ive", "noun", "ion", "noun"),
+    ("ization", "noun", "ize", "verb"),
+    ("ly", "adv", "", "adj"), ("ly", "adv", "le", "adj"),
+    ("ment", "noun", "", "verb"),
+    ("or", "noun", "", "verb"), ("or", "noun", "e", "verb"),
+    ("osis", "noun", "ose", "verb"),
+    ("sion", "noun", "se", "verb"), ("sion", "noun", "t", "verb"),
+    ("ssion", "noun", "ss", "verb"),
+    ("y", "noun", "e", "noun"),
+    ("y", "verb", "ication", "noun"),
+    ("de", "verb", "sion", "noun"),
+    ("graph", "noun", "gram", "noun"), ("gram", "noun", "graphy", "noun"),
+    ("graph", "noun", "graphy", "noun"), ("meter", "noun", "metry", "noun"))
+
+  /** Rule-generated derivations (variant level 3), minus exceptions.
+    * `all` = --all_derivational_variants: include the full dm.rul
+    * inventory instead of the default adj<->noun filter.
+    */
   def derivations(word: String, cat: String,
-      exceptions: Set[String] = Set.empty): Vector[(String, String)] =
+      exceptions: Set[String] = Set.empty,
+      all: Boolean = false): Vector[(String, String)] = {
+    val rules = if (all) dmRules ++ dmRulesExtra else dmRules
     if (exceptions.contains(word)) Vector.empty
-    else dmRules.iterator
+    else rules.iterator
       .filter(_._2 == cat)
       .flatMap { case (i, _, o, outCat) =>
         applySuffixRule(word, i, o).filter(_.length >= 3).map(v => (v, outCat))
       }
       .filterNot { case (v, _) => exceptions.contains(v) }
       .toVector
+      .distinct
+  }
+
+  /** Reverse inflection (strip a rule-generated suffix back to candidate
+    * base forms): for each lm-rule (in, out), a word ending in `out`
+    * de-inflects to `stem + in`. Drives the OOV runtime closure — an
+    * unseen surface form must reach its base before the base's static
+    * variants can apply.
+    */
+  def deinflections(word: String): Vector[String] =
+    (nounPlural ++ verbForms).iterator.flatMap { case (inSuf, outSuf) =>
+      reverseSuffixRule(word, inSuf, outSuf)
+    }.toVector.distinct.filter(w => w.length >= 3 && w != word)
+
+  private def reverseSuffixRule(word: String, inSuf: String, outSuf: String): Option[String] =
+    if (outSuf.startsWith("C")) {
+      val lit = outSuf.drop(1)
+      if (word.endsWith(lit) && word.length > lit.length + 1) {
+        val c = word.charAt(word.length - lit.length - 1)
+        if (!vowels(c) && c.isLetter)
+          Some(word.dropRight(lit.length) + inSuf.replace("C", ""))
+        else None
+      } else None
+    } else if (outSuf.nonEmpty && word.endsWith(outSuf) && word.length > outSuf.length)
+      Some(word.dropRight(outSuf.length) + inSuf)
+    else None
 }

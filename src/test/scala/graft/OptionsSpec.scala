@@ -189,6 +189,41 @@ class OptionsSpec extends AnyFunSuite {
     assert(ha.head.posInfo == Vector((ha.head.start, ha.head.len)))
   }
 
+  test("--all_derivational_variants: full dm.rul unlocks non-adj/noun pairs") {
+    // 'electrocardiography' is a lexicon noun with NO index string of its
+    // own; the gram<->graphy rule is in the full inventory only
+    // (lexicon/morph/dm.rul noun->noun block), so linking to
+    // 'Electrocardiogram' (C0013798) requires the flag
+    val text = "The electrocardiography was normal."
+    val off = mentions(text)
+    assert(!off.exists(_.cui == "C0013798"),
+      s"default mode must NOT link via gram<->graphy: $off")
+    val on = mentions(text, LinkOptions(allDerivationalVariants = true))
+    assert(on.exists(m => m.cui == "C0013798" && m.text == "electrocardiography"),
+      s"full dm.rul must link electrocardiography -> C0013798: $on")
+    // default-filter behavior elsewhere is untouched by the flag
+    assert(mentions("Aspirin treats heart attack.",
+      LinkOptions(allDerivationalVariants = true)).map(_.cui).toSet ==
+      mentions("Aspirin treats heart attack.").map(_.cui).toSet)
+  }
+
+  test("OOV dynamic-variant fallback: runtime closure links unseen forms") {
+    // 'asthmatics' is OOV for the static table (plural of an ADJECTIVE —
+    // rule inflections only cover lexicon nouns/verbs); the runtime
+    // closure de-inflects to 'asthmatic' (level 1) and merges its static
+    // variants, reaching 'asthma' at level 4 -> links C0004096
+    val withFallback = mentions("Patient denies asthmatics.")
+    assert(withFallback.exists(_.cui == "C0004096"),
+      s"OOV closure must reach asthma: $withFallback")
+    val noFallback = mentions("Patient denies asthmatics.",
+      LinkOptions(dynamicVariants = false))
+    assert(!noFallback.exists(_.cui == "C0004096"),
+      "static-only mode must not link the OOV form")
+    // static-mode results for in-table words are unchanged by the fallback
+    val t = "Aspirin treats heart attack and asthma."
+    assert(mentions(t) == mentions(t, LinkOptions(dynamicVariants = false)))
+  }
+
   test("option profiles are deterministic") {
     val text = "Coronary artery (CA) disease. CA was severe."
     val a = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
