@@ -74,6 +74,10 @@ object KgOracleTables {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/semnet")
     umls.value.cuiPreferred.toSeq.toDF("pcui", "pname")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/cui_pref")
+    umls.value.treecodes.toSeq
+      .map { case (c, tcs) => (c, tcs.map(_.split('.').length).max) }
+      .toDF("tcui", "tree_depth")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/treecodes")
     written += root
     root
   }
@@ -198,6 +202,131 @@ object KgOracleTables {
        |       FROM v LEFT JOIN c3 ON v.id = c3.id)
        |SELECT id AS cui, round("rank", 6) AS "rank" FROM r3""".stripMargin
 
+  /** MMI ranking (R1-R5, mmi.pl:781-921) replicated in SQL: the
+    * normalize_value log-squashes with n=-5 (freq) and n=-10 (MM score)
+    * use exp(5)/exp(10) constants embedded as shortest-round-trip double
+    * literals, so both engines run the identical IEEE expression tree.
+    */
+  private def mmiCte: String = {
+    val (a5, b5) = (math.exp(5) + 1.0, math.exp(5) - 1.0)
+    val (a10, b10) = (math.exp(10) + 1.0, math.exp(10) - 1.0)
+    s"""$wsdCte,
+       |tc AS (SELECT * FROM read_parquet('$auxRoot/treecodes/*.parquet')),
+       |pref AS (SELECT * FROM read_parquet($prefGlob)),
+       |tf AS (SELECT url, cui, CAST(COUNT(*) AS BIGINT) freq_count,
+       |         MAX(score) mm_value,
+       |         list_sort(list_distinct(flatten(list("semTypes")))) st_arr
+       |       FROM d GROUP BY url, cui),
+       |wm AS (SELECT *, GREATEST(13, MAX(freq_count) OVER (PARTITION BY url))
+       |         max_freq FROM tf),
+       |j AS (SELECT wm.*, COALESCE(tc.tree_depth, 1) depth,
+       |        COALESCE(pref.pname, wm.cui) concept
+       |      FROM wm LEFT JOIN tc ON wm.cui = tc.tcui
+       |              LEFT JOIN pref ON wm.cui = pref.pcui),
+       |sc AS (SELECT url, cui, concept, st_arr, freq_count, mm_value,
+       |        ln(($a5 + $b5 * LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |            CAST(freq_count AS DOUBLE) / max_freq)))
+       |          / ($a5 - $b5 * LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |            CAST(freq_count AS DOUBLE) / max_freq)))) / CAST(5.0 AS DOUBLE) nfreq,
+       |        (ln(($a10 + $b10 * LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |            CAST(mm_value AS DOUBLE) / 1000.0)))
+       |          / ($a10 - $b10 * LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |            CAST(mm_value AS DOUBLE) / 1000.0)))) / CAST(10.0 AS DOUBLE) * CAST(1.0 AS DOUBLE)
+       |         + LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |            CAST(depth AS DOUBLE) / 9.0)) * CAST(14.0 AS DOUBLE)
+       |         + LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |            CAST(len(string_split(concept, ' ')) AS DOUBLE) / 26.0)) * CAST(0.0 AS DOUBLE)
+       |         + LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+       |            CAST(length(concept) AS DOUBLE) / 102.0)) * CAST(0.0 AS DOUBLE)
+       |        ) / CAST(15.0 AS DOUBLE) spec
+       |       FROM j),
+       |mmi AS (SELECT url, cui, concept, st_arr, freq_count, mm_value,
+       |          round(nfreq * spec * 1000.0, 2) AS mmi_score
+       |        FROM sc)""".stripMargin
+  }
+
+  def kgMmiRankSql: String =
+    s"""WITH $mmiCte
+       |SELECT url, cui, concept,
+       |  '["' || array_to_string(st_arr, '","') || '"]' AS sem_types,
+       |  freq_count, mm_value, mmi_score
+       |FROM mmi""".stripMargin
+
+  /** Fielded MMI lines (mmi.pl:911-921): url|MMI|score|concept|CUI|[sts]|freq */
+  def kgMmiFieldedSql: String =
+    s"""WITH $mmiCte
+       |SELECT url, url || '|MMI|' || printf('%.2f', mmi_score) || '|' ||
+       |  concept || '|' || cui || '|[' || array_to_string(st_arr, ',') ||
+       |  ']|' || freq_count AS line
+       |FROM mmi""".stripMargin
+
+  /** The human-readable CLI listing: per-document text block, lines
+    * sorted by span start within each utterance.
+    */
+  def kgHumanOutputSql: String =
+    s"""WITH $wsdCte,
+       |pref AS (SELECT * FROM read_parquet($prefGlob)),
+       |n AS (SELECT d.*, COALESCE(pref.pname, d.cui) concept
+       |      FROM d LEFT JOIN pref ON d.cui = pref.pcui),
+       |lines AS (SELECT url, "sentNo", "start",
+       |   '   ' || score || '  ' || cui || ':' || concept || ' (' || text ||
+       |   ') [' || array_to_string("semTypes", ',') || ']' ||
+       |   CASE WHEN negated THEN ' [Negated]' ELSE '' END AS line
+       | FROM n),
+       |utts AS (SELECT url, "sentNo",
+       |   'Utterance ' || "sentNo" || ':' || chr(10) ||
+       |   string_agg(line, chr(10) ORDER BY "start", line) AS block
+       | FROM lines GROUP BY url, "sentNo")
+       |SELECT url, 'Processing ' || url || chr(10) ||
+       |  string_agg(block, chr(10) ORDER BY "sentNo") AS text
+       |FROM utts GROUP BY url""".stripMargin
+
+  /** The per-document JSON shape (skr_json.pl:87-131 analogue): replicates
+    * Spark's to_json field order and literals; (start, len) is unique
+    * within an utterance after WSD dedup, so the sort keys match the
+    * engine's full-struct sort.
+    */
+  def kgJsonOutputSql: String =
+    s"""WITH $wsdCte,
+       |jm AS (SELECT url, "sentNo", "start", "len",
+       |   '{"start":' || "start" || ',"len":' || "len" || ',"cui":"' || cui ||
+       |   '","score":' || score || ',"semTypes":' || semTypes_json ||
+       |   ',"negated":' || CASE WHEN negated THEN 'true' ELSE 'false' END ||
+       |   ',"text":"' || replace(replace(text, '\', '\\'), '"', '\"') ||
+       |   '"}' AS mj
+       | FROM d),
+       |u AS (SELECT url, "sentNo",
+       |   '{"UttNum":' || "sentNo" || ',"Mappings":[' ||
+       |   string_agg(mj, ',' ORDER BY "start", "len") || ']}' AS uj
+       | FROM jm GROUP BY url, "sentNo")
+       |SELECT url, '{"Document":"' || url || '","Utterances":[' ||
+       |  string_agg(uj, ',' ORDER BY "sentNo") || ']}' AS json
+       |FROM u GROUP BY url""".stripMargin
+
+  /** The MetaMap-XML shape (skr_xml.pl analogue). */
+  def kgXmlOutputSql: String = {
+    def esc(c: String): String =
+      s"replace(replace(replace(replace($c, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+    s"""WITH $wsdCte,
+       |c AS (SELECT url, "sentNo", "start",
+       |   '<Candidate><Score>' || score || '</Score><CUI>' || cui ||
+       |   '</CUI><SemTypes>' || array_to_string("semTypes", ',') ||
+       |   '</SemTypes><Negated>' || CAST(negated AS INT) ||
+       |   '</Negated><Span start="' || "start" || '" len="' || "len" ||
+       |   '"/><MatchedText>' || ${esc("text")} ||
+       |   '</MatchedText></Candidate>' AS cx
+       | FROM d),
+       |u AS (SELECT url, "sentNo",
+       |   '<Utterance number="' || "sentNo" || '"><Mappings>' ||
+       |   string_agg(cx, '' ORDER BY "start", cx) ||
+       |   '</Mappings></Utterance>' AS ux
+       | FROM c GROUP BY url, "sentNo")
+       |SELECT url, '<MMO><Document id="' || ${esc("url")} ||
+       |  '"/><Utterances>' || string_agg(ux, '' ORDER BY "sentNo") ||
+       |  '</Utterances></MMO>' AS xml
+       |FROM u GROUP BY url""".stripMargin
+  }
+
   /** Built at Verify dump time (defs, not vals) so auxRoot is final. */
   def oracleSql: Map[String, String] = Map(
     "kg_mentions" -> kgMentionsSql,
@@ -206,5 +335,14 @@ object KgOracleTables {
     "kg_triples" -> kgTriplesSql,
     "kg_graph" -> kgGraphSql,
     "kg_graph_degrees" -> kgGraphDegreesSql,
-    "kg_pagerank" -> kgPagerankSql)
+    "kg_pagerank" -> kgPagerankSql,
+    "kg_mmi_rank" -> kgMmiRankSql,
+    "kg_mmi_fielded" -> kgMmiFieldedSql,
+    // the sink roundtrip and the bounded streaming run must reproduce the
+    // batch triples EXACTLY -> both share the triples oracle
+    "kg_sink_roundtrip" -> kgTriplesSql,
+    "kg_streaming_triples" -> kgTriplesSql,
+    "kg_human_output" -> kgHumanOutputSql,
+    "kg_json_output" -> kgJsonOutputSql,
+    "kg_xml_output" -> kgXmlOutputSql)
 }

@@ -91,6 +91,7 @@ object KgQueries {
 
   def kgMmiRank(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
+    KgOracleTables.ensure(spark, sfDir)
     val umls = Pipeline.broadcastUmls(spark)
     val ms = Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, pagesFor(sfDir)), umls), umls)
     ops.MmiRank.rank(ms, umls)
@@ -263,8 +264,14 @@ object KgQueries {
     }
     val root = java.nio.file.Paths.get(tmp.getPath, s"graft_sink_gate_$pid").toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    KgOracleTables.ensure(spark, sfDir)
     graft.graph.IcebergLite.write(Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir))), root)
+    // project away the physical layout column (part_bucket is an
+    // xxhash64 of subj_cui — layout metadata, not content): the read-back
+    // CONTENT must equal the triples the pipeline emitted, which is
+    // exactly the kg_triples DuckDB oracle -> exact roundtrip check
     graft.graph.IcebergLite.read(spark, root)
+      .select("subj_cui", "pred", "obj_cui", "url", "sentNo")
       .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")
   }
 
@@ -274,9 +281,15 @@ object KgQueries {
     * the in-memory sink. rows-only (streaming==batch equivalence is pinned
     * exactly in StreamingSpec).
     */
-  def kgStreamingTriples(spark: SparkSession, sfDir: String): DataFrame =
-    streaming.StreamingPipeline.runBounded(spark, 100)
+  def kgStreamingTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    // same page count as the batch entries, so the streaming result is
+    // checked against the SAME DuckDB triples oracle — exact
+    // streaming==batch equivalence under the driver's hard signal (the
+    // sbt StreamingSpec pins it too)
+    KgOracleTables.ensure(spark, sfDir)
+    streaming.StreamingPipeline.runBounded(spark, pagesFor(sfDir))
       .orderBy("subj_cui", "pred", "obj_cui", "url", "sentNo")
+  }
 
   // nested output columns are stringified ONCE, by Verify's blanket
   // GateSafe.stringifyNested over every query — no per-entry wrapping, so

@@ -54,7 +54,10 @@ object MmiRank {
 
     val tf = mentions.groupBy(col("url"), col("cui"))
       .agg(count(lit(1)).as("freq_count"), max(col("score")).as("mm_value"),
-        array_distinct(flatten(collect_list(col("semTypes")))).as("sem_types"))
+        // sorted: collect_list order depends on task arrival — the sort
+        // makes the display column deterministic (and oracle-comparable)
+        array_sort(array_distinct(flatten(collect_list(col("semTypes")))))
+          .as("sem_types"))
       .join(broadcast(prefDf), Seq("cui"), "left")
       .join(broadcast(depthDf), Seq("cui"), "left")
     val withMax = tf.withColumn("max_freq",
