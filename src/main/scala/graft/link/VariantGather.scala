@@ -93,10 +93,15 @@ object VariantGather {
         // OOV fallback (the reference's static->dynamic switch,
         // metamap_variants.pl:356-364): a single-word generator with NO
         // static entry runs the rule-morphology closure at runtime
+        // only alphabetic words >= 3 chars enter the closure: suffix
+        // morphology is meaningless for numerics/alphanumerics, and a
+        // web corpus floods unique number tokens (one per page id here)
+        // that would blow past the closure memo
         def lookupVars(table: Map[String, Vector[Variant]]): Vector[Variant] = {
           val static = table.getOrElse(gen, Vector.empty)
           if (static.nonEmpty) static.filterNot(_.word == gen)
-          else if (isSingle && opts.dynamicVariants)
+          else if (isSingle && opts.dynamicVariants &&
+            gen.length >= 3 && gen.forall(_.isLetter))
             graft.umls.DynamicVariants.closure(gen, umls)
           else Vector.empty
         }

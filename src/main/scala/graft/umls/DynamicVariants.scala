@@ -68,7 +68,18 @@ object DynamicVariants {
       frontier = next.toList
     }
     best.remove(word)
-    best.toVector.sortBy { case (v, (l, _)) => (l, v) }
-      .map { case (v, (l, h)) => Variant(v, l, h) }
+    // keep only variants that resolve to REAL lexical items (static-table
+    // words, or multiwords whose every token is lexical): rule suffixes
+    // over an arbitrary OOV token produce junk strings that can never
+    // match an index word, and materializing them as per-occurrence
+    // VInfos measurably slows the kernel (the reference's closure only
+    // ever walks lexicon records, so it has no junk to filter)
+    def lexical(w: String): Boolean =
+      umls.variants.contains(w) ||
+        (w.indexOf(' ') >= 0 &&
+          w.split(' ').forall(t => umls.variants.contains(t) || umls.lexCats.contains(t)))
+    best.toVector.collect { case (v, (l, h)) if lexical(v) => (v, l, h) }
+      .sortBy { case (v, l, _) => (l, v) }
+      .map { case (v, l, h) => Variant(v, l, h) }
   }
 }
