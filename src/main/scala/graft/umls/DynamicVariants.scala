@@ -17,18 +17,19 @@ package graft.umls
   * spelling/inflection/derivation of AAs and synonyms, gleaned best per
   * word, metamap_variants.pl:430-436).
   *
-  * Memoized JVM-wide with a bounded map (the reference memoizes per
-  * invocation); at the cap new words compute without caching — bounded
-  * memory, identical results.
+  * Memoized per TABLE instance with a bounded map (the reference
+  * memoizes per invocation) — the memo lives on UmlsTables itself
+  * because the closure's results depend on that table's contents; at
+  * the cap new words compute without caching — bounded memory,
+  * identical results.
   */
 object DynamicVariants {
 
   private val MaxLevel = 5
   private val MemoCap = 1 << 16
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Vector[Variant]]()
 
   def closure(word: String, umls: UmlsTables): Vector[Variant] = {
+    val memo = umls.dynVariantMemo
     val cached = memo.get(word)
     if (cached != null) return cached
     val result = compute(word, umls)

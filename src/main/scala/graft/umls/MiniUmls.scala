@@ -72,6 +72,16 @@ final case class UmlsTables(
     variantsAllDeriv: Map[String, Vector[Variant]] = Map.empty
 ) extends Serializable {
 
+  /** Per-instance memo for the OOV runtime variant closure
+    * (DynamicVariants): the closure's results depend on THIS table's
+    * contents, so the cache must live with the table — a JVM-wide map
+    * keyed by word alone would serve one fixture's variants to another
+    * (tests build several staging tables in one JVM). Transient: each
+    * executor deserializing the broadcast gets a fresh empty memo.
+    */
+  @transient lazy val dynVariantMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Variant]]()
+
   /** Closed-class categories that never start a concept-bearing phrase. */
   def isClosedClass(w: String): Boolean = {
     val cats = lexCats.getOrElse(w, Set.empty)
