@@ -18,8 +18,10 @@ object Bench {
     "q20_lag_delta", "q27_skew_safe_distinct", "q28_asof_join",
     "doc_token_count", "doc_token_count_bpe", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_token_jaccard",
+    "dedup_cc_clusters",
     "ann_topk_bruteforce", "ann_ivf",
-    "doc_quality_filter", "corpus_vocab", "doc_pii_scrub", "doc_lang_id")
+    "doc_quality_filter", "corpus_vocab", "corpus_train_split",
+    "doc_pii_scrub", "doc_lang_id")
 
   private val kgPages = 200000L
 

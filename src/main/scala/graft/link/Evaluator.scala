@@ -167,6 +167,34 @@ object Evaluator {
     posInter || (a.start <= b.end && b.start <= a.end)
   }
 
+  /** F3 subsumed-evaluation filter (filter_out_subsumed_evaluations,
+    * skr/skr.pl:4520-4575): a candidate is subsumed — and dropped before
+    * mapping construction — when another candidate scores STRICTLY better
+    * with equivalent matchmap phrase involvement
+    * (matchmaps_are_equivalent, skr.pl:4583-4597: the consolidated
+    * covered phrase positions compare equal). Skipped under -b
+    * compute_all_mappings and -o allow_overmatches exactly like the
+    * reference (filter_evaluations_by_subsumption, skr.pl:1312-1318).
+    * Best-mapping OUTPUT is unchanged by construction (a strictly worse
+    * candidate with identical coverage can never improve a mapping), but
+    * the filter runs BEFORE pruning in the reference, so the candidate
+    * count the adaptive pruner sees — and the MMO Excluded count — must
+    * come from this stage.
+    */
+  def filterSubsumed(cands: Vector[Candidate],
+      opts: LinkOptions = LinkOptions.default): Vector[Candidate] =
+    if (opts.computeAllMappings || opts.allowOvermatches || cands.length <= 1) cands
+    else {
+      // consolidated phrase components: the sorted covered positions
+      val comps = cands.map(c =>
+        c.matchMap.flatMap(e => e.pBegin to e.pEnd).distinct.sorted)
+      val bestByComp = comps.zip(cands.map(_.score))
+        .groupMapReduce(_._1)(_._2)(math.max)
+      cands.indices.iterator
+        .filter(i => cands(i).score >= bestByComp(comps(i)))
+        .map(cands).toVector
+    }
+
   /** Mapping construction (M2-M4): enumerate maximal sets of pairwise
     * non-interacting candidates, score each by the concatenated-matchmap
     * rescoring (skr.pl:3695-3718), keep all best-score mappings

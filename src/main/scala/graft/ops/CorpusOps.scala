@@ -144,15 +144,48 @@ object CorpusOps {
       |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test assignment by content-free id hash —
+    * the standard leakage-safe split for training corpora: stable under
+    * re-partitioning, re-runs and corpus growth (a document's split never
+    * changes when other documents arrive, unlike randomSplit or any
+    * count-based slicing). Map-only: no shuffle at any scale. Salted so
+    * a different split surface can be minted by changing the salt, and
+    * thresholds on the first two md5 hex chars give 204/26/26 out of 256
+    * (~80/10/10). Hex-string comparison is identical in Spark and DuckDB,
+    * so the oracle reproduces the assignment byte-for-byte.
+    */
+  def corpusTrainSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2).as("h"))
+      .select(col("doc_id"),
+        when(col("h") < "cc", "train")
+          .when(col("h") < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  val corpusTrainSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN h < 'cc' THEN 'train'
+      |       WHEN h < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_quality_filter" -> (docQualityFilter _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_stats" -> (corpusStats _),
+    "corpus_train_split" -> (corpusTrainSplit _),
     "doc_pii_scrub" -> (docPiiScrub _))
 
   val oracleSql: Map[String, String] = Map(
     "doc_quality_filter" -> docQualityFilterSql,
     "corpus_vocab" -> corpusVocabSql,
     "corpus_stats" -> corpusStatsSql,
+    "corpus_train_split" -> corpusTrainSplitSql,
     "doc_pii_scrub" -> docPiiScrubSql)
 }

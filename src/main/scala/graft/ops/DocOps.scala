@@ -329,6 +329,101 @@ object DocOps {
       |    / len(list_distinct(list_concat(x.ts, y.ts))) >= 0.6
       |ORDER BY a, b""".stripMargin
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash
+    * candidate-pair graph, so transitively-linked near-dups collapse to
+    * one canonical document (cluster_id = min doc_id of the component) —
+    * the step a dedup pipeline actually keys its "keep one per cluster"
+    * decision on; pairs alone under-merge chains (A~B, B~C, A!~C).
+    *
+    * Scale shape: alternating large-star / small-star contractions
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round is a groupBy + bounded array explode over the
+    * current edge list, converging in O(log^2 n) rounds independent of
+    * component diameter. No driver-side graph, no O(diameter) label
+    * walk; per-node neighbor arrays are bounded by the banded generator
+    * (HotBucketCap) exactly like the pair queries. The loop materializes
+    * each round (localCheckpoint) so lineage stays flat.
+    */
+  def dedupCcClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    // (u, v) oriented child > parent, as a plain edge set
+    def orient(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // Large-Star: connect every strictly-larger neighbor of u to
+    // m = min(N(u) + {u}); Small-Star: connect u and its smaller
+    // neighbors to their minimum. Both emit (child, parent) edges.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
+        .select(col("u"),
+          array_min(concat(col("nv"), array(col("u")))).as("m"), col("nv"))
+        .select(explode(filter(col("nv"), x => x > col("u"))).as("u"),
+          col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
+        .select(col("u"), array_min(col("nv")).as("m"), col("nv"))
+        .select(explode(concat(col("nv"), array(col("u")))).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+
+    var edges = orient(minhashCandidatePairs(spark, sfDir)
+      .select(col("b").as("u"), col("a").as("v"))).localCheckpoint()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 12) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // at the fixpoint the edge list is a star forest: (member, root)
+    require(converged, s"CC did not converge in $rounds rounds")
+    val members = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+    docs.join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The CC oracle recomputes true connected components over the same
+    * candidate pairs with a recursive CTE: the component minimum m
+    * propagates across every edge (every other member is > m, so the
+    * lbl < dst guard never blocks it), and MIN(lbl) per node is the
+    * cluster id — verifying the star-contraction loop against an
+    * independent fixpoint formulation.
+    */
+  val dedupCcClustersSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') sh
+      |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) g),
+      |hashed AS (SELECT doc_id, j,
+      |             substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('x' || sh) END,
+      |                    (j % 4) * 8 + 1, 8) h
+      |           FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) jj),
+      |sig AS (SELECT doc_id, j, min(h) mh FROM hashed GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CAST(j // 2 AS INT) band,
+      |                 string_agg(mh, '' ORDER BY mh) sig
+      |          FROM sig GROUP BY doc_id, j // 2),
+      |bsize AS (SELECT band, sig, COUNT(*) n FROM bands GROUP BY band, sig),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |          JOIN bsize s ON s.band = a.band AND s.sig = a.sig
+      |          WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND $HotBucketCap),
+      |e AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |r(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM r JOIN e ON r.node = e.src WHERE r.lbl < e.dst)
+      |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+      |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
+
   // ---------- embedding similarity ----------
 
   /** Cosine via the native codegen'd expression (graft.functions
@@ -726,6 +821,7 @@ object DocOps {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_token_jaccard" -> (dedupTokenJaccard _),
+    "dedup_cc_clusters" -> (dedupCcClusters _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
@@ -742,6 +838,7 @@ object DocOps {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_token_jaccard" -> dedupTokenJaccardSql,
+    "dedup_cc_clusters" -> dedupCcClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
     "ann_ivf" -> annIvfSql,

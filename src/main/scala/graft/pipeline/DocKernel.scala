@@ -48,11 +48,13 @@ object DocKernel {
         else {
           val varIndex = VariantGather.gather(phrase, umls, aas, tagsByStart, opts)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
-          // reference order: filter first (skr.pl:913,1408), THEN prune
-          // inside mapping construction (skr.pl:3452-3459) with the
-          // adaptive threshold + grid gate (G1/G3)
+          // reference order: filter first (skr.pl:913,1408), then the F3
+          // subsumption filter (skr.pl:1312-1318), THEN prune inside
+          // mapping construction (skr.pl:3452-3459) with the adaptive
+          // threshold + grid gate (G1/G3)
           val cands = graft.link.Pruning.adaptivePrune(
-            optionFilters(cands0, opts), phrase.words.length, opts)
+            Evaluator.filterSubsumed(optionFilters(cands0, opts), opts),
+            phrase.words.length, opts)
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length, opts)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
@@ -92,11 +94,15 @@ object DocKernel {
           val varIndex = VariantGather.gather(phrase, umls, aas, Map.empty, opts)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
           val filtered = optionFilters(cands0, opts)
+          // reference count semantics (skr.pl:914-929): Total = after the
+          // option filters, Excluded = dropped by F3 subsumption,
+          // Pruned = dropped by G1/G2, Remaining = what mappings see
+          val unsubsumed = Evaluator.filterSubsumed(filtered, opts)
           val cands = graft.link.Pruning.adaptivePrune(
-            filtered, phrase.words.length, opts)
+            unsubsumed, phrase.words.length, opts)
           val maps = Evaluator.bestMappings(cands, phrase.words.length, opts)
-          PhraseMmo(sent, phrase, cands0.length,
-            cands0.length - filtered.length, filtered.length - cands.length,
+          PhraseMmo(sent, phrase, filtered.length,
+            filtered.length - unsubsumed.length, unsubsumed.length - cands.length,
             cands.length, maps)
         }
       }
@@ -139,8 +145,9 @@ object DocKernel {
     if (words.isEmpty) return Vector.empty
     val phrase = Phrase(words, words.length - 1)
     val varIndex = VariantGather.gather(phrase, umls, Map.empty, opts = opts)
-    val cands = graft.link.Pruning.adaptivePrune(optionFilters(
-      Evaluator.evaluatePhrase(phrase, umls, varIndex, opts), opts),
+    val cands = graft.link.Pruning.adaptivePrune(
+      Evaluator.filterSubsumed(optionFilters(
+        Evaluator.evaluatePhrase(phrase, umls, varIndex, opts), opts), opts),
       phrase.words.length, opts)
     if (cands.isEmpty) return Vector.empty
     // F6: best-coverage-only — discard evaluations covering fewer phrase

@@ -61,4 +61,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     val counts = rows.map(_.getAs[Long]("n")).toVector
     assert(counts == counts.sortBy(-_), "counts not non-increasing")
   }
+
+  test("train split: deterministic, id-hash-stable, ~80/10/10") {
+    import spark.implicits._
+    val rows = CorpusOps.corpusTrainSplit(spark, sf)
+      .as[(Long, String)].collect()
+    // the assignment is a pure function of doc_id: recompute per-row
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expected(id: Long): String = {
+      val h = md.digest(s"split:$id".getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    rows.foreach { case (id, s) => assert(s == expected(id), s"doc $id") }
+    val byS = rows.groupBy(_._2).view.mapValues(_.length.toDouble / rows.length)
+    info(byS.toMap.toString)
+    assert(byS("train") > 0.7 && byS("train") < 0.9)
+  }
 }

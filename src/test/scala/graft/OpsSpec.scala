@@ -104,4 +104,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     info(s"strong pairs=${strong.size}, lsh pairs=${lsh.size}, missed=${missed.size}")
     assert(lsh.nonEmpty)
   }
+
+  test("CC clusters: star-contraction agrees with a driver-side union-find") {
+    import spark.implicits._
+    val pairs = DocOps.dedupMinhashLsh(spark, sf).as[(Long, Long)].collect()
+    val clusters = DocOps.dedupCcClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // independent reference: classic union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = clusters.keys.map(d => d -> find(d)).toMap
+    assert(clusters == expected)
+    // every document appears exactly once; singletons are their own rep
+    assert(clusters.keySet == Tables.load(spark, sf, "documents")
+      .select("doc_id").as[Long].collect().toSet)
+    // at least one transitive merge exists in the fixture or the test
+    // would not exercise multi-hop components
+    val sizes = clusters.values.groupBy(identity).view.mapValues(_.size)
+    info(s"nontrivial clusters=${sizes.count(_._2 > 1)}, max=${sizes.values.max}")
+  }
 }

@@ -115,4 +115,25 @@ class PruningSpec extends AnyFunSuite {
     // small candidate sets skip the machinery entirely
     assert(Pruning.adaptivePrune(cs.take(20), 60) == cs.take(20))
   }
+
+  test("F3 subsumption: strictly worse + same phrase involvement drops") {
+    import graft.link.Evaluator
+    // same covered positions [1..2], strictly worse score -> subsumed
+    val a = cand(900, 1, 2, "CA")
+    val b = cand(700, 1, 2, "CB")
+    // same positions via a SPLIT matchmap [1,1]+[2,2]: consolidated
+    // components equal [1..2] (matchmaps_are_equivalent linearizes)
+    val c = Candidate(650, "CC", "CC", "CC", Vector("w"), Vector("dsyn"),
+      Vector(MatchEntry(1, 1, 1, 1, 0), MatchEntry(2, 2, 2, 2, 0)),
+      involvesHead = true, 1, 2)
+    // different involvement [2..2]: not subsumed despite worse score
+    val d = cand(600, 2, 2, "CD")
+    // equal score, same involvement: NOT subsumed (strictly-worse test)
+    val e = cand(900, 1, 2, "CE")
+    val all = Vector(a, b, c, d, e)
+    assert(Evaluator.filterSubsumed(all) == Vector(a, d, e))
+    // -b / -o skip the filter entirely (filter_evaluations_by_subsumption)
+    assert(Evaluator.filterSubsumed(all, LinkOptions(computeAllMappings = true)) == all)
+    assert(Evaluator.filterSubsumed(all, LinkOptions(allowOvermatches = true)) == all)
+  }
 }
