@@ -173,6 +173,27 @@ object KgOracleTables {
        |  CAST(SUM(n_evidence) AS BIGINT) AS total_evidence
        |FROM e2 GROUP BY cui""".stripMargin
 
+  /** Connected components over the triple edge set: independent
+    * recursive-CTE min-label fixpoint (the component minimum propagates
+    * across every symmetric edge; every other member is > it, so the
+    * lbl < dst guard never blocks it) — verifying the engine's
+    * star-contraction loop (GraphOps.connectedComponents) against a
+    * different fixpoint formulation. Only nodes on edges appear, matching
+    * the Spark operator's contract.
+    */
+  def kgGraphComponentsSql: String =
+    s"""WITH RECURSIVE $triplesCte,
+       |e AS (SELECT DISTINCT subj_cui u, obj_cui v FROM trip WHERE subj_cui <> obj_cui),
+       |n AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |sym AS (SELECT u src, v dst FROM e UNION ALL SELECT v, u FROM e),
+       |r(node, lbl) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT s.dst, r.lbl FROM r JOIN sym s ON r.node = s.src
+       |  WHERE r.lbl < s.dst)
+       |SELECT node AS cui, MIN(lbl) AS component
+       |FROM r GROUP BY node ORDER BY cui""".stripMargin
+
   /** 3-iteration damped PageRank as chained CTEs, mirroring
     * GraphOps.pageRank (rank_0 = 1.0; rank = 0.15 + 0.85 * sum of
     * incoming rank/deg; dangling mass leaks). All arithmetic forced to
@@ -335,6 +356,7 @@ object KgOracleTables {
     "kg_triples" -> kgTriplesSql,
     "kg_graph" -> kgGraphSql,
     "kg_graph_degrees" -> kgGraphDegreesSql,
+    "kg_graph_components" -> kgGraphComponentsSql,
     "kg_pagerank" -> kgPagerankSql,
     "kg_mmi_rank" -> kgMmiRankSql,
     "kg_mmi_fielded" -> kgMmiFieldedSql,

@@ -89,6 +89,22 @@ object KgQueries {
   def kgPagerank(spark: SparkSession, sfDir: String): DataFrame =
     graph.GraphOps.pageRank(kgGraph(spark, sfDir))
 
+  /** Connected components over the KG edge set (which concept clusters
+    * are transitively related in this corpus) — the same star-contraction
+    * operator as dedup_cc_clusters, over CUI strings; oracle = recursive
+    * min-label fixpoint over the triples recomputed in DuckDB.
+    */
+  def kgGraphComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    import org.apache.spark.sql.functions.col
+    KgOracleTables.ensure(spark, sfDir)
+    val trip = Pipeline.run(CorpusGen.pages(spark, pagesFor(sfDir)))
+    graph.GraphOps.connectedComponents(
+      trip.select(col("subj_cui").as("u"), col("obj_cui").as("v")))
+      .select(col("node").as("cui"), col("rep").as("component"))
+      .orderBy("cui")
+  }
+
   def kgMmiRank(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     KgOracleTables.ensure(spark, sfDir)
@@ -309,6 +325,7 @@ object KgQueries {
     "kg_sink_roundtrip" -> (kgSinkRoundtrip _),
     "kg_triples" -> (kgTriples _),
     "kg_graph" -> (kgGraph _),
+    "kg_graph_components" -> (kgGraphComponents _),
     "kg_graph_degrees" -> (kgGraphDegrees _),
     "kg_pagerank" -> (kgPagerank _),
     "kg_mmi_rank" -> (kgMmiRank _),

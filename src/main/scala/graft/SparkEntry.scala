@@ -18,5 +18,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracleSql ++ relational.AdvancedQueries.oracleSql ++
-      ops.DocOps.oracleSql ++ ops.CorpusOps.oracleSql ++ KgQueries.oracleSql
+      ops.DocOps.oracleSql ++ ops.CorpusOps.oracleSql ++ ops.Multimodal.oracleSql ++
+      KgQueries.oracleSql
 }

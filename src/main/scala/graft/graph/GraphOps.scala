@@ -43,4 +43,57 @@ object GraphOps {
     ranks.select(col("id").as("cui"), round(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc, col("cui"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round is a groupBy + bounded array explode
+    * over the current edge list, converging in O(log^2 n) rounds
+    * independent of component diameter — no driver-side graph, no
+    * O(diameter) label walk. Works for any orderable node type (longs
+    * for documents, CUI strings for the KG).
+    *
+    * @param edges two columns `u`, `v` (undirected pairs, any orientation)
+    * @return (`node`, `rep`) for every node APPEARING IN edges, where rep
+    *         is the component minimum; callers union in their singletons
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 12): DataFrame = {
+    def orient(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // Large-Star: connect every strictly-larger neighbor of u to
+    // m = min(N(u) + {u}); Small-Star: connect u and its smaller
+    // neighbors to their minimum. Both emit (child, parent) edges.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
+        .select(col("u"),
+          array_min(concat(col("nv"), array(col("u")))).as("m"), col("nv"))
+        .select(explode(filter(col("nv"), x => x > col("u"))).as("u"),
+          col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
+        .select(col("u"), array_min(col("nv")).as("m"), col("nv"))
+        .select(explode(concat(col("nv"), array(col("u")))).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+
+    var cur = orient(edges).localCheckpoint()
+    var converged = cur.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      rounds += 1
+    }
+    // at the fixpoint the edge list is a star forest: (member, root)
+    require(converged, s"CC did not converge in $rounds rounds")
+    cur.select(col("u").as("node"), col("v").as("rep"))
+      .union(cur.select(col("v").as("node"), col("v").as("rep")))
+      .distinct()
+  }
 }

@@ -335,57 +335,18 @@ object DocOps {
     * the step a dedup pipeline actually keys its "keep one per cluster"
     * decision on; pairs alone under-merge chains (A~B, B~C, A!~C).
     *
-    * Scale shape: alternating large-star / small-star contractions
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) — each round is a groupBy + bounded array explode over the
-    * current edge list, converging in O(log^2 n) rounds independent of
-    * component diameter. No driver-side graph, no O(diameter) label
-    * walk; per-node neighbor arrays are bounded by the banded generator
-    * (HotBucketCap) exactly like the pair queries. The loop materializes
-    * each round (localCheckpoint) so lineage stays flat.
+    * Scale shape: GraphOps.connectedComponents (alternating star
+    * contraction, SoCC'14) — groupBy + bounded array explode per round,
+    * O(log^2 n) rounds independent of component diameter, no driver-side
+    * graph; per-node neighbor arrays are bounded by the banded generator
+    * (HotBucketCap) exactly like the pair queries.
     */
   def dedupCcClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
-    // (u, v) oriented child > parent, as a plain edge set
-    def orient(df: DataFrame): DataFrame = df
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-
-    // Large-Star: connect every strictly-larger neighbor of u to
-    // m = min(N(u) + {u}); Small-Star: connect u and its smaller
-    // neighbors to their minimum. Both emit (child, parent) edges.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      sym.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
-        .select(col("u"),
-          array_min(concat(col("nv"), array(col("u")))).as("m"), col("nv"))
-        .select(explode(filter(col("nv"), x => x > col("u"))).as("u"),
-          col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame =
-      e.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
-        .select(col("u"), array_min(col("nv")).as("m"), col("nv"))
-        .select(explode(concat(col("nv"), array(col("u")))).as("x"), col("m"))
-        .filter(col("x") =!= col("m"))
-        .select(col("x").as("u"), col("m").as("v")).distinct()
-
-    var edges = orient(minhashCandidatePairs(spark, sfDir)
-      .select(col("b").as("u"), col("a").as("v"))).localCheckpoint()
-    var converged = edges.isEmpty
-    var rounds = 0
-    while (!converged && rounds < 12) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
-      edges = next
-      rounds += 1
-    }
-    // at the fixpoint the edge list is a star forest: (member, root)
-    require(converged, s"CC did not converge in $rounds rounds")
-    val members = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
-      .distinct()
+    val members = graft.graph.GraphOps.connectedComponents(
+      minhashCandidatePairs(spark, sfDir)
+        .select(col("b").as("u"), col("a").as("v")))
+      .select(col("node").as("doc_id"), col("rep").as("cluster_id"))
     docs.join(members, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -124,23 +124,36 @@ object Multimodal {
     }.toDF("media_id", "kind", "features")
   }
 
+  /** Media-table size of the LAST gate query run — the oracle generator
+    * SQL embeds it (Verify dumps oracle_sql AFTER running the queries,
+    * same pattern as KgOracleTables.auxRoot). Default = the driver's
+    * sf0.01 gate size.
+    */
+  @volatile private var lastN: Long = 400L * 5
+
+  private def tableFor(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    val n = graft.KgQueries.pagesFor(sfDir) * 5
+    lastN = n
+    mediaTable(spark, n)
+  }
+
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    decodeMetadata(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5)).toDF().orderBy(col("media_id"))
+    decodeMetadata(tableFor(spark, sfDir)).toDF().orderBy(col("media_id"))
   }
 
   def mediaFrameSample(spark: SparkSession, sfDir: String): DataFrame =
-    frameSample(decodeMetadata(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5)), 7).orderBy(col("media_id"), col("frame_idx"))
+    frameSample(decodeMetadata(tableFor(spark, sfDir)), 7).orderBy(col("media_id"), col("frame_idx"))
 
   def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
-    resizePlan(decodeMetadata(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5)), 256).orderBy(col("media_id"))
+    resizePlan(decodeMetadata(tableFor(spark, sfDir)), 256).orderBy(col("media_id"))
 
   /** Feature vectors fed straight into the native cosine ANN — the
     * multimodal -> embedding -> similarity plumbing end to end.
     */
   def mediaFeaturesTopk(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val f = extractFeatures(mediaTable(spark, graft.KgQueries.pagesFor(sfDir) * 5))
+    val f = extractFeatures(tableFor(spark, sfDir))
     val q = f.filter(col("media_id") < 8).toDF("query_id", "qk", "qe")
     val c = f.toDF("neighbor_id", "nk", "ne")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
@@ -158,4 +171,95 @@ object Multimodal {
     "media_frame_sample" -> (mediaFrameSample _),
     "media_resize" -> (mediaResize _),
     "media_features_topk" -> (mediaFeaturesTopk _))
+
+  // ---------- DuckDB oracles ----------
+  //
+  // The synthetic media table is a pure arithmetic function of media_id,
+  // so DuckDB can regenerate the HEADER FIELDS from generate_series and
+  // independently recompute every stage — which verifies the part that
+  // matters here: the binary container encode (byte packing/truncation)
+  // -> opaque-binary column -> batched mapPartitions decode roundtrip,
+  // plus each stage's arithmetic, against an engine that never touches
+  // the binary at all. A real-codec deployment keeps the same plumbing
+  // and swaps decodeStub; these oracles pin the plumbing.
+
+  /** Generator CTE: media_id, kind, header fields (w,h,f pre-scale). */
+  private def mediaCte: String =
+    s"""m AS (SELECT i AS media_id,
+       |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+       |  CAST(1 + (i * 37 % 120) AS INT) w,
+       |  CAST(1 + (i * 53 % 90) AS INT) h,
+       |  CAST(1 + (i * 11 % 200) AS INT) f
+       |  FROM (SELECT unnest(generate_series(0, $lastN - 1)) i))""".stripMargin
+
+  def mediaMetadataSql: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, kind,
+       |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE w * 16 END AS INT) AS width,
+       |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE h * 16 END AS INT) AS height,
+       |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN f ELSE 0 END AS INT) AS n_frames,
+       |  CAST(CASE WHEN kind = 'audio' THEN h * 1000 ELSE 0 END AS INT) AS sample_rate,
+       |  CAST(71 AS INT) AS n_bytes, TRUE AS format_ok
+       |FROM m ORDER BY media_id""".stripMargin
+
+  def mediaResizeSql: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, kind, CAST(w * 16 AS INT) AS width,
+       |  CAST(h * 16 AS INT) AS height,
+       |  CAST(ceil(w * 16 * (CAST(256 AS DOUBLE) / greatest(w * 16, h * 16))) AS INT) AS out_width,
+       |  CAST(ceil(h * 16 * (CAST(256 AS DOUBLE) / greatest(w * 16, h * 16))) AS INT) AS out_height
+       |FROM m WHERE kind IN ('image', 'video') ORDER BY media_id""".stripMargin
+
+  def mediaFrameSampleSql: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       |  CAST(w * 16 AS INT) AS width, CAST(h * 16 AS INT) AS height
+       |FROM m, LATERAL (SELECT unnest(generate_series(0, f - 1, 7)) AS fi)
+       |WHERE kind = 'video' ORDER BY media_id, frame_idx""".stripMargin
+
+  /** The feature extractor folds payload bytes acc = acc*31 + byte with a
+    * 16-byte stride; positions 0-6 are the container header (magic + w,h,f
+    * — w/h/f are byte-truncated but always < 128 here), 7+ the body
+    * (media_id*131 + k*17) % 251. Re-expressed per-dimension as the same
+    * Horner fold over SQL byte expressions; accumulators stay < 2^28 so
+    * 32-bit wraparound never fires on either side.
+    */
+  def mediaFeaturesTopkSql: String = {
+    def byteAt(p: Int): String = p match {
+      case 0 => "71" // 'G'
+      case 1 => "(CASE kind WHEN 'image' THEN 73 WHEN 'audio' THEN 65 ELSE 86 END)"
+      case 2 => "(CASE kind WHEN 'image' THEN 77 WHEN 'audio' THEN 85 ELSE 73 END)"
+      case 3 => "(CASE kind WHEN 'image' THEN 71 ELSE 68 END)"
+      case 4 => "w"
+      case 5 => "h"
+      case 6 => "f"
+      case _ => s"((media_id * 131 + ${p - 7} * 17) % 251)"
+    }
+    def featExpr(d: Int): String = {
+      val ps = Iterator.iterate(d)(_ + 16).takeWhile(_ < 71).toVector
+      val acc = ps.map(byteAt).reduceLeft((a, b) => s"($a * 31 + $b)")
+      s"CAST($acc % 1000 AS FLOAT) / CAST(1000 AS FLOAT)"
+    }
+    val vec = (0 until 16).map(featExpr).mkString("list_value(", ", ", ")")
+    s"""WITH $mediaCte,
+       |fv AS (SELECT media_id, kind, ($vec)::DOUBLE[] fe FROM m),
+       |q AS (SELECT media_id query_id, fe qe FROM fv WHERE media_id < 8),
+       |s AS (SELECT q.query_id, c.media_id neighbor_id,
+       |        round(list_dot_product(q.qe, c.fe) /
+       |          (sqrt(list_dot_product(q.qe, q.qe)) *
+       |           sqrt(list_dot_product(c.fe, c.fe))), 6) cos6
+       |      FROM q JOIN fv c ON q.query_id <> c.media_id),
+       |r AS (SELECT query_id, neighbor_id, cos6,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos6 DESC, neighbor_id) rk FROM s)
+       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos6
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** defs, not vals: built at Verify dump time so lastN is final. */
+  def oracleSql: Map[String, String] = Map(
+    "media_metadata" -> mediaMetadataSql,
+    "media_resize" -> mediaResizeSql,
+    "media_frame_sample" -> mediaFrameSampleSql,
+    "media_features_topk" -> mediaFeaturesTopkSql)
 }

@@ -45,4 +45,15 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("connected components: chains merge, self-loops drop, strings order") {
+    import spark.implicits._
+    // chain C3-C2-C1 (multi-hop), pair C9-C8, self-loop C5 (ignored)
+    val e = Seq(("C2", "C1"), ("C3", "C2"), ("C8", "C9"), ("C5", "C5"))
+      .toDF("u", "v")
+    val cc = GraphOps.connectedComponents(e)
+      .as[(String, String)].collect().toMap
+    assert(cc == Map("C1" -> "C1", "C2" -> "C1", "C3" -> "C1",
+      "C8" -> "C8", "C9" -> "C8"))
+  }
 }
