@@ -174,7 +174,9 @@ object KgQueries {
       "conj_merge" -> LinkOptions(conjMerge = true),
       "aa_span_merge" -> LinkOptions(aaSpanMerge = true),
       "tagged" -> LinkOptions(tagged = true),
-      "no_prune" -> LinkOptions(noPrune = true))
+      "no_prune" -> LinkOptions(noPrune = true),
+      "cascade" -> LinkOptions(excludeSemTypes = Set("sosy"), cascade = true),
+      "nomap" -> LinkOptions(noMap = Set(("", "C0027051"))))
     val umls = Pipeline.broadcastUmls(spark)
     // ONE kernel pass: each document is extracted once and linked under
     // all 13 profiles inside the same task, emitting (mode, count) rows

@@ -57,6 +57,16 @@ object Graft {
           o = o.copy(restrictSemTypes = arg().split(',').toSet)
         case "-k" | "--exclude_sts" =>
           o = o.copy(excludeSemTypes = arg().split(',').toSet)
+        case "--cascade" => o = o.copy(cascade = true)
+        case "--all_derivational_variants" =>
+          o = o.copy(allDerivationalVariants = true)
+        case "--nomap" =>
+          // the reference takes a file of Term:CUI pairs; the API takes
+          // them inline as term:cui[,term:cui...] — empty side = wildcard
+          o = o.copy(noMap = arg().split(',').iterator.map { p =>
+            val idx = p.lastIndexOf(':')
+            if (idx < 0) (p, "") else (p.take(idx), p.drop(idx + 1))
+          }.toSet)
         case f => throw new IllegalArgumentException(s"unsupported option: $f")
       }
       i += 1

@@ -65,29 +65,51 @@ object GraphOps {
     // Large-Star: connect every strictly-larger neighbor of u to
     // m = min(N(u) + {u}); Small-Star: connect u and its smaller
     // neighbors to their minimum. Both emit (child, parent) edges.
+    //
+    // Deliberately NO neighbor-list aggregation: m is a min-agg joined
+    // back to the edges, so per-key state is a single value. A
+    // collect_set formulation would buffer a converged star's entire
+    // component at its root (the exact giant-dup-cluster OOM this
+    // operator exists to survive); the join-back streams that key
+    // through sort-merge/AQE-skew machinery instead.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      sym.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
-        .select(col("u"),
-          array_min(concat(col("nv"), array(col("u")))).as("m"), col("nv"))
-        .select(explode(filter(col("nv"), x => x > col("u"))).as("u"),
-          col("m").as("v"))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
     }
-    def smallStar(e: DataFrame): DataFrame =
-      e.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
-        .select(col("u"), array_min(col("nv")).as("m"), col("nv"))
-        .select(explode(concat(col("nv"), array(col("u")))).as("x"), col("m"))
+    def smallStar(e: DataFrame): DataFrame = {
+      // oriented u > v throughout, so min(N(u)) < u: the (u, m) self edge
+      // never degenerates and every emitted edge keeps child > parent
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(m, Seq("u"))
+        .select(col("v").as("x"), col("m"))
         .filter(col("x") =!= col("m"))
+        .union(m.select(col("u").as("x"), col("m")))
         .select(col("x").as("u"), col("m").as("v")).distinct()
+    }
 
+    // convergence = unchanged edge set, checked by a single-pass
+    // (count, xor-of-row-hashes) signature instead of an except() —
+    // one map-side-combined agg job per round, no extra shuffle
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
     var cur = orient(edges).localCheckpoint()
-    var converged = cur.isEmpty
+    var curSig = sig(cur)
+    var converged = curSig._1 == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig == curSig
       cur = next
+      curSig = nextSig
       rounds += 1
     }
     // at the fixpoint the edge list is a star forest: (member, root)

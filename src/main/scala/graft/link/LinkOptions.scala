@@ -64,7 +64,17 @@ final case class LinkOptions(
     // runtime variant closure for generators missing from the static
     // table — the reference's automatic static->dynamic fallback
     // (metamap_variants.pl:356-364); ON by default like the reference
-    dynamicVariants: Boolean = true)
+    dynamicVariants: Boolean = true,
+    // --nomap: user exclusion pairs (term, cui); "" on either side is a
+    // wildcard matching anything, like the reference's partially-
+    // instantiated NoMap pairs (filter_evaluations_by_user_exclusions,
+    // skr.pl:2042-2055)
+    noMap: Set[(String, String)] = Set.empty,
+    // --cascade: candidates positionally overlapping a semtype-DISCARDED
+    // candidate are discarded too ("logistic regression" restricted to
+    // disorders should not leave "Regression" behind;
+    // discard_overlapping_evaluations, skr.pl:1284-1309)
+    cascade: Boolean = false)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

@@ -114,13 +114,41 @@ object DocKernel {
     * document and -z term paths.
     */
   private def optionFilters(cands: Vector[graft.link.Candidate],
-      opts: LinkOptions): Vector[graft.link.Candidate] =
-    cands.filter { c =>
-      c.score >= opts.scoreThreshold &&
-        (!opts.noNums || c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length) &&
-        (opts.restrictSemTypes.isEmpty || c.semTypes.exists(opts.restrictSemTypes)) &&
+      opts: LinkOptions): Vector[graft.link.Candidate] = {
+    // user exclusions run FIRST (filter_evaluations, skr.pl:1224-1237):
+    // a --nomap pair (term, cui) with "" as a wildcard on either side
+    val afterNomap =
+      if (opts.noMap.isEmpty) cands
+      else cands.filterNot(c => opts.noMap.exists { case (t, k) =>
+        (t.isEmpty || t == c.str) && (k.isEmpty || k == c.cui)
+      })
+    // F4 semtype restrict/exclude, keeping the DISCARDED side for cascade
+    val (kept, discarded) = afterNomap.partition { c =>
+      (opts.restrictSemTypes.isEmpty || c.semTypes.exists(opts.restrictSemTypes)) &&
         (opts.excludeSemTypes.isEmpty || !c.semTypes.exists(opts.excludeSemTypes))
     }
+    // --cascade (discard_overlapping_evaluations, skr.pl:1284-1309): a
+    // kept candidate positionally overlapping any discarded one goes
+    // too. spans_overlap (skr.pl:3791-3799) is the STAGGERED test —
+    // proper containment does not trigger it — with inclusive bounds on
+    // EndPos = Start + Length; replicated exactly.
+    def spans(c: graft.link.Candidate): Vector[(Int, Int)] =
+      if (c.posInfo.nonEmpty) c.posInfo.map(p => (p._1, p._1 + p._2))
+      else Vector((c.start, c.end))
+    def overlap(a: (Int, Int), b: (Int, Int)): Boolean =
+      (a._1 <= b._1 && b._1 <= a._2 && a._2 <= b._2) ||
+        (b._1 <= a._1 && a._1 <= b._2 && b._2 <= a._2)
+    val afterCascade =
+      if (!opts.cascade || discarded.isEmpty) kept
+      else {
+        val dSpans = discarded.flatMap(spans)
+        kept.filterNot(c => spans(c).exists(s => dSpans.exists(overlap(s, _))))
+      }
+    afterCascade.filter { c =>
+      c.score >= opts.scoreThreshold &&
+        (!opts.noNums || c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length)
+    }
+  }
 
   /** Term processing (-z, skr/skr_fe.pl options; SURVEY §2.8 F6): the
     * input is ONE term, not running text — no sentence split, no

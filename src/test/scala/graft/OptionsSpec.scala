@@ -120,6 +120,35 @@ class OptionsSpec extends AnyFunSuite {
     assert(strict.forall(_.score == 1000))
   }
 
+  test("--cascade: semtype-discarded evaluations drag overlapping survivors") {
+    // -k sosy discards Chest Pain [0,10] and Pain [6,10]; Chest [0,5]
+    // survives the filter but shares the discarded span's start with an
+    // end inside it -> spans_overlap fires -> cascade discards it too
+    // (the reference's logistic-regression motivation, skr.pl:1290-1297)
+    val kExcl = LinkOptions(excludeSemTypes = Set("sosy"))
+    val base = mentions("chest pain", kExcl)
+    assert(base.map(_.cui).contains("C0817096")) // Chest survives -k alone
+    val casc = mentions("chest pain", kExcl.copy(cascade = true))
+    assert(casc.isEmpty)
+    // with nothing discarded, cascade is a no-op
+    assert(mentions("chest pain", LinkOptions(cascade = true)).map(_.cui)
+      .contains("C0008031"))
+  }
+
+  test("--nomap user exclusions, with either side as a wildcard") {
+    assert(mentions("chest pain").map(_.cui).contains("C0008031"))
+    def gone(o: LinkOptions) = !mentions("chest pain", o).map(_.cui).contains("C0008031")
+    assert(gone(LinkOptions(noMap = Set(("Chest Pain", "C0008031")))))
+    assert(gone(LinkOptions(noMap = Set(("Chest Pain", ""))))) // any CUI
+    assert(gone(LinkOptions(noMap = Set(("", "C0008031"))))) // any term
+    // a non-matching pair excludes nothing
+    assert(!gone(LinkOptions(noMap = Set(("Chest Pain", "C9999999")))))
+    // flag surface parses inline pairs
+    val o = graft.api.Graft.parseFlags(
+      Seq("--cascade", "--nomap", "Chest Pain:C0008031,:C0000001"))
+    assert(o.cascade && o.noMap == Set(("Chest Pain", "C0008031"), ("", "C0000001")))
+  }
+
   test("V8 split-word expansion: fused word matches two-word index string") {
     val ms = mentions("Breastfeeding was encouraged.")
     val hit = ms.filter(_.cui == "C0006147")
