@@ -16,7 +16,8 @@ object Bench {
     "q06_window_top_orders", "q08_event_sessions",
     "q11_cube_flags", "q14_string_funcs", "q16_date_buckets", "q17_filtered_agg",
     "q20_lag_delta", "q27_skew_safe_distinct", "q28_asof_join",
-    "doc_token_count", "doc_token_count_bpe", "doc_fingerprint", "dedup_exact",
+    "doc_token_count", "doc_token_count_bpe", "doc_fingerprint",
+    "doc_repetition", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_token_jaccard",
     "dedup_cc_clusters",
     "ann_topk_bruteforce", "ann_ivf",

@@ -90,6 +90,55 @@ object DocOps {
       |  CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Repetition signals — the Gopher/C4-style repetitiousness filters a
+    * training-data pipeline runs next to stopword/punct quality: the
+    * fraction of all bigram occurrences taken by the single most
+    * frequent bigram, and the fraction of trigram occurrences that are
+    * repeats of an earlier trigram. Pure keyed aggregation (explode ->
+    * per-(doc, gram) count -> per-doc max/sum), map-side-combined; no
+    * per-doc state beyond the running aggregates.
+    */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    def gramStats(n: Int, top: String, dup: String): DataFrame = {
+      val grams = transform(sequence(lit(1), size(toks(col("text"))) - (n - 1)),
+        i => concat_ws(" ", slice(toks(col("text")), i, lit(n))))
+      d.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("n")).cast("double") / sum(col("n")), 6).as(top),
+          round(lit(1.0) - count(lit(1)).cast("double") / sum(col("n")), 6).as(dup))
+    }
+    d.select(col("doc_id"))
+      .join(gramStats(2, "top_bigram_frac", "dup_bigram_frac"), Seq("doc_id"), "left")
+      .join(gramStats(3, "top_trigram_frac", "dup_trigram_frac"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') g
+      |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) gi),
+      |bc AS (SELECT doc_id, g, COUNT(*) n FROM b GROUP BY doc_id, g),
+      |bs AS (SELECT doc_id, round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) top_bigram_frac,
+      |         round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) dup_bigram_frac
+      |       FROM bc GROUP BY doc_id),
+      |tr AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') g
+      |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) gi),
+      |tc AS (SELECT doc_id, g, COUNT(*) n FROM tr GROUP BY doc_id, g),
+      |ts AS (SELECT doc_id, round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) dup_trigram_frac
+      |       FROM tc GROUP BY doc_id)
+      |SELECT t.doc_id, COALESCE(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+      |  COALESCE(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+      |  COALESCE(ts.dup_trigram_frac, 0.0) AS dup_trigram_frac
+      |FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id
+      |       LEFT JOIN ts ON t.doc_id = ts.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Winnowing-style document fingerprint: min md5 over word 3-gram
     * shingles (rolling-hash fingerprinting re-expressed with an
     * engine-portable hash).
@@ -778,6 +827,7 @@ object DocOps {
     "doc_quality" -> (docQuality _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_lang_id" -> (docLangId _),
+    "doc_repetition" -> (docRepetition _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -795,6 +845,7 @@ object DocOps {
     "doc_token_count_bpe" -> docTokenCountBpeSql,
     "doc_quality" -> docQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
+    "doc_repetition" -> docRepetitionSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
