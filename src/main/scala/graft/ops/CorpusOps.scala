@@ -175,11 +175,54 @@ object CorpusOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Sequence-packing plan — the concat-then-chunk packing stage an LLM
+    * training pipeline runs after tokenization: documents are sharded by
+    * id hash (64 shards — at real scale one shard per writer task),
+    * concatenated deterministically within each shard (doc_id order),
+    * and chunked at `PackBudget` tokens. pack_in_shard is the chunk the
+    * document's LAST token lands in; contributions are capped at one
+    * budget unit per doc so an oversized document advances the plan by
+    * exactly one pack. Shard-local window cumsum: the only shuffle is
+    * the hash-partition by shard, each shard's window is independent —
+    * nothing global, so the shape survives any corpus size by raising
+    * the shard count.
+    */
+  val PackBudget = 2048
+
+  def corpusPackPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
+        (conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2), 16, 10).cast("int") % 64).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(least(col("n_tokens"), lit(PackBudget))).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - 1) / PackBudget).cast("int").as("pack_in_shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusPackPlanSql: String =
+    s"""WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS INT) n_tokens,
+      |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
+      |      % 64 AS INT) shard
+      |  FROM documents),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |    SUM(LEAST(n_tokens, $PackBudget)) OVER (PARTITION BY shard
+      |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) cum
+      |  FROM d)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST((cum - 1) // $PackBudget AS INT) AS pack_in_shard
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_quality_filter" -> (docQualityFilter _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_stats" -> (corpusStats _),
     "corpus_train_split" -> (corpusTrainSplit _),
+    "corpus_pack_plan" -> (corpusPackPlan _),
     "doc_pii_scrub" -> (docPiiScrub _))
 
   val oracleSql: Map[String, String] = Map(
@@ -187,5 +230,6 @@ object CorpusOps {
     "corpus_vocab" -> corpusVocabSql,
     "corpus_stats" -> corpusStatsSql,
     "corpus_train_split" -> corpusTrainSplitSql,
+    "corpus_pack_plan" -> corpusPackPlanSql,
     "doc_pii_scrub" -> docPiiScrubSql)
 }

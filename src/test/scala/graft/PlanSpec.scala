@@ -159,4 +159,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val q = finalPlan(RelationalQueries.q01PricingSummary(spark, sf))
     assert(q.contains("*(1)") && q.contains("*(2)"), q)
   }
+
+  test("kg WSD window pre-aggregates map-side (partial WindowGroupLimit)") {
+    // the rank-1 window over the mention checkpoint must cut each span
+    // group to its best row BEFORE the exchange — the map-side top-1
+    // that keeps the WSD shuffle volume at one row per span
+    graft.KgOracleTables.ensure(spark, sf)
+    val p = plan(graft.KgQueries.kgWsdDedup(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"no map-side window group limit:\n$p")
+  }
+
+  test("CC contraction and pack plan never buffer per-key collections") {
+    // star contraction: min-agg + join-back only — a collect_set here
+    // would hold a converged star's whole component at its root
+    val cc = plan(DocOps.dedupCcClusters(spark, sf))
+    assert(!cc.toLowerCase.contains("collect_set"), cc)
+    assert(!cc.toLowerCase.contains("collect_list"), cc)
+    // pack plan: exactly one hash exchange (the shard partition) feeds
+    // the shard-local running-sum window; nothing global
+    val pp = plan(graft.ops.CorpusOps.corpusPackPlan(spark, sf))
+    assert(pp.contains("hashpartitioning(shard"), pp)
+    assert(pp.contains("Window"), pp)
+    assert(!pp.contains("SinglePartition"),
+      s"pack plan degraded to a global window:\n$pp")
+  }
 }
