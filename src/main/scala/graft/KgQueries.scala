@@ -179,10 +179,10 @@ object KgQueries {
       "nomap" -> LinkOptions(noMap = Set(("", "C0027051"))))
     val umls = Pipeline.broadcastUmls(spark)
     // ONE kernel pass: each document is extracted once and linked under
-    // all 13 profiles inside the same task, emitting (mode, count) rows
-    // folded by a keyed agg — one Spark job instead of 13 sequential
-    // full-corpus jobs (a zero count per profile survives because every
-    // document emits all 13 modes).
+    // every profile inside the same task, emitting (mode, count) rows
+    // folded by a keyed agg — one Spark job instead of one sequential
+    // full-corpus job per profile (a zero count per profile survives
+    // because every document emits every mode).
     CorpusGen.pages(spark, 100).mapPartitions { it =>
       val t = umls.value
       it.flatMap { p =>

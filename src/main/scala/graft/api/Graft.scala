@@ -63,7 +63,12 @@ object Graft {
         case "--nomap" =>
           // the reference takes a file of Term:CUI pairs; the API takes
           // them inline as term:cui[,term:cui...] — empty side = wildcard
+          // (an all-empty element would be a match-everything wildcard
+          // that silently zeroes the corpus, so it is rejected)
           o = o.copy(noMap = arg().split(',').iterator.map { p =>
+            if (p.isEmpty || p == ":")
+              throw new IllegalArgumentException(
+                s"--nomap element '$p' would exclude every candidate")
             val idx = p.lastIndexOf(':')
             if (idx < 0) (p, "") else (p.take(idx), p.drop(idx + 1))
           }.toSet)

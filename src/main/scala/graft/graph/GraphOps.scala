@@ -53,44 +53,50 @@ object GraphOps {
     * for documents, CUI strings for the KG).
     *
     * @param edges two columns `u`, `v` (undirected pairs, any orientation)
+    * @param maxRounds safety valve far above the O(log^2 n) convergence
+    *                  bound (~5 rounds at 800k pages); on non-convergence
+    *                  the operator fails loudly — a non-star edge set
+    *                  would silently mislabel members, never emit it
     * @return (`node`, `rep`) for every node APPEARING IN edges, where rep
     *         is the component minimum; callers union in their singletons
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 12): DataFrame = {
+  // Large-Star: connect every strictly-larger neighbor of u to
+  // m = min(N(u) + {u}); Small-Star: connect u and its smaller
+  // neighbors to their minimum. Both emit (child, parent) edges.
+  //
+  // Deliberately NO neighbor-list aggregation: m is a min-agg joined
+  // back to the edges, so per-key state is a single value. A
+  // collect_set formulation would buffer a converged star's entire
+  // component at its root (the exact giant-dup-cluster OOM this
+  // operator exists to survive); the join-back streams that key
+  // through sort-merge/AQE-skew machinery instead. Package-private so
+  // PlanSpec can pin that property on the round plans themselves.
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(m, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    // oriented u > v throughout, so min(N(u)) < u: the (u, m) self edge
+    // never degenerates and every emitted edge keeps child > parent
+    val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(m, Seq("u"))
+      .select(col("v").as("x"), col("m"))
+      .filter(col("x") =!= col("m"))
+      .union(m.select(col("u").as("x"), col("m")))
+      .select(col("x").as("u"), col("m").as("v")).distinct()
+  }
+
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     def orient(df: DataFrame): DataFrame = df
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-
-    // Large-Star: connect every strictly-larger neighbor of u to
-    // m = min(N(u) + {u}); Small-Star: connect u and its smaller
-    // neighbors to their minimum. Both emit (child, parent) edges.
-    //
-    // Deliberately NO neighbor-list aggregation: m is a min-agg joined
-    // back to the edges, so per-key state is a single value. A
-    // collect_set formulation would buffer a converged star's entire
-    // component at its root (the exact giant-dup-cluster OOM this
-    // operator exists to survive); the join-back streams that key
-    // through sort-merge/AQE-skew machinery instead.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      sym.join(m, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // oriented u > v throughout, so min(N(u)) < u: the (u, m) self edge
-      // never degenerates and every emitted edge keeps child > parent
-      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      e.join(m, Seq("u"))
-        .select(col("v").as("x"), col("m"))
-        .filter(col("x") =!= col("m"))
-        .union(m.select(col("u").as("x"), col("m")))
-        .select(col("x").as("u"), col("m").as("v")).distinct()
-    }
 
     // convergence = unchanged edge set, checked by a single-pass
     // (count, xor-of-row-hashes) signature instead of an except() —

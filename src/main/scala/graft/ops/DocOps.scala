@@ -22,10 +22,19 @@ object DocOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Word 3-gram shingles (1-based slice, matching the DuckDB oracle). */
-  private def shingles(tokens: Column): Column =
-    transform(sequence(lit(1), size(tokens) - 2),
-      i => concat_ws(" ", slice(tokens, i, lit(3))))
+  /** Word n-gram shingles (1-based slice, matching the DuckDB oracle).
+    * Guarded for short documents: Spark's sequence(1, stop) COUNTS DOWN
+    * when stop < 1 (unlike DuckDB's generate_series, which is empty), so
+    * a sub-n-token document must short-circuit to an empty array or
+    * slice throws on the descending indices.
+    */
+  private def ngrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array())
+
+  private def shingles(tokens: Column): Column = ngrams(tokens, 3)
 
   // ---------- text analysis ----------
 
@@ -100,18 +109,19 @@ object DocOps {
     */
   def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    def gramStats(n: Int, top: String, dup: String): DataFrame = {
-      val grams = transform(sequence(lit(1), size(toks(col("text"))) - (n - 1)),
-        i => concat_ws(" ", slice(toks(col("text")), i, lit(n))))
-      d.select(col("doc_id"), explode(grams).as("g"))
+    def gramStats(n: Int, withTop: Boolean, top: String, dup: String): DataFrame = {
+      val counted = d.select(col("doc_id"), explode(ngrams(toks(col("text")), n)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))
-        .agg(round(max(col("n")).cast("double") / sum(col("n")), 6).as(top),
-          round(lit(1.0) - count(lit(1)).cast("double") / sum(col("n")), 6).as(dup))
+      val dupAgg = round(lit(1.0) - count(lit(1)).cast("double") / sum(col("n")), 6).as(dup)
+      if (withTop)
+        counted.agg(round(max(col("n")).cast("double") / sum(col("n")), 6).as(top), dupAgg)
+      else counted.agg(dupAgg)
     }
     d.select(col("doc_id"))
-      .join(gramStats(2, "top_bigram_frac", "dup_bigram_frac"), Seq("doc_id"), "left")
-      .join(gramStats(3, "top_trigram_frac", "dup_trigram_frac"), Seq("doc_id"), "left")
+      .join(gramStats(2, withTop = true, "top_bigram_frac", "dup_bigram_frac"),
+        Seq("doc_id"), "left")
+      .join(gramStats(3, withTop = false, "", "dup_trigram_frac"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
         coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
@@ -262,8 +272,13 @@ object DocOps {
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashCandidatePairs(spark, sfDir).orderBy(col("a"), col("b"))
 
-  val dedupMinhashLshSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+  /** The trigram-minhash candidate-pair CTE chain — the SQL mirror of
+    * [[minhashCandidatePairs]]. BOTH pair-consuming oracles (the pair
+    * dump and the CC clustering) embed this one string, so the band
+    * structure can never drift between the two oracle graphs.
+    */
+  private def minhashPairsCte: String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') sh
       |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) g),
       |hashed AS (SELECT doc_id, j,
@@ -274,12 +289,15 @@ object DocOps {
       |bands AS (SELECT doc_id, CAST(j // 2 AS INT) band,
       |                 string_agg(mh, '' ORDER BY mh) sig
       |          FROM sig GROUP BY doc_id, j // 2),
-      |bsize AS (SELECT band, sig, COUNT(*) n FROM bands GROUP BY band, sig)
-      |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-      |JOIN bsize s ON s.band = a.band AND s.sig = a.sig
-      |WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND $HotBucketCap
-      |ORDER BY a, b""".stripMargin
+      |bsize AS (SELECT band, sig, COUNT(*) n FROM bands GROUP BY band, sig),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |          JOIN bsize s ON s.band = a.band AND s.sig = a.sig
+      |          WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND $HotBucketCap)""".stripMargin
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $minhashPairsCte
+      |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
 
   /** 16-bit SimHash per document from md5-derived token hashes. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -410,22 +428,7 @@ object DocOps {
     * independent fixpoint formulation.
     */
   val dedupCcClustersSql: String =
-    s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-      |sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') sh
-      |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) g),
-      |hashed AS (SELECT doc_id, j,
-      |             substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('x' || sh) END,
-      |                    (j % 4) * 8 + 1, 8) h
-      |           FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) jj),
-      |sig AS (SELECT doc_id, j, min(h) mh FROM hashed GROUP BY doc_id, j),
-      |bands AS (SELECT doc_id, CAST(j // 2 AS INT) band,
-      |                 string_agg(mh, '' ORDER BY mh) sig
-      |          FROM sig GROUP BY doc_id, j // 2),
-      |bsize AS (SELECT band, sig, COUNT(*) n FROM bands GROUP BY band, sig),
-      |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-      |          JOIN bsize s ON s.band = a.band AND s.sig = a.sig
-      |          WHERE a.doc_id < b.doc_id AND s.n BETWEEN 2 AND $HotBucketCap),
+    s"""WITH RECURSIVE $minhashPairsCte,
       |e AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
       |r(node, lbl) AS (
       |  SELECT doc_id, doc_id FROM documents

@@ -105,6 +105,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("repetition + shingle guard: sub-n-token documents do not crash") {
+    import spark.implicits._
+    // Spark's sequence(1, stop) counts DOWN for stop < 1, so un-guarded
+    // n-gram slices crash on 1- and 2-token docs (DuckDB's
+    // generate_series is just empty) — pin the guard with a tiny corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    Seq((0L, "one", "en", "web", 3L), (1L, "two words", "en", "web", 9L),
+      (2L, "a b c a b c", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DocOps.docRepetition(spark, dir).collect()
+    assert(r.length == 3)
+    assert(r(0).getDouble(1) == 0.0 && r(0).getDouble(3) == 0.0) // no grams
+    assert(r(2).getDouble(3) > 0.0) // repeated trigrams measured
+    // the trigram-shingle paths survive the 1-token doc too
+    assert(DocOps.docFingerprint(spark, dir).count() == 3)
+    assert(DocOps.dedupMinhashLsh(spark, dir).collect() != null)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("CC clusters: star-contraction agrees with a driver-side union-find") {
     import spark.implicits._
     val pairs = DocOps.dedupMinhashLsh(spark, sf).as[(Long, Long)].collect()

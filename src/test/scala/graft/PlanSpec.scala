@@ -172,10 +172,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
 
   test("CC contraction and pack plan never buffer per-key collections") {
     // star contraction: min-agg + join-back only — a collect_set here
-    // would hold a converged star's whole component at its root
-    val cc = plan(DocOps.dedupCcClusters(spark, sf))
-    assert(!cc.toLowerCase.contains("collect_set"), cc)
-    assert(!cc.toLowerCase.contains("collect_list"), cc)
+    // would hold a converged star's whole component at its root. The
+    // rounds execute eagerly inside connectedComponents, so the
+    // assertion must target the ROUND plans (largeStar/smallStar), not
+    // the final members join.
+    import spark.implicits._
+    val e = Seq((5L, 1L), (7L, 5L), (9L, 2L)).toDF("u", "v")
+    for (round <- Seq(graft.graph.GraphOps.largeStar(e),
+        graft.graph.GraphOps.smallStar(e))) {
+      val p = plan(round)
+      assert(!p.toLowerCase.contains("collect_set"), p)
+      assert(!p.toLowerCase.contains("collect_list"), p)
+      assert(!p.contains("ObjectHashAggregate"),
+        s"contraction round aggregates objects, not scalars:\n$p")
+    }
     // pack plan: exactly one hash exchange (the shard partition) feeds
     // the shard-local running-sum window; nothing global
     val pp = plan(graft.ops.CorpusOps.corpusPackPlan(spark, sf))
