@@ -77,6 +77,9 @@ object Bench {
       timed { triples = Pipeline.run(CorpusGen.pages(spark, kgPages, 128)).count() }
     }
 
+    // a failed kg run must not leave a plausible-looking stale triple
+    // count next to the poisoned timings
+    if (kgRuns.exists(_ < 0)) triples = -1L
     val all = results :+ ("kg_pipeline_200k_pages" -> kgRuns)
     // best-of per entry; any failed run (-1) poisons the entry, and any
     // poisoned entry poisons the total — a crash must read as an invalid

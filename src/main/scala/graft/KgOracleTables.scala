@@ -74,8 +74,7 @@ object KgOracleTables {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/semnet")
     umls.value.cuiPreferred.toSeq.toDF("pcui", "pname")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/cui_pref")
-    umls.value.treecodes.toSeq
-      .map { case (c, tcs) => (c, tcs.map(_.split('.').length).max) }
+    ops.MmiRank.treecodeDepths(umls.value)
       .toDF("tcui", "tree_depth")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/treecodes")
     written += root
@@ -206,19 +205,19 @@ object KgOracleTables {
        |v AS (SELECT src id FROM e UNION SELECT dst FROM e),
        |c1 AS (SELECT e.dst id, SUM(CAST(1.0 AS DOUBLE) / d.deg) contrib
        |       FROM e JOIN deg d ON e.src = d.src GROUP BY e.dst),
-       |r1 AS (SELECT v.id, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+       |r1 AS (SELECT v.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
        |         * COALESCE(c1.contrib, CAST(0.0 AS DOUBLE)) "rank"
        |       FROM v LEFT JOIN c1 ON v.id = c1.id),
        |c2 AS (SELECT e.dst id, SUM(r1."rank" / d.deg) contrib
        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg d ON e.src = d.src
        |       GROUP BY e.dst),
-       |r2 AS (SELECT v.id, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+       |r2 AS (SELECT v.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
        |         * COALESCE(c2.contrib, CAST(0.0 AS DOUBLE)) "rank"
        |       FROM v LEFT JOIN c2 ON v.id = c2.id),
        |c3 AS (SELECT e.dst id, SUM(r2."rank" / d.deg) contrib
        |       FROM e JOIN r2 ON e.src = r2.id JOIN deg d ON e.src = d.src
        |       GROUP BY e.dst),
-       |r3 AS (SELECT v.id, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+       |r3 AS (SELECT v.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
        |         * COALESCE(c3.contrib, CAST(0.0 AS DOUBLE)) "rank"
        |       FROM v LEFT JOIN c3 ON v.id = c3.id)
        |SELECT id AS cui, round("rank", 6) AS "rank" FROM r3""".stripMargin
@@ -303,9 +302,12 @@ object KgOracleTables {
        |FROM utts GROUP BY url""".stripMargin
 
   /** The per-document JSON shape (skr_json.pl:87-131 analogue): replicates
-    * Spark's to_json field order and literals; (start, len) is unique
-    * within an utterance after WSD dedup, so the sort keys match the
-    * engine's full-struct sort.
+    * Spark's to_json field order, literals, and string escaping
+    * (backslash, quote, tab/CR/LF). The escape replacements are built
+    * from chr(92) because this is an s-interpolated Scala string: a
+    * literal backslash written as '\\' would be unescaped by the
+    * INTERPOLATOR before reaching DuckDB, silently no-op-ing the
+    * replacement (exactly what happened to the first version).
     */
   def kgJsonOutputSql: String =
     s"""WITH $wsdCte,
@@ -313,7 +315,11 @@ object KgOracleTables {
        |   '{"start":' || "start" || ',"len":' || "len" || ',"cui":"' || cui ||
        |   '","score":' || score || ',"semTypes":' || semTypes_json ||
        |   ',"negated":' || CASE WHEN negated THEN 'true' ELSE 'false' END ||
-       |   ',"text":"' || replace(replace(text, '\', '\\'), '"', '\"') ||
+       |   ',"text":"' ||
+       |   replace(replace(replace(replace(replace(text,
+       |     chr(92), chr(92) || chr(92)), '"', chr(92) || '"'),
+       |     chr(9), chr(92) || 't'), chr(13), chr(92) || 'r'),
+       |     chr(10), chr(92) || 'n') ||
        |   '"}' AS mj
        | FROM d),
        |u AS (SELECT url, "sentNo",

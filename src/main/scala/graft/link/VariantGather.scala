@@ -102,7 +102,8 @@ object VariantGather {
           if (static.nonEmpty) static.filterNot(_.word == gen)
           else if (isSingle && opts.dynamicVariants &&
             gen.length >= 3 && gen.forall(_.isLetter))
-            graft.umls.DynamicVariants.closure(gen, umls)
+            graft.umls.DynamicVariants.closure(gen, umls,
+              allDeriv = opts.allDerivationalVariants)
           else Vector.empty
         }
         val untaggedVars =

@@ -37,6 +37,15 @@ object MmiRank {
     }
   }
 
+  /** Per-CUI MeSH tree depth (max node count over the concept's
+    * treecodes) — THE depth definition for R3 specificity; shared with
+    * the oracle-aux dim dump (KgOracleTables) so the engine and the
+    * DuckDB recomputation can never drift.
+    */
+  def treecodeDepths(umls: UmlsTables): Seq[(String, Int)] =
+    umls.treecodes.toSeq
+      .map { case (c, tcs) => (c, tcs.map(_.split('.').length).max) }
+
   /** Rank concepts per document from the WSD-deduped mention table
     * (columns: url, sentNo, cui, score, negated...).
     */
@@ -47,9 +56,7 @@ object MmiRank {
     // the probe codegen'd and the plan size constant
     val spark = mentions.sparkSession
     import spark.implicits._
-    val depthDf = umls.value.treecodes.toSeq
-      .map { case (c, tcs) => (c, tcs.map(_.split('.').length).max) }
-      .toDF("cui", "tree_depth")
+    val depthDf = treecodeDepths(umls.value).toDF("cui", "tree_depth")
     val prefDf = umls.value.cuiPreferred.toSeq.toDF("cui", "concept_name")
 
     val tf = mentions.groupBy(col("url"), col("cui"))

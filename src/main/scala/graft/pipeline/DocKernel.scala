@@ -86,7 +86,12 @@ object DocKernel {
     val aas = AaDetector.findAas(toks) ++ opts.udas
     Sentences.split(toks).flatMap { sent =>
       val phrases = PhraseChunker.chunk(sent.toks, umls, Map.empty)
-      phrases.map { phrase =>
+      // a sentence that chunks to ZERO phrases (punctuation-only) still
+      // owns an utterance(...)/'EOU'. block in the reference's term
+      // stream — emit an empty-phrase sentinel so the writer prints it
+      if (phrases.isEmpty)
+        Vector(PhraseMmo(sent, Phrase(Vector.empty, 0), 0, 0, 0, 0, Vector.empty))
+      else phrases.map { phrase =>
         if (phrase.words.isEmpty ||
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1))
           PhraseMmo(sent, phrase, 0, 0, 0, 0, Vector.empty)

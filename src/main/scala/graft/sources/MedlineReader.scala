@@ -66,30 +66,30 @@ object MedlineReader {
   /** One citation: id + all fields. */
   final case class Citation(id: String, fields: Vector[Field])
 
-  /** If the line begins a field, return (NAME, rest-of-line). A field
-    * line starts with a dense token (no whitespace, no '-') naming a
-    * KNOWN field, followed by a separator char (f_begins_field grammar).
+  /** If the line begins a field, return (NAME, rest-of-line), mirroring
+    * the f_begins_field grammar (skr_text_processing.pl:503-580)
+    * exactly: a dense token (stops at space OR any separator char —
+    * so "PMID:" splits into name + attached separator) naming a KNOWN
+    * field, then a separator = blanks* sepChar blanks* where the space
+    * itself may BE the separator char ("AU Smith"). A line starting
+    * with whitespace can never begin a field (f_dense_token rejects a
+    * leading space), which is what keeps the 6-space continuation
+    * padding glommed onto the open field.
     */
   private[graft] def beginsField(line: String): Option[(String, String)] = {
-    val t = line.dropWhile(_ == ' ')
-    val dense = t.takeWhile(c => c != ' ' && c != '-')
-    if (dense.isEmpty || !knownFields.contains(dense.toUpperCase))
-      None
+    val dense = line.takeWhile(c => !separators.contains(c))
+    if (dense.isEmpty || !knownFields.contains(dense.toUpperCase)) None
     else {
-      val after = t.drop(dense.length)
-      val sepTrim = after.dropWhile(_ == ' ')
-      if (after.isEmpty) None
-      else {
-        val sep = if (after.head == ' ' && sepTrim.nonEmpty) sepTrim.head else after.head
-        if (!separators.contains(sep)) None
-        else {
-          val body =
-            if (sepTrim.nonEmpty && separators.contains(sepTrim.head) && sepTrim.head != ' ')
-              sepTrim.drop(1)
-            else after.drop(1)
-          Some((dense.toUpperCase, body.dropWhile(_ == ' ')))
-        }
-      }
+      val after = line.drop(dense.length)
+      val blanks = after.takeWhile(_ == ' ')
+      val rest = after.drop(blanks.length)
+      if (rest.nonEmpty && separators.contains(rest.head))
+        Some((dense.toUpperCase, rest.drop(1).dropWhile(_ == ' ')))
+      else if (blanks.nonEmpty)
+        // the first blank is itself the separator (f_separator's
+        // space-char clause); remaining text is the field body
+        Some((dense.toUpperCase, rest))
+      else None
     }
   }
 

@@ -28,16 +28,27 @@ object DynamicVariants {
   private val MaxLevel = 5
   private val MemoCap = 1 << 16
 
-  def closure(word: String, umls: UmlsTables): Vector[Variant] = {
+  /** allDeriv mirrors --all_derivational_variants through the DYNAMIC
+    * path too: the closure walks the full dm.rul inventory and merges
+    * from the all-deriv static table, so an OOV form reaches exactly the
+    * variants an in-table word would under the same flag.
+    */
+  def closure(word: String, umls: UmlsTables,
+      allDeriv: Boolean = false): Vector[Variant] = {
     val memo = umls.dynVariantMemo
-    val cached = memo.get(word)
+    val key = if (allDeriv) "D:" + word else word
+    val cached = memo.get(key)
     if (cached != null) return cached
-    val result = compute(word, umls)
-    if (memo.size < MemoCap) memo.put(word, result)
+    val result = compute(word, umls, allDeriv)
+    if (memo.size < MemoCap) memo.put(key, result)
     result
   }
 
-  private def compute(word: String, umls: UmlsTables): Vector[Variant] = {
+  private def compute(word: String, umls: UmlsTables,
+      allDeriv: Boolean): Vector[Variant] = {
+    val table =
+      if (allDeriv && umls.variantsAllDeriv.nonEmpty) umls.variantsAllDeriv
+      else umls.variants
     val best = scala.collection.mutable.Map[String, (Int, String)](word -> (0, ""))
     var frontier = List((word, 0, ""))
     while (frontier.nonEmpty) {
@@ -52,7 +63,7 @@ object DynamicVariants {
         }
         // a reached form that IS a static-table word contributes its whole
         // precomputed variant set (already gleaned-best) at our level
-        umls.variants.get(w).foreach(_.foreach(v =>
+        table.get(w).foreach(_.foreach(v =>
           add(v.word, v.varLevel, if (v.history.nonEmpty) v.history.last else 'i')))
         // rule inflections, both directions; forward inflection never
         // stacks on an inflection (the reference inflects each composed
@@ -62,9 +73,14 @@ object DynamicVariants {
           Morphology.inflections(w, "verb").foreach(add(_, 1, 'i'))
           Morphology.deinflections(w).foreach(add(_, 1, 'i'))
         }
-        // rule derivations (default adj<->noun filter, like static mode)
-        Morphology.derivations(w, "noun").foreach(p => add(p._1, 3, 'd'))
-        Morphology.derivations(w, "adj").foreach(p => add(p._1, 3, 'd'))
+        // rule derivations (same category-pair filter as static mode:
+        // default adj<->noun, or the full dm.rul inventory under the flag)
+        Morphology.derivations(w, "noun", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
+        Morphology.derivations(w, "adj", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
+        if (allDeriv) {
+          Morphology.derivations(w, "verb", all = true).foreach(p => add(p._1, 3, 'd'))
+          Morphology.derivations(w, "adv", all = true).foreach(p => add(p._1, 3, 'd'))
+        }
       }
       frontier = next.toList
     }
@@ -76,9 +92,9 @@ object DynamicVariants {
     // VInfos measurably slows the kernel (the reference's closure only
     // ever walks lexicon records, so it has no junk to filter)
     def lexical(w: String): Boolean =
-      umls.variants.contains(w) ||
+      table.contains(w) ||
         (w.indexOf(' ') >= 0 &&
-          w.split(' ').forall(t => umls.variants.contains(t) || umls.lexCats.contains(t)))
+          w.split(' ').forall(t => table.contains(t) || umls.lexCats.contains(t)))
     best.toVector.collect { case (v, (l, h)) if lexical(v) => (v, l, h) }
       .sortBy { case (v, l, _) => (l, v) }
       .map { case (v, l, h) => Variant(v, l, h) }

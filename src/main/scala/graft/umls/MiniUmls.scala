@@ -629,6 +629,10 @@ object MiniUmls {
       splitWords = Map(
         "breastfeeding" -> ("breast", "feeding"),
         "healthcare" -> ("health", "care")),
+      // eager at FIXTURE scale only (tables is built once per JVM; the
+      // second build pass and broadcast doubling are noise here) — a
+      // production-scale deployment would load the all-deriv table as a
+      // separate broadcast only when --all_derivational_variants is on
       variantsAllDeriv = buildVariantTable(allDeriv = true))
   }
 }

@@ -28,11 +28,23 @@ class MedlineSpec extends AnyFunSuite {
     assert(MedlineReader.beginsField("PMID- 12345678") == Some(("PMID", "12345678")))
     assert(MedlineReader.beginsField("TI  - A title") == Some(("TI", "A title")))
     assert(MedlineReader.beginsField("TY  - JOUR") == Some(("TY", "JOUR")))
-    // continuation lines: padding, prose starting with a known mnemonic
-    // but no separator, unknown names
+    // the separator may be ATTACHED to the name (f_dense_token stops at
+    // any separator char, skr_text_processing.pl:311-315,543-548)
+    assert(MedlineReader.beginsField("PMID: 12345678") == Some(("PMID", "12345678")))
+    assert(MedlineReader.beginsField("TI| A title") == Some(("TI", "A title")))
+    // a bare space is itself a separator char in the reference grammar
+    // (f_separator's space clause), so a known mnemonic + space SHEARS —
+    // the knownFields set is the only guard, exactly like the reference
+    assert(MedlineReader.beginsField("AU Smith J") == Some(("AU", "Smith J")))
+    assert(MedlineReader.beginsField("AB initio methods are used") ==
+      Some(("AB", "initio methods are used")))
+    // continuation lines: leading whitespace can never begin a field
+    // (f_dense_token rejects a leading space/separator), unknown names
+    // and separator-less lines stay continuations
     assert(MedlineReader.beginsField("      continued text").isEmpty)
-    assert(MedlineReader.beginsField("AB initio methods are used").isEmpty)
+    assert(MedlineReader.beginsField("      TI - looks like a field").isEmpty)
     assert(MedlineReader.beginsField("NOPE- not a field").isEmpty)
+    assert(MedlineReader.beginsField("AB").isEmpty)
   }
 
   test("S1 medline: citation parse — fields, continuation glom, text fields") {
