@@ -98,24 +98,25 @@ object GraphOps {
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
 
-    // convergence = unchanged edge set, checked by a single-pass
-    // (count, xor-of-row-hashes) signature instead of an except() —
-    // one map-side-combined agg job per round, no extra shuffle
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
+    // convergence = the edge set IS a star forest, tested directly:
+    // every child has exactly one parent AND no parent is itself a
+    // child. With the child > parent orientation both steps maintain,
+    // that forces each component to be a star rooted at its minimum —
+    // the final answer — so testing the property beats waiting for an
+    // unchanged-edge-set fixpoint, which costs one extra full
+    // contraction round just to observe that nothing moved.
+    def isStarForest(e: DataFrame): Boolean =
+      e.groupBy(col("u")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).isEmpty &&
+        e.select(col("v")).distinct()
+          .join(e.select(col("u")).distinct(), col("v") === col("u"), "left_semi")
+          .isEmpty
     var cur = orient(edges).localCheckpoint()
-    var curSig = sig(cur)
-    var converged = curSig._1 == 0L
+    var converged = cur.isEmpty || isStarForest(cur)
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextSig = sig(next)
-      converged = nextSig == curSig
-      cur = next
-      curSig = nextSig
+      cur = smallStar(largeStar(cur)).localCheckpoint()
+      converged = isStarForest(cur)
       rounds += 1
     }
     // at the fixpoint the edge list is a star forest: (member, root)
