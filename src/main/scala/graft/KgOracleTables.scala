@@ -67,7 +67,8 @@ object KgOracleTables {
       // stringified gate projections compare byte-for-byte
       .withColumn("semTypes_json", to_json(col("semTypes")))
       .withColumn("posInfo_json", to_json(col("posInfo")))
-      .drop("posInfo")
+      .withColumn("sources_json", to_json(col("sources")))
+      .drop("posInfo", "sources")
       .coalesce(4)
       .write.mode("overwrite").parquet(s"$root/mentions")
     Pipeline.semnetRows(umls.value).toDF("st1", "rel", "st2")
@@ -139,14 +140,14 @@ object KgOracleTables {
     s"""WITH $wsdCte
        |SELECT url, "sentNo", "start", "len", cui, score,
        |  semTypes_json AS "semTypes", negated, text,
-       |  posInfo_json AS "posInfo"
+       |  posInfo_json AS "posInfo", sources_json AS sources
        |FROM d""".stripMargin
 
   def kgNegatedSql: String =
     s"""WITH $wsdCte
        |SELECT url, "sentNo", "start", "len", cui, score,
        |  semTypes_json AS "semTypes", negated, text,
-       |  posInfo_json AS "posInfo"
+       |  posInfo_json AS "posInfo", sources_json AS sources
        |FROM d WHERE negated""".stripMargin
 
   def kgWsdDedupSql: String =

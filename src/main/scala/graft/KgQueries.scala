@@ -175,7 +175,16 @@ object KgQueries {
       "aa_span_merge" -> LinkOptions(aaSpanMerge = true),
       "tagged" -> LinkOptions(tagged = true),
       "no_prune" -> LinkOptions(noPrune = true),
-      "cascade" -> LinkOptions(excludeSemTypes = Set("sosy"), cascade = true),
+      // cascade only fires on the RESTRICT path (skr.pl:1272-1283: only
+      // restrict_to_sts passes Discarded to
+      // maybe_discard_overlapping_evaluations; exclude_sts ignores it)
+      "cascade" -> LinkOptions(restrictSemTypes = Set("dsyn"), cascade = true),
+      // pins the exclude-path no-op: same count as a bare -k sosy run
+      "cascade_exclude_noop" -> LinkOptions(excludeSemTypes = Set("sosy"), cascade = true),
+      "exclude_sosy" -> LinkOptions(excludeSemTypes = Set("sosy")),
+      // F4 source half (-R/-e, skr.pl:1247-1262)
+      "restrict_src_rxnorm" -> LinkOptions(restrictSources = Set("RXNORM")),
+      "exclude_src_msh" -> LinkOptions(excludeSources = Set("MSH")),
       "nomap" -> LinkOptions(noMap = Set(("", "C0027051"))))
     val umls = Pipeline.broadcastUmls(spark)
     // ONE kernel pass: each document is extracted once and linked under

@@ -25,7 +25,8 @@ object Graft {
     * -g/--allow_concept_gaps, -Y/--prefer_multiple_concepts,
     * -b/--compute_all_mappings, --conj, -r/--threshold N,
     * --min_length N, --no_nums, -J/--restrict_to_sts st1,st2,
-    * -k/--exclude_sts st1,st2.
+    * -k/--exclude_sts st1,st2, -R/--restrict_to_sources src1,src2,
+    * -e/--exclude_sources src1,src2.
     */
   def parseFlags(flags: Seq[String]): LinkOptions = {
     var o = LinkOptions.default
@@ -57,6 +58,15 @@ object Graft {
           o = o.copy(restrictSemTypes = arg().split(',').toSet)
         case "-k" | "--exclude_sts" =>
           o = o.copy(excludeSemTypes = arg().split(',').toSet)
+        // -R/-e take source-vocabulary names; the reference converts to
+        // ROOT sources and uppercases (convert_to_root_sources +
+        // upper_list, skr.pl:1247-1262) — replicate the case folding
+        case "-R" | "--restrict_to_sources" =>
+          o = o.copy(restrictSources =
+            arg().split(',').map(_.toUpperCase(java.util.Locale.ROOT)).toSet)
+        case "-e" | "--exclude_sources" =>
+          o = o.copy(excludeSources =
+            arg().split(',').map(_.toUpperCase(java.util.Locale.ROOT)).toSet)
         case "--cascade" => o = o.copy(cascade = true)
         case "--all_derivational_variants" =>
           o = o.copy(allDerivationalVariants = true)

@@ -152,7 +152,8 @@ object Evaluator {
         val ends = coveredIdx.map(i => phrase.words(i - 1).end)
         Some(Candidate(score, e.cui, e.str, e.concept, metaWords,
           umls.cuiSemTypes.getOrElse(e.cui, Vector.empty), mm, r.involvesHead,
-          starts.min, ends.max, posInfo))
+          starts.min, ends.max, posInfo,
+          umls.cuiSources.getOrElse(e.cui, Vector.empty)))
       }
     }
   }

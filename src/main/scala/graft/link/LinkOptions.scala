@@ -29,6 +29,12 @@ final case class LinkOptions(
     scoreThreshold: Int = 0,
     restrictSemTypes: Set[String] = Set.empty,
     excludeSemTypes: Set[String] = Set.empty,
+    // -R/-e (F4 source half, skr.pl:1247-1262): restrict/exclude by root
+    // source vocabulary; names are uppercased root sources
+    // (convert_to_root_sources + upper_list). Restrict wins over exclude,
+    // matching the reference's if-then-else chain.
+    restrictSources: Set[String] = Set.empty,
+    excludeSources: Set[String] = Set.empty,
     noNums: Boolean = false,
     udas: Map[String, Vector[String]] = Map.empty,
     ignoreWordOrder: Boolean = false,

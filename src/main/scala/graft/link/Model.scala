@@ -41,7 +41,10 @@ final case class Candidate(
     score: Int, cui: String, str: String, concept: String,
     metaWords: Vector[String], semTypes: Vector[String],
     matchMap: Vector[MatchEntry], involvesHead: Boolean,
-    start: Int, end: Int, posInfo: Vector[(Int, Int)] = Vector.empty)
+    start: Int, end: Int, posInfo: Vector[(Int, Int)] = Vector.empty,
+    // ev/15 Sources argument (metamap_utilities.pl:676-687): the root
+    // source vocabularies asserting this CUI, for -R/-e filtering
+    sources: Vector[String] = Vector.empty)
 
 /** A linked mention emitted by the per-document kernel. `posInfo` as in
   * [[Candidate]]; empty means the single extent (start, len) covers it.
@@ -49,4 +52,5 @@ final case class Candidate(
 final case class Mention(
     url: String, sentNo: Int, start: Int, len: Int,
     cui: String, score: Int, semTypes: Vector[String],
-    negated: Boolean, text: String, posInfo: Vector[(Int, Int)] = Vector.empty)
+    negated: Boolean, text: String, posInfo: Vector[(Int, Int)] = Vector.empty,
+    sources: Vector[String] = Vector.empty)

@@ -59,7 +59,7 @@ object DocKernel {
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
               c.semTypes, negated = false,
-              text.substring(c.start, c.end), c.posInfo)
+              text.substring(c.start, c.end), c.posInfo, c.sources)
           }
         }
       }
@@ -120,21 +120,42 @@ object DocKernel {
     */
   private def optionFilters(cands: Vector[graft.link.Candidate],
       opts: LinkOptions): Vector[graft.link.Candidate] = {
-    // user exclusions run FIRST (filter_evaluations, skr.pl:1224-1237):
+    // -r threshold runs in compute_evaluations (skr.pl:1408,
+    // maybe_filter_evaluations_by_threshold) BEFORE filter_evaluations —
+    // so a below-threshold candidate can never cascade-kill a survivor
+    val afterThreshold =
+      if (opts.scoreThreshold <= 0) cands
+      else cands.filter(_.score >= opts.scoreThreshold)
+    // user exclusions run FIRST inside filter_evaluations (skr.pl:1224-1237):
     // a --nomap pair (term, cui) with "" as a wildcard on either side
     val afterNomap =
-      if (opts.noMap.isEmpty) cands
-      else cands.filterNot(c => opts.noMap.exists { case (t, k) =>
+      if (opts.noMap.isEmpty) afterThreshold
+      else afterThreshold.filterNot(c => opts.noMap.exists { case (t, k) =>
         (t.isEmpty || t == c.str) && (k.isEmpty || k == c.cui)
       })
-    // F4 semtype restrict/exclude, keeping the DISCARDED side for cascade
-    val (kept, discarded) = afterNomap.partition { c =>
-      (opts.restrictSemTypes.isEmpty || c.semTypes.exists(opts.restrictSemTypes)) &&
-        (opts.excludeSemTypes.isEmpty || !c.semTypes.exists(opts.excludeSemTypes))
-    }
+    // F4 source restrict/exclude (-R/-e, skr.pl:1247-1262): restrict wins
+    // over exclude, matching the if-then-else chain; a candidate survives
+    // -R if ANY of its source vocabularies is in the restricted set
+    val afterSources =
+      if (opts.restrictSources.nonEmpty)
+        afterNomap.filter(_.sources.exists(opts.restrictSources))
+      else if (opts.excludeSources.nonEmpty)
+        afterNomap.filterNot(_.sources.exists(opts.excludeSources))
+      else afterNomap
+    // F4 semtype restrict/exclude (skr.pl:1272-1283): mutually exclusive
+    // branches, restrict_to_sts first. ONLY the restrict branch keeps its
+    // Discarded side for --cascade (maybe_discard_overlapping_evaluations);
+    // the exclude branch ignores it (_Discarded)
+    val (kept, cascadeDiscarded) =
+      if (opts.restrictSemTypes.nonEmpty)
+        afterSources.partition(_.semTypes.exists(opts.restrictSemTypes))
+      else if (opts.excludeSemTypes.nonEmpty)
+        (afterSources.filterNot(_.semTypes.exists(opts.excludeSemTypes)),
+          Vector.empty[graft.link.Candidate])
+      else (afterSources, Vector.empty[graft.link.Candidate])
     // --cascade (discard_overlapping_evaluations, skr.pl:1284-1309): a
-    // kept candidate positionally overlapping any discarded one goes
-    // too. spans_overlap (skr.pl:3791-3799) is the STAGGERED test —
+    // kept candidate positionally overlapping any restrict-discarded one
+    // goes too. spans_overlap (skr.pl:3791-3799) is the STAGGERED test —
     // proper containment does not trigger it — with inclusive bounds on
     // EndPos = Start + Length; replicated exactly.
     def spans(c: graft.link.Candidate): Vector[(Int, Int)] =
@@ -144,15 +165,16 @@ object DocKernel {
       (a._1 <= b._1 && b._1 <= a._2 && a._2 <= b._2) ||
         (b._1 <= a._1 && a._1 <= b._2 && b._2 <= a._2)
     val afterCascade =
-      if (!opts.cascade || discarded.isEmpty) kept
+      if (!opts.cascade || cascadeDiscarded.isEmpty) kept
       else {
-        val dSpans = discarded.flatMap(spans)
+        val dSpans = cascadeDiscarded.flatMap(spans)
         kept.filterNot(c => spans(c).exists(s => dSpans.exists(overlap(s, _))))
       }
-    afterCascade.filter { c =>
-      c.score >= opts.scoreThreshold &&
-        (!opts.noNums || c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length)
-    }
+    // numerical filter LAST among the option filters
+    // (filter_numerical_evaluations runs after semtypes, skr.pl:1231)
+    if (!opts.noNums) afterCascade
+    else afterCascade.filter(c =>
+      c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length)
   }
 
   /** Term processing (-z, skr/skr_fe.pl options; SURVEY §2.8 F6): the
@@ -191,7 +213,8 @@ object DocKernel {
     val kept = cands.filter(coveredWords(_) == maxCov)
     Evaluator.bestMappingCandidates(kept, phrase.words.length, opts).map { c =>
       Mention(url, 0, c.start, c.end - c.start, c.cui, c.score,
-        c.semTypes, negated = false, normTerm.substring(c.start, c.end), c.posInfo)
+        c.semTypes, negated = false, normTerm.substring(c.start, c.end),
+        c.posInfo, c.sources)
     }
   }
 }

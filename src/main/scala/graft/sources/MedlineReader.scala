@@ -10,10 +10,12 @@ import graft.umls.UmlsTables
   * MetaMap-parity user feeds the engine. Re-expresses the reference's
   * citation reader (/root/reference/skr/skr_text_processing.pl:189-361):
   *
-  *  - a block is a citation when its first line is `PMID` / `UI` (MEDLINE)
-  *    or `TY` (RIS) followed by a separator in `- | : .` or space, and a
-  *    later line carries a title field (`TI T1 TT BTI CTI VTI`)
-  *    (medlineRIS_citation, :286-298);
+  *  - a block is a citation when its first line is `PMID` (MEDLINE) or
+  *    `TY` (RIS) — after left-trimming — followed by a `- | : .`
+  *    separator, and a later line carries a title field
+  *    (`TI T1 TT BTI CTI VTI`) (medlineRIS_citation, :286-298);
+  *    non-citation input is annotated as plain text via a dummy TX
+  *    pseudo-citation (form_dummy_citation, :338-360), never dropped;
   *  - a line BEGINS a field when it starts with a dense token (no space,
   *    no `-`) naming a field, then a separator (f_begins_field grammar,
   *    :505-525); any other line CONTINUES the open field; empty lines
@@ -31,7 +33,11 @@ import graft.umls.UmlsTables
   */
 object MedlineReader {
 
-  private val firstFieldNames = Set("PMID", "UI", "TY")
+  // medlineRIS_first_field_name/1 (skr_text_processing.pl:317-318):
+  // ONLY PMID (MEDLINE) and TY (RIS) can head a citation; UI/U1 are
+  // id-probe fields (medlineRIS_PMID_field_name, :320-322) used by
+  // form_dummy_citation, never citation starts
+  private val firstFieldNames = Set("PMID", "TY")
   private val titleFieldNames = Set("TI", "T1", "TT", "BTI", "CTI", "VTI")
   private val idFieldNames = Seq("PMID", "UI", "U1") // probe order
   private val textFieldNames = Set("TI", "T1", "AB", "TX")
@@ -93,11 +99,36 @@ object MedlineReader {
     }
   }
 
-  /** Is this block a MEDLINE/RIS citation? (medlineRIS_citation/1) */
+  /** Citation-DETECTION field matcher (medlineRIS_field_string/2,
+    * skr_text_processing.pl:300-310) — stricter than [[beginsField]]'s
+    * parse grammar and forgiving in a different way: leading whitespace
+    * is trimmed first (trim_whitespace_left), then the field name must be
+    * followed by a separator char and, after skipping whitespace, by a
+    * NON-SPACE separator in `-|:.` (the FirstChar2 re-check) — so
+    * `PMID- 123` and `PMID : 123` are citation heads but a bare
+    * space-separated `PMID 123` is not.
+    */
+  private[graft] def citationFieldName(line: String): Option[String] = {
+    val t = line.dropWhile(_.isWhitespace)
+    val dense = t.takeWhile(c => !separators.contains(c))
+    val rest = t.drop(dense.length)
+    if (dense.isEmpty || rest.isEmpty) None
+    else {
+      val afterWs = rest.dropWhile(_.isWhitespace)
+      if (afterWs.nonEmpty && afterWs.head != ' ' && separators.contains(afterWs.head))
+        Some(dense.toUpperCase)
+      else None
+    }
+  }
+
+  /** Is this block a MEDLINE/RIS citation? (medlineRIS_citation/1,
+    * skr_text_processing.pl:289-298): first line heads with PMID/TY, a
+    * later line with a title field — both under the detection grammar.
+    */
   def isCitation(lines: Seq[String]): Boolean = {
     val nonEmpty = lines.dropWhile(_.trim.isEmpty)
-    nonEmpty.headOption.flatMap(beginsField).exists(f => firstFieldNames(f._1)) &&
-      nonEmpty.drop(1).exists(l => beginsField(l).exists(f => titleFieldNames(f._1)))
+    nonEmpty.headOption.flatMap(citationFieldName).exists(firstFieldNames) &&
+      nonEmpty.drop(1).exists(l => citationFieldName(l).exists(titleFieldNames))
   }
 
   /** Parse one citation block into ordered fields; continuation lines
@@ -132,6 +163,23 @@ object MedlineReader {
     Some(Citation(id, fs))
   }
 
+  /** Non-citation input becomes a pseudo-citation with the whole text as
+    * one TX field and a dummy id (form_dummy_citation,
+    * skr_text_processing.pl:338-360: `UI  - 00000000` + the text glommed
+    * as a padded TX field) — the reference never DROPS plain-text input,
+    * it annotates it.
+    */
+  def parseBlocks(body: String): Vector[Citation] = {
+    val cits = splitCitations(body).flatMap(parseCitation)
+    if (cits.nonEmpty) cits
+    else {
+      val text = body.split("\n", -1).iterator.map(_.trim)
+        .filter(_.nonEmpty).mkString(" ")
+      if (text.isEmpty) Vector.empty
+      else Vector(Citation("00000000", Vector(Field("TX", text))))
+    }
+  }
+
   /** Split a raw file body into citation blocks: a new block starts at
     * each PMID/UI/TY field line (RIS `ER` also closes a record).
     */
@@ -140,7 +188,7 @@ object MedlineReader {
     var cur = new StringBuilder
     var seenAny = false
     body.split("\n", -1).foreach { line =>
-      val starts = beginsField(line).exists(f => firstFieldNames(f._1))
+      val starts = citationFieldName(line).exists(firstFieldNames)
       if (starts && seenAny) { blocks += cur.result(); cur = new StringBuilder }
       if (starts) seenAny = true
       if (line.trim == "ER" || beginsField(line).exists(_._1 == "ER")) {
@@ -162,7 +210,7 @@ object MedlineReader {
   def textFields(raw: Dataset[String])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     raw.flatMap { body =>
-      splitCitations(body).flatMap(parseCitation).flatMap { c =>
+      parseBlocks(body).flatMap { c =>
         c.fields.filter(f => textFieldNames(f.name) && f.value.nonEmpty)
           .map(f => (c.id, f.name.toLowerCase, f.value))
       }
@@ -178,7 +226,7 @@ object MedlineReader {
     import spark.implicits._
     raw.mapPartitions { it =>
       it.flatMap { body =>
-        splitCitations(body).flatMap(parseCitation).flatMap { c =>
+        parseBlocks(body).flatMap { c =>
           val t = umls.value
           c.fields.filter(f => textFieldNames(f.name) && f.value.nonEmpty)
             .flatMap(f => DocKernel.mentions(s"${c.id}.${f.name.toLowerCase}", f.value, t))

@@ -34,6 +34,9 @@ final case class UmlsTables(
     wordCounts: Map[String, Int],
     cuiPreferred: Map[String, String],
     cuiSemTypes: Map[String, Vector[String]],
+    // cuisourceinfo analogue (db/db_access.pl:368-396): CUI -> root source
+    // vocabularies asserting it, for -R/-e restrict/exclude-by-source
+    cuiSources: Map[String, Vector[String]] = Map.empty,
     // static-mode variant table: word -> variants (incl. the word itself)
     variants: Map[String, Vector[Variant]],
     // V10 per-category variant tables for tagged mode: category -> word ->
@@ -261,6 +264,30 @@ object MiniUmls {
     ("C4000007", "Lymphoma", Vector("neop"), Vector("Lymphoma")),
     ("C4000008", "Stage finding", Vector("npop"), Vector("Stage"))
   )
+
+  /** cuisourceinfo analogue (db/db_access.pl:368-396): per-CUI root-source
+    * vocabulary lists, derived deterministically from semtype groups so
+    * -R/-e have differentiated behavior over the fixture — disorders
+    * carry MSH+SNOMEDCT_US, anatomy/findings SNOMEDCT_US only, drugs and
+    * chemicals MSH+RXNORM, diagnostics MSH+LNC, everything else MSH
+    * (mirrors the real Metathesaurus's heaviest per-family contributors).
+    */
+  val cuiSources: Map[String, Vector[String]] = {
+    val disorders = Set("dsyn", "neop", "patf", "virs")
+    val anatomy = Set("sosy", "blor", "bpoc", "phsf", "npop")
+    val drugs = Set("phsu", "orch")
+    val diag = Set("diap")
+    concepts.map { c =>
+      val sts = c._3.toSet
+      val srcs =
+        if (sts.exists(disorders)) Vector("MSH", "SNOMEDCT_US")
+        else if (sts.exists(drugs)) Vector("MSH", "RXNORM")
+        else if (sts.exists(diag)) Vector("MSH", "LNC")
+        else if (sts.exists(anatomy)) Vector("SNOMEDCT_US")
+        else Vector("MSH")
+      c._1 -> srcs
+    }.toMap
+  }
 
   /** Word/multiword synonyms with variant level 2 (db synonyms analogue;
     * multiword pairs cover FIXTURES.md "heart attack <-> myocardial
@@ -605,6 +632,7 @@ object MiniUmls {
       wordCounts = Map("of" -> 9000, "the" -> 9500, "no" -> 5000, "ca" -> 1200),
       cuiPreferred = concepts.map(c => c._1 -> c._2).toMap,
       cuiSemTypes = concepts.map(c => c._1 -> c._3).toMap,
+      cuiSources = cuiSources,
       variants = buildVariantTable(),
       variantsByCat = Map(
         "noun" -> buildVariantTable(Some("noun")),

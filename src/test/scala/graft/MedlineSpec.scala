@@ -58,14 +58,28 @@ class MedlineSpec extends AnyFunSuite {
       Vector("PMID", "STAT", "TI", "AB", "AU", "MH"))
   }
 
-  test("S1 medline: non-citations are rejected; UI is an id fallback") {
+  test("S1 medline: non-citations become dummy TX pseudo-citations") {
     assert(MedlineReader.parseCitation("Just some arbitrary text.\nMore.").isEmpty)
-    // UI-headed dummy citation (form_dummy_citation shape)
-    val dummy = "UI  - 00000042\nTX  - Aspirin treats heart attack."
-    // no title field -> not a citation per medlineRIS_citation/1
-    assert(MedlineReader.parseCitation(dummy).isEmpty)
+    // ...but the reference never DROPS plain text: form_dummy_citation
+    // (skr_text_processing.pl:338-360) wraps it as `UI - 00000000` + TX
+    val dummies = MedlineReader.parseBlocks("Just some arbitrary text.\nMore.")
+    assert(dummies == Vector(MedlineReader.Citation("00000000",
+      Vector(MedlineReader.Field("TX", "Just some arbitrary text. More.")))))
+    // UI can head only a DUMMY citation, not a real one:
+    // medlineRIS_first_field_name/1 (:317-318) accepts PMID and TY only —
+    // a UI-headed block is plain text even with a title-shaped line
     val withTitle = "UI  - 00000042\nTI  - Aspirin.\nAB  - Treats heart attack."
-    assert(MedlineReader.parseCitation(withTitle).get.id == "00000042")
+    assert(MedlineReader.parseCitation(withTitle).isEmpty)
+    val asDummy = MedlineReader.parseBlocks(withTitle)
+    assert(asDummy.head.id == "00000000")
+    assert(asDummy.head.fields == Vector(MedlineReader.Field("TX",
+      "UI  - 00000042 TI  - Aspirin. AB  - Treats heart attack.")))
+    // detection left-trims (medlineRIS_field_string, :300-310): an
+    // indented PMID head still starts a citation...
+    assert(MedlineReader.isCitation(Seq("  PMID- 1", "TI  - T.")))
+    // ...but a space-only separator does not (the FirstChar2 re-check
+    // requires a real `-|:.` after whitespace)
+    assert(!MedlineReader.isCitation(Seq("PMID 1", "TI  - T.")))
   }
 
   test("S1 ris: TY-headed record with T1 title and ER terminator") {

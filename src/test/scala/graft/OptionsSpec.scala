@@ -120,19 +120,52 @@ class OptionsSpec extends AnyFunSuite {
     assert(strict.forall(_.score == 1000))
   }
 
-  test("--cascade: semtype-discarded evaluations drag overlapping survivors") {
-    // -k sosy discards Chest Pain [0,10] and Pain [6,10]; Chest [0,5]
-    // survives the filter but shares the discarded span's start with an
-    // end inside it -> spans_overlap fires -> cascade discards it too
-    // (the reference's logistic-regression motivation, skr.pl:1290-1297)
-    val kExcl = LinkOptions(excludeSemTypes = Set("sosy"))
-    val base = mentions("chest pain", kExcl)
-    assert(base.map(_.cui).contains("C0817096")) // Chest survives -k alone
-    val casc = mentions("chest pain", kExcl.copy(cascade = true))
-    assert(casc.isEmpty)
+  test("--cascade: restrict-discarded evaluations drag overlapping survivors") {
+    // -J sosy keeps Chest Pain [0,10] + Pain [6,10], discards Chest [0,5]
+    // [blor]; cascade kills Chest Pain (staggered overlap with the
+    // discarded Chest, skr.pl:3791-3799) but not Pain (disjoint span) —
+    // the reference's logistic-regression motivation (skr.pl:1290-1297)
+    val rSosy = LinkOptions(restrictSemTypes = Set("sosy"))
+    assert(mentions("chest pain", rSosy).map(_.cui).contains("C0008031"))
+    val casc = mentions("chest pain", rSosy.copy(cascade = true))
+    assert(!casc.map(_.cui).contains("C0008031"))
+    assert(casc.map(_.cui).contains("C0030193"))
+    // cascade fires ONLY on the restrict path: exclude_sts ignores its
+    // Discarded side (skr.pl:1278-1280, _Discarded) — -k sosy + cascade
+    // leaves Chest untouched
+    val kExcl = LinkOptions(excludeSemTypes = Set("sosy"), cascade = true)
+    assert(mentions("chest pain", kExcl).map(_.cui).contains("C0817096"))
+    // -r runs BEFORE filter_evaluations (skr.pl:1408): with threshold 900
+    // the discarded-side Chest (partial-coverage score < 900) is gone
+    // before the semtype partition, so nothing cascades and Chest Pain
+    // (1000) survives
+    val cascThr = mentions("chest pain",
+      rSosy.copy(cascade = true, scoreThreshold = 900))
+    assert(cascThr.map(_.cui).contains("C0008031"))
     // with nothing discarded, cascade is a no-op
     assert(mentions("chest pain", LinkOptions(cascade = true)).map(_.cui)
       .contains("C0008031"))
+  }
+
+  test("-R/-e source restriction and per-mention sources (F4 source half)") {
+    val text = "Aspirin was given for chest pain."
+    val all = mentions(text)
+    assert(all.exists(_.cui == "C0004057") && all.exists(_.cui == "C0008031"))
+    // Aspirin [phsu] carries MSH+RXNORM; Chest Pain [sosy] SNOMEDCT_US only
+    val rx = mentions(text, LinkOptions(restrictSources = Set("RXNORM")))
+    assert(rx.exists(_.cui == "C0004057") && !rx.exists(_.cui == "C0008031"))
+    val noMsh = mentions(text, LinkOptions(excludeSources = Set("MSH")))
+    assert(!noMsh.exists(_.cui == "C0004057") && noMsh.exists(_.cui == "C0008031"))
+    // restrict wins over exclude (the reference's if-then-else chain,
+    // skr.pl:1247-1262)
+    val both = mentions(text, LinkOptions(restrictSources = Set("RXNORM"),
+      excludeSources = Set("RXNORM")))
+    assert(both.exists(_.cui == "C0004057"))
+    // flag surface parses + folds case like convert_to_root_sources/upper
+    val o = graft.api.Graft.parseFlags(Seq("-R", "snomedct_us", "-e", "msh"))
+    assert(o.restrictSources == Set("SNOMEDCT_US") && o.excludeSources == Set("MSH"))
+    // mentions carry their source vocabularies (ev/15 Sources argument)
+    assert(all.find(_.cui == "C0004057").get.sources == Vector("MSH", "RXNORM"))
   }
 
   test("--nomap user exclusions, with either side as a wildcard") {
