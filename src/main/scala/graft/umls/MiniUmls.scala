@@ -506,36 +506,24 @@ object MiniUmls {
     */
   private def buildVariantTable(catRestrict: Option[String] = None,
       allDeriv: Boolean = false): Map[String, Vector[Variant]] = {
-    val spell = spellings.groupMap(_._1)(_._2)
-    val syn = synonyms.groupMap(_._1)(_._2)
-
     // fact tables + rule-generated morphology (Morphology scaladoc): the
     // reference builds its static variant tables the same way — facts
-    // where curated, lm.rules/dm.rul where not. Rule derivations are kept
-    // only when the derived form is itself a lexicon word (the dm_vars
-    // behavior: derivations land on real lexical items).
-    val lexWords: Set[String] = (nouns ++ adjectives ++ verbs).toSet
-    val inflSources: Vector[(String, String)] = catRestrict match {
-      case Some("noun") => nouns.toVector.map(w => w -> "noun")
-      case Some("verb") => verbs.toVector.map(w => w -> "verb")
-      case Some(_) => Vector.empty // adj: no inflection rules
-      case None =>
-        nouns.toVector.map(w => w -> "noun") ++ verbs.toVector.map(w => w -> "verb")
+    // where curated, lm.rules/dm.rul where not. Rule edges come from the
+    // shared per-word generator, the closure from VariantClosure — the
+    // exact code path UmlsIngest.variantTableJob distributes.
+    val lexCats: Map[String, Set[String]] = {
+      val m = scala.collection.mutable.Map[String, Set[String]]()
+      def tag(ws: Iterable[String], c: String): Unit =
+        ws.foreach(w => m(w) = m.getOrElse(w, Set.empty) + c)
+      tag(nouns, "noun"); tag(adjectives, "adj"); tag(verbs, "verb")
+      m.toMap
     }
-    val ruleInfl: Vector[(String, String)] =
-      inflSources.flatMap { case (w, c) => Morphology.inflections(w, c).map(w -> _) }
-    val derivSources: Vector[(String, String)] =
-      nouns.toVector.map(w => w -> "noun") ++
-        adjectives.toVector.map(w => w -> "adj") ++
-        (if (allDeriv) verbs.toVector.map(w => w -> "verb") else Vector.empty)
-    val ruleDeriv: Vector[(String, String)] =
-      derivSources.flatMap { case (w, c) =>
-        Morphology.derivations(w, c, all = allDeriv).map(_._1)
-          .filter(lexWords).map(w -> _)
-      }
-    // symmetric edges: the reference's lexicon lookup resolves ANY form to
-    // its base and back (get_spellings_and_inflections_for_form), so
-    // "strokes" must reach "stroke" just as "stroke" reaches "strokes"
+    val lexWords: Set[String] = lexCats.keySet.toSet
+    val ruleEdges = lexCats.toVector.map { case (w, cs) =>
+      VariantClosure.ruleEdgesForWord(w, cs, lexWords, catRestrict, allDeriv)
+    }
+    val ruleInfl = ruleEdges.flatMap(_._1)
+    val ruleDeriv = ruleEdges.flatMap(_._2)
     // curated inflection pairs only apply when the base word belongs to
     // the restricted category ("cough"/"coughing" serves noun AND verb)
     val curatedInfl = catRestrict match {
@@ -544,42 +532,17 @@ object MiniUmls {
       case Some(_) => Vector.empty
       case None => inflections
     }
-    val inflPairs = (curatedInfl ++ ruleInfl).distinct
-    val derivPairs = (derivations ++ ruleDeriv).distinct
-    val infl = (inflPairs ++ inflPairs.map(_.swap)).distinct.groupMap(_._1)(_._2)
-    val deriv = (derivPairs ++ derivPairs.map(_.swap)).distinct.groupMap(_._1)(_._2)
-
-    val allWords = nouns ++ adjectives ++ verbs ++
+    val e = VariantClosure.edges(
+      spellings = spellings,
+      inflections = curatedInfl ++ ruleInfl,
+      synonyms = synonyms,
+      derivations = derivations ++ ruleDeriv)
+    val allWords = (nouns ++ adjectives ++ verbs).toVector ++
       spellings.map(_._1) ++ inflections.map(_._1) ++ derivations.map(_._1) ++
       ruleInfl.map(_._1) ++ ruleInfl.map(_._2) ++
       ruleDeriv.map(_._1) ++ ruleDeriv.map(_._2) ++
       synonyms.map(_._1)
-
-    allWords.toVector.sorted.map { w =>
-      // closure with minimal level per variant word (glean_best_variants,
-      // metamap_variants.pl:1299-1322); levels per metamap_variants.pl:181-185
-      val best = scala.collection.mutable.Map[String, (Int, String)](w -> (0, ""))
-      var frontier = List((w, 0, ""))
-      while (frontier.nonEmpty) {
-        val next = scala.collection.mutable.ListBuffer[(Int, (String, Int, String))]()
-        for ((word, lvl, hist) <- frontier) {
-          def add(v: String, dl: Int, h: Char): Unit = {
-            val nl = lvl + dl
-            if (nl <= 5 && best.get(v).forall(_._1 > nl)) {
-              best(v) = (nl, hist + h)
-              next += ((nl, (v, nl, hist + h)))
-            }
-          }
-          spell.getOrElse(word, Vector.empty).foreach(add(_, 0, 'p'))
-          infl.getOrElse(word, Vector.empty).foreach(add(_, 1, 'i'))
-          syn.getOrElse(word, Vector.empty).foreach(add(_, 2, 's'))
-          deriv.getOrElse(word, Vector.empty).foreach(add(_, 3, 'd'))
-        }
-        frontier = next.map(_._2).toList
-      }
-      w -> best.toVector.sortBy { case (v, (l, _)) => (l, v) }
-        .map { case (v, (l, h)) => Variant(v, l, h) }
-    }.toMap
+    VariantClosure.table(allWords, e)
   }
 
   /** Scale-stress table set: the fixture tables plus `nExtraStrings`

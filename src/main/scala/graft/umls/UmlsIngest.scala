@@ -1,0 +1,408 @@
+package graft.umls
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real-UMLS ingestion: build a broadcastable [[UmlsTables]] from
+  * MRCONSO / MRSTY / SRSTRE / SPECIALIST-shaped DataFrames instead of the
+  * synthetic fixture. This is the path a user with an actual Metathesaurus
+  * license feeds the engine — the Spark re-expression of the reference's
+  * Berkeley-DB table surface (/root/reference/db/db_access.pl:316-809)
+  * and lexicon wrappers (lexicon/lexicon/lex_access.pl:35-307).
+  *
+  * Input schemas (see README §"Real-UMLS ingestion" for the column ↔
+  * reference-table mapping; extra columns are ignored):
+  *
+  *  - `mrconso(cui, str, sab, ispref[, suppress])` — concept strings.
+  *    One row per string; `ispref = 'Y'` marks the preferred concept name
+  *    (MRCONSO TS=P/STT=PF/ISPREF=Y collapsed to one flag);
+  *    `suppress = 'Y'` rows contribute the name but are NOT indexed for
+  *    matching (MRCONSO SUPPRESS). db analogue: cuiconcept/suistrings.
+  *  - `mrsty(cui, st[, pos])` — semantic-type ABBREVIATIONS (dsyn, neop …,
+  *    the reference's semtype form, db: cuist); `pos` preserves list order
+  *    (absent → sorted).
+  *  - `lexicon(word, cat)` — SPECIALIST lexicon forms with category in
+  *    noun/adj/verb/aux/det/prep/conj/pron/adv; MULTIWORD entries (with
+  *    spaces) become `lexiconForms` (is_a_form) regardless of cat.
+  *  - `variants(word, variant, var_level, history)` — the static-mode
+  *    variant table (db: vars), i.e. the output of [[variantTableJob]].
+  *  - `semnet(st1, rel, st2)` — semantic-network relations in abbreviation
+  *    form (SRSTRE1-shaped; db: semnet).
+  *
+  * plus optional side tables in [[UmlsAuxSources]] (per-CUI source
+  * vocabularies, treecodes, split words, stop phrases, WSD priors, negex
+  * triggers, …). All inputs are DICTIONARY-scale — bounded by the
+  * Metathesaurus (~15M strings), independent of corpus size — so the
+  * collect-to-broadcast here is the same bounded state the reference holds
+  * in process memory via BDB; it is NOT corpus-scale driver traffic.
+  * Build once, [[dump]] to parquet, and [[load]] per job.
+  */
+object UmlsIngest {
+
+  /** Optional side tables; any may be None (defaults documented per field). */
+  final case class UmlsAuxSources(
+      // cuisourceinfo (db_access.pl:368-396): cui, sab[, pos]; absent →
+      // derived as sorted distinct upper(sab) per cui from mrconso
+      cuiSourceInfo: Option[DataFrame] = None,
+      // per-category GVC variant tables (V10): cat, word, variant,
+      // var_level, history
+      variantsByCat: Option[DataFrame] = None,
+      // full-dm.rul table for --all_derivational_variants: same schema as
+      // variants
+      variantsAllDeriv: Option[DataFrame] = None,
+      // rel, inv — semnet inverse pairs; absent → empty (triples then only
+      // use forward relations)
+      relationInverse: Option[DataFrame] = None,
+      // cui, treecode (MeSH tree numbers / db treecodes)
+      treecodes: Option[DataFrame] = None,
+      // st, priority — the deterministic WSD prior; absent → empty (all
+      // types tie at 99)
+      semTypePriority: Option[DataFrame] = None,
+      // word, first, second (split_word fact table)
+      splitWords: Option[DataFrame] = None,
+      // phrase, cat (metamap_stop_phrase.pl analogue)
+      stopPhrases: Option[DataFrame] = None,
+      // word, n — corpus word frequencies for the frequent-first-word cut
+      wordCounts: Option[DataFrame] = None,
+      // class, phrase with class in nega|negb|pnega|pnegb|conj; absent →
+      // the built-in negex_triggers-scale list (NegexTriggers)
+      negexTriggers: Option[DataFrame] = None)
+
+  private def collectRows(df: DataFrame, cols: String*): Vector[Row] =
+    df.select(cols.map(col): _*).collect().toVector
+
+  private def orderedList(rows: Vector[(String, String, Option[Long])])
+      : Map[String, Vector[String]] =
+    rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(v => (v._3, v._2)).distinct
+        .sortBy { case (p, s) => (p.getOrElse(Long.MaxValue), s) }.map(_._2)
+    }
+
+  private def withOptPos(df: DataFrame, a: String, b: String)
+      : Vector[(String, String, Option[Long])] =
+    if (df.columns.contains("pos"))
+      collectRows(df, a, b, "pos").map(r =>
+        (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    else collectRows(df, a, b).map(r => (r.getString(0), r.getString(1), None))
+
+  private def variantMap(df: DataFrame): Map[String, Vector[Variant]] =
+    collectRows(df, "word", "variant", "var_level", "history")
+      .map(r => (r.getString(0), Variant(r.getString(1), r.getInt(2), r.getString(3))))
+      .groupBy(_._1).map { case (w, vs) =>
+        // closure emission order: (level, variant) — reconstructible
+        w -> vs.map(_._2).distinct.sortBy(v => (v.varLevel, v.word))
+      }
+
+  /** Assemble a broadcastable [[UmlsTables]] from source DataFrames. */
+  def fromDataFrames(
+      mrconso: DataFrame,
+      mrsty: DataFrame,
+      lexicon: DataFrame,
+      variants: DataFrame,
+      semnet: DataFrame,
+      aux: UmlsAuxSources = UmlsAuxSources()): UmlsTables = {
+
+    val consoCols =
+      if (mrconso.columns.contains("suppress"))
+        collectRows(mrconso, "cui", "str", "sab", "ispref", "suppress")
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3) == "Y", r.getString(4) == "Y"))
+      else
+        collectRows(mrconso, "cui", "str", "sab", "ispref")
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3) == "Y", false))
+
+    // preferred concept name: the ispref row; deterministic fallback =
+    // lexicographically first unsuppressed string
+    val cuiPreferred: Map[String, String] = consoCols.groupBy(_._1).map {
+      case (cui, rows) =>
+        cui -> rows.filter(_._4).map(_._2).minOption
+          .orElse(rows.filterNot(_._5).map(_._2).minOption)
+          .getOrElse(rows.head._2)
+    }
+
+    // index entries from unsuppressed strings: normalize exactly like the
+    // fixture build (uninversion + NOS strip + mm tokenization)
+    val entries = consoCols.filterNot(_._5)
+      .map(r => (r._1, r._2)).distinct
+      .flatMap { case (cui, str) =>
+        val nm = MiniUmls.normalizeString(str)
+        if (nm.isEmpty) None
+        else Some(IndexEntry(nm, str, cui, cuiPreferred(cui)))
+      }
+    val firstWordIndex = entries.groupBy(_.nmWords.head).map { case (k, v) =>
+      k -> v.distinctBy(e => (e.cui, e.str))
+        .sortBy(e => (e.nmWords.length, e.cui, e.str))
+    }
+
+    val cuiSources: Map[String, Vector[String]] = aux.cuiSourceInfo match {
+      case Some(df) => orderedList(withOptPos(df, "cui", "sab"))
+      case None => consoCols.map(r => (r._1, r._3.toUpperCase(java.util.Locale.ROOT)))
+        .distinct.groupBy(_._1).map { case (c, ss) => c -> ss.map(_._2).sorted }
+    }
+
+    val cuiSemTypes = orderedList(withOptPos(mrsty, "cui", "st"))
+
+    val lexRows = collectRows(lexicon, "word", "cat")
+      .map(r => (r.getString(0), r.getString(1)))
+    val lexiconForms = lexRows.map(_._1).filter(_.contains(" ")).toSet
+    val lexCats = lexRows.filterNot(_._1.contains(" "))
+      .groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).toSet }
+    val stopWords = lexCats.collect {
+      case (w, cs) if cs.exists(UmlsTables.closedCats) => w
+    }.toSet
+
+    val semnetRows = collectRows(semnet, "st1", "rel", "st2")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val semnetMap = semnetRows.groupBy(f => (f._1, f._3)).map { case (k, v) =>
+      k -> v.map(_._2).distinct.sorted
+    }
+
+    val negexByClass: Map[String, Vector[Vector[String]]] =
+      aux.negexTriggers match {
+        case Some(df) => orderedList(withOptPos(df, "class", "phrase"))
+          .map { case (c, ps) =>
+            c -> ps.map(_.split(" ").toVector.filter(_.nonEmpty))
+          }
+        case None => Map(
+          "nega" -> graft.negex.NegexTriggers.nega,
+          "negb" -> graft.negex.NegexTriggers.negb,
+          "pnega" -> graft.negex.NegexTriggers.pseudoPre,
+          "pnegb" -> graft.negex.NegexTriggers.pseudoPost,
+          "conj" -> graft.negex.NegexTriggers.conj)
+      }
+
+    UmlsTables(
+      firstWordIndex = firstWordIndex,
+      wordCounts = aux.wordCounts.map(df =>
+        collectRows(df, "word", "n").map(r => r.getString(0) -> r.getInt(1)).toMap)
+        .getOrElse(Map.empty),
+      cuiPreferred = cuiPreferred,
+      cuiSemTypes = cuiSemTypes,
+      cuiSources = cuiSources,
+      variants = variantMap(variants),
+      variantsByCat = aux.variantsByCat.map { df =>
+        df.select(col("cat")).distinct().collect().map(_.getString(0)).toVector.sorted
+          .map(c => c -> variantMap(df.filter(col("cat") === c).drop("cat"))).toMap
+      }.getOrElse(Map.empty),
+      lexiconForms = lexiconForms,
+      lexCats = lexCats,
+      stopWords = stopWords,
+      semnet = semnetMap,
+      preferredRelations = semnetRows.map(_._2).toSet,
+      relationInverse = aux.relationInverse.map(df =>
+        collectRows(df, "rel", "inv").map(r => r.getString(0) -> r.getString(1)).toMap)
+        .getOrElse(Map.empty),
+      negexPre = negexByClass.getOrElse("nega", Vector.empty),
+      negexPost = negexByClass.getOrElse("negb", Vector.empty),
+      negexPseudo = negexByClass.getOrElse("pnega", Vector.empty),
+      negexPseudoPost = negexByClass.getOrElse("pnegb", Vector.empty),
+      negexConj = negexByClass.getOrElse("conj", Vector.empty),
+      treecodes = aux.treecodes.map(df => orderedList(withOptPos(df, "cui", "treecode")))
+        .getOrElse(Map.empty),
+      semTypePriority = aux.semTypePriority.map(df =>
+        collectRows(df, "st", "priority").map(r => r.getString(0) -> r.getInt(1)).toMap)
+        .getOrElse(Map.empty),
+      stopPhrases = aux.stopPhrases.map(df =>
+        collectRows(df, "phrase", "cat").map(r => (r.getString(0), r.getString(1)))
+          .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).toSet })
+        .getOrElse(Map.empty),
+      splitWords = aux.splitWords.map(df =>
+        collectRows(df, "word", "first", "second")
+          .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap)
+        .getOrElse(Map.empty),
+      variantsAllDeriv = aux.variantsAllDeriv.map(variantMap).getOrElse(Map.empty))
+  }
+
+  // ---------------------------------------------------------------------
+  // Offline variant-table job (SURVEY §7 module 4): the static-mode
+  // db_get_variants table (metamap_variants.pl:356-372) built with Spark.
+  // ---------------------------------------------------------------------
+
+  /** Build the static variant table from fact-pair tables + the lexicon:
+    * rule morphology (lm.rules / dm.rul) runs DISTRIBUTED per lexicon
+    * word, the canonical edge maps are broadcast (dictionary-scale), and
+    * the per-word closure runs distributed over the full word list.
+    * Output schema: word, variant, var_level, history — exactly
+    * [[fromDataFrames]]'s `variants` input, and byte-identical to the
+    * fixture builder on the same inputs (VariantClosure is shared).
+    *
+    * @param lexicon     word, cat (single words; multiwords ignored here)
+    * @param spellings   word, variant (pre-symmetrized, level 0)
+    * @param inflections word, variant (level 1; symmetrized internally)
+    * @param synonyms    word, variant (pre-symmetrized, level 2)
+    * @param derivations word, variant (level 3; symmetrized internally)
+    */
+  def variantTableJob(spark: SparkSession,
+      lexicon: DataFrame, spellings: DataFrame, inflections: DataFrame,
+      synonyms: DataFrame, derivations: DataFrame,
+      catRestrict: Option[String] = None,
+      allDeriv: Boolean = false): DataFrame = {
+    import spark.implicits._
+
+    def pairs(df: DataFrame): Vector[(String, String)] =
+      collectRows(df, "word", "variant").map(r => (r.getString(0), r.getString(1)))
+
+    val spellPairs = pairs(spellings)
+    val inflPairs = pairs(inflections)
+    val synPairs = pairs(synonyms)
+    val derivPairs = pairs(derivations)
+
+    val lexCats = collectRows(lexicon, "word", "cat")
+      .map(r => (r.getString(0), r.getString(1)))
+      .filterNot(_._1.contains(" "))
+      .groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).toSet }
+    val lexWords = lexCats.keySet.toSet
+    val bcLexWords = spark.sparkContext.broadcast(lexWords)
+
+    // stage 1: rule morphology per lexicon word, on executors (the regex
+    // rule application is the expensive part at 500k-word scale)
+    val ruleEdges: Vector[(Vector[(String, String)], Vector[(String, String)])] =
+      lexCats.toVector.sortBy(_._1)
+        .map { case (w, cs) => (w, cs.toVector.sorted) }
+        .toDF("word", "cats")
+        .as[(String, Vector[String])]
+        .mapPartitions { it =>
+          val lw = bcLexWords.value
+          it.map { case (w, cs) =>
+            VariantClosure.ruleEdgesForWord(w, cs.toSet, lw, catRestrict, allDeriv)
+          }
+        }.collect().toVector
+    val ruleInfl = ruleEdges.flatMap(_._1)
+    val ruleDeriv = ruleEdges.flatMap(_._2)
+
+    // curated inflection pairs only bite for the restricted category
+    val curatedInfl = catRestrict match {
+      case Some(c @ ("noun" | "verb")) => inflPairs.filter(p =>
+        lexCats.get(p._1).exists(_(c)) || lexCats.get(p._2).exists(_(c)))
+      case Some(_) => Vector.empty
+      case None => inflPairs
+    }
+
+    // stage 2: canonical edge maps (order-independent), broadcast once
+    val e = VariantClosure.edges(
+      spellings = spellPairs,
+      inflections = curatedInfl ++ ruleInfl,
+      synonyms = synPairs,
+      derivations = derivPairs ++ ruleDeriv)
+    val bcEdges = spark.sparkContext.broadcast(e)
+
+    // stage 3: per-word closure, distributed over the full word list
+    val allWords = (lexWords.toVector ++
+      spellPairs.map(_._1) ++ inflPairs.map(_._1) ++ derivPairs.map(_._1) ++
+      ruleInfl.flatMap(p => Vector(p._1, p._2)) ++
+      ruleDeriv.flatMap(p => Vector(p._1, p._2)) ++
+      synPairs.map(_._1)).distinct.sorted
+
+    allWords.toDF("word")
+      .repartition(math.max(1, math.min(64, allWords.size / 1000 + 1)))
+      .as[String]
+      .mapPartitions { it =>
+        val edges = bcEdges.value
+        it.flatMap(w => VariantClosure.close(w, edges)
+          .map(v => (w, v.word, v.varLevel, v.history)))
+      }.toDF("word", "variant", "var_level", "history")
+  }
+
+  // ---------------------------------------------------------------------
+  // Parquet persistence: dump a table set in the ingest schemas / load one
+  // ---------------------------------------------------------------------
+
+  private def variantDf(spark: SparkSession, m: Map[String, Vector[Variant]]): DataFrame = {
+    import spark.implicits._
+    m.toVector.sortBy(_._1)
+      .flatMap { case (w, vs) => vs.map(v => (w, v.word, v.varLevel, v.history)) }
+      .toDF("word", "variant", "var_level", "history")
+  }
+
+  /** Write an [[UmlsTables]] to `dir` as parquet side tables in exactly
+    * the schemas [[fromDataFrames]] consumes — both the round-trip proof
+    * and the recommended deployment shape (build once, load per job).
+    */
+  def dump(t: UmlsTables, dir: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    def write(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+
+    val indexed: Set[(String, String)] =
+      t.firstWordIndex.valuesIterator.flatten.map(e => (e.cui, e.str)).toSet
+    val conso = indexed.toVector.sorted.map { case (cui, str) =>
+      (cui, str, t.cuiSources.getOrElse(cui, Vector("UNK")).head,
+        if (t.cuiPreferred.get(cui).contains(str)) "Y" else "N", "N")
+    } ++ t.cuiPreferred.toVector.sorted.collect {
+      // a preferred name that is not itself an indexed string travels as
+      // a SUPPRESSED row (names the concept, not matchable) — MRCONSO's
+      // TS=P row with SUPPRESS=Y
+      case (cui, pref) if !indexed((cui, pref)) =>
+        (cui, pref, t.cuiSources.getOrElse(cui, Vector("UNK")).head, "Y", "Y")
+    }
+    write(conso.toDF("cui", "str", "sab", "ispref", "suppress"), "mrconso")
+
+    write(t.cuiSemTypes.toVector.sortBy(_._1).flatMap { case (c, sts) =>
+      sts.zipWithIndex.map { case (s, i) => (c, s, i.toLong) }
+    }.toDF("cui", "st", "pos"), "mrsty")
+    write(t.cuiSources.toVector.sortBy(_._1).flatMap { case (c, ss) =>
+      ss.zipWithIndex.map { case (s, i) => (c, s, i.toLong) }
+    }.toDF("cui", "sab", "pos"), "cuisourceinfo")
+    write((t.lexCats.toVector.sortBy(_._1).flatMap { case (w, cs) =>
+      cs.toVector.sorted.map(w -> _)
+    } ++ t.lexiconForms.toVector.sorted.map(_ -> "form"))
+      .toDF("word", "cat"), "lexicon")
+    write(variantDf(spark, t.variants), "variants")
+    if (t.variantsByCat.nonEmpty)
+      write(t.variantsByCat.toVector.sortBy(_._1).map { case (c, m) =>
+        variantDf(spark, m).withColumn("cat", lit(c))
+      }.reduce(_ unionByName _), "variants_by_cat")
+    if (t.variantsAllDeriv.nonEmpty)
+      write(variantDf(spark, t.variantsAllDeriv), "variants_all_deriv")
+    write(t.semnet.toVector.sortBy(_._1).flatMap { case ((s1, s2), rels) =>
+      rels.map(r => (s1, r, s2))
+    }.toDF("st1", "rel", "st2"), "semnet")
+    write(t.relationInverse.toVector.sorted.toDF("rel", "inv"), "relation_inverse")
+    write(t.treecodes.toVector.sortBy(_._1).flatMap { case (c, tcs) =>
+      tcs.zipWithIndex.map { case (tc, i) => (c, tc, i.toLong) }
+    }.toDF("cui", "treecode", "pos"), "treecodes")
+    write(t.semTypePriority.toVector.sorted.toDF("st", "priority"), "semtype_priority")
+    write(t.splitWords.toVector.sortBy(_._1)
+      .map { case (w, (a, b)) => (w, a, b) }.toDF("word", "first", "second"),
+      "split_words")
+    write(t.stopPhrases.toVector.sortBy(_._1).flatMap { case (p, cs) =>
+      cs.toVector.sorted.map(p -> _)
+    }.toDF("phrase", "cat"), "stop_phrases")
+    write(t.wordCounts.toVector.sorted.toDF("word", "n"), "word_counts")
+    write((t.negexPre.map("nega" -> _) ++ t.negexPost.map("negb" -> _) ++
+      t.negexPseudo.map("pnega" -> _) ++ t.negexPseudoPost.map("pnegb" -> _) ++
+      t.negexConj.map("conj" -> _))
+      .groupBy(_._1).toVector.flatMap { case (c, ps) =>
+        // trigger-list order is behavior-neutral (trie match) but pos
+        // keeps the dump→load round trip field-identical
+        ps.zipWithIndex.map { case ((_, ws), i) => (c, ws.mkString(" "), i.toLong) }
+      }.toDF("class", "phrase", "pos"), "negex_triggers")
+  }
+
+  /** Read a [[dump]]-shaped directory back into an [[UmlsTables]]. */
+  def load(dir: String)(implicit spark: SparkSession): UmlsTables = {
+    def read(name: String): Option[DataFrame] = {
+      val p = new java.io.File(s"$dir/$name")
+      if (p.exists()) Some(spark.read.parquet(s"$dir/$name")) else None
+    }
+    fromDataFrames(
+      mrconso = read("mrconso").get,
+      mrsty = read("mrsty").get,
+      lexicon = read("lexicon").get,
+      variants = read("variants").get,
+      semnet = read("semnet").get,
+      aux = UmlsAuxSources(
+        cuiSourceInfo = read("cuisourceinfo"),
+        variantsByCat = read("variants_by_cat"),
+        variantsAllDeriv = read("variants_all_deriv"),
+        relationInverse = read("relation_inverse"),
+        treecodes = read("treecodes"),
+        semTypePriority = read("semtype_priority"),
+        splitWords = read("split_words"),
+        stopPhrases = read("stop_phrases"),
+        wordCounts = read("word_counts"),
+        negexTriggers = read("negex_triggers")))
+  }
+}
