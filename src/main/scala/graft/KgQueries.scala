@@ -118,10 +118,23 @@ object KgQueries {
     output.JsonOutput.documentJson(kgMentions(spark, sfDir))
   }
 
+  /** --dump_aas at the gate: the standard corpus UNION the AA-exercise
+    * corpus (accepted shapes + rejected parentheticals; CorpusGen
+    * .aaSentences), with a UDA that overrides a discovered AA ("ca") and
+    * one that no document defines ("uda"). rows-only at the gate; the
+    * exact dump lines are pinned in AaDumpSpec.
+    */
   def kgAaDump(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
+    import org.apache.spark.sql.functions.col
     val umls = Pipeline.broadcastUmls(spark)
-    output.JsonOutput.aaDump(CorpusGen.pages(spark, pagesFor(sfDir)), umls)
+    val opts = graft.link.LinkOptions(udas = Map(
+      "ca" -> Vector("calcium"),
+      "uda" -> Vector("user", "defined", "acronym")))
+    output.JsonOutput.aaDump(
+      CorpusGen.pages(spark, pagesFor(sfDir)).unionByName(CorpusGen.aaPages(spark)),
+      umls, opts)
+      .orderBy(col("url"), col("acronym"))
   }
 
   def kgHumanOutput(spark: SparkSession, sfDir: String): DataFrame = {
@@ -185,7 +198,11 @@ object KgQueries {
       // F4 source half (-R/-e, skr.pl:1247-1262)
       "restrict_src_rxnorm" -> LinkOptions(restrictSources = Set("RXNORM")),
       "exclude_src_msh" -> LinkOptions(excludeSources = Set("MSH")),
-      "nomap" -> LinkOptions(noMap = Set(("", "C0027051"))))
+      "nomap" -> LinkOptions(noMap = Set(("", "C0027051"))),
+      // --sldi: each page line becomes its own record — document-local
+      // AA reuse across lines is lost, so the count genuinely differs
+      "sldi" -> LinkOptions(sldi = true),
+      "blanklines_2" -> LinkOptions(blankLines = Some(2)))
     val umls = Pipeline.broadcastUmls(spark)
     // ONE kernel pass: each document is extracted once and linked under
     // every profile inside the same task, emitting (mode, count) rows
@@ -199,7 +216,14 @@ object KgQueries {
         else {
           val text = graft.text.Extract.htmlToText(p.html)
           profiles.iterator.map { case (name, o) =>
-            (name, pipeline.DocKernel.mentions(p.url, text, t, o).size.toLong)
+            val n = sources.MedlineReader.segModeOf(o) match {
+              case None => pipeline.DocKernel.mentions(p.url, text, t, o).size
+              case Some(m) => sources.MedlineReader.segment(text, m)
+                .iterator.map { case (rid, rt) =>
+                  pipeline.DocKernel.mentions(s"${p.url}.$rid", rt, t, o).size
+                }.sum
+            }
+            (name, n.toLong)
           }
         }
       }

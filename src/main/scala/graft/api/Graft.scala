@@ -70,6 +70,17 @@ object Graft {
         case "--cascade" => o = o.copy(cascade = true)
         case "--all_derivational_variants" =>
           o = o.copy(allDerivationalVariants = true)
+        // env-var analogues NEGEX_UTTERANCE_MAX_DIST / NEGEX_CONCEPT_MAX_DIST
+        // (negex.pl:152-157); setting either engages the reference's
+        // two-distance window rule (documented values 20/10)
+        // input segmentation (skr_text_processing.pl:142-178)
+        case "--sldi" => o = o.copy(sldi = true)
+        case "--sldiID" => o = o.copy(sldiId = true)
+        case "--blanklines" => o = o.copy(blankLines = Some(arg().toInt))
+        case "--negex_utterance_max_dist" =>
+          o = o.copy(negexUtteranceMaxDist = Some(arg().toInt))
+        case "--negex_concept_max_dist" =>
+          o = o.copy(negexConceptMaxDist = Some(arg().toInt))
         case "--nomap" =>
           // the reference takes a file of Term:CUI pairs; the API takes
           // them inline as term:cui[,term:cui...] — empty side = wildcard
@@ -129,12 +140,27 @@ object Graft {
     if (opts.termProcessing) return annotateTerms(df, idCol, textCol, opts, Some(bc))
     // ANY id type: cast to string (a bigint doc_id would otherwise fail
     // encoder resolution before any work runs)
+    // --sldi / --sldiID / --blanklines N: the text cell is a raw input
+    // STREAM, segmented into records before the kernel
+    // (skr_text_processing.pl:142-178). AAs are record-local, exactly
+    // like the reference's per-record text objects.
+    val segMode = graft.sources.MedlineReader.segModeOf(opts)
     df.select(df.col(idCol).cast("string"), df.col(textCol).cast("string"))
       .as[(String, String)].mapPartitions { it =>
         val t = bc.value
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
-          else DocKernel.mentions(id, text, t, opts).iterator
+          else segMode match {
+            case None => DocKernel.mentions(id, text, t, opts).iterator
+            case Some(m) =>
+              graft.sources.MedlineReader.segment(text, m).iterator.flatMap {
+                // sldiID record ids are authoritative; ordinal modes
+                // qualify the row id
+                case (rid, rt) =>
+                  val url = if (opts.sldiId) rid else s"$id.$rid"
+                  DocKernel.mentions(url, rt, t, opts)
+              }
+          }
         }
       }.toDF()
   }

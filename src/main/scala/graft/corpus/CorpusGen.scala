@@ -194,7 +194,11 @@ object CorpusGen {
   /** Page assembly: title + body sentences; html wraps each line in <p>
     * with entity-encoded specials; `text` is the exact expected extraction.
     */
-  private def assemble(n: Long, title: String, sents: Vector[String], lang: String): Page = {
+  private def assemble(n: Long, title: String, sents: Vector[String], lang: String): Page =
+    assembleUrl(urlOf(n), n, title, sents, lang)
+
+  private def assembleUrl(url: String, n: Long, title: String,
+      sents: Vector[String], lang: String): Page = {
     val lines = title +: sents
     val text = lines.mkString("\n")
     val enc = lines.map(_.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
@@ -203,8 +207,51 @@ object CorpusGen {
     html.append("<script>var x = 1;</script></head><body>")
     enc.tail.foreach(s => html.append("<p>").append(s).append("</p>"))
     html.append("</body></html>")
-    Page(urlOf(n), new Timestamp(1700000000000L + n * 1000L),
+    Page(url, new Timestamp(1700000000000L + n * 1000L),
       html.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), text, lang)
+  }
+
+  /** AA-exercise corpus for the --dump_aas gate entry (kg_aa_dump):
+    * accepted AAs across definition shapes (2-word, 3-word, stop-word
+    * skipping, reuse after definition) plus parentheticals the detector
+    * must REJECT (initial mismatch, numeric, the "(Act)"
+    * expansion-contains-AA case, single-char). Dedicated urls
+    * (ex.test/aa/) keep every main-corpus oracle untouched; the exact
+    * accepted set is pinned byte-for-byte in AaDumpSpec.
+    */
+  val aaSentences: Vector[Vector[String]] = Vector(
+    Vector("Coronary artery (CA) disease was present.", "CA was severe."),
+    Vector("Atrial fibrillation (AF) was noted."),
+    Vector("Oral glucose tolerance test (OGTT) was normal."),
+    Vector("Magnetic resonance imaging (MRI) showed pulmonary edema."),
+    Vector("Blood pressure (BP) was elevated."),
+    Vector("Myocardial infarction (MI) was excluded."),
+    Vector("Deep venous thrombosis (DVT) was suspected."),
+    Vector("Coronary artery disease (CAD) was confirmed."),
+    Vector("Heart failure (HF) developed."),
+    Vector("Chest pain (CP) persisted."),
+    Vector("Shortness of breath (SOB) was reported."),
+    Vector("Kidney failure (KF) was treated."),
+    Vector("Computed tomography (CT) was performed."),
+    Vector("Small intestine (SI) biopsy was taken."),
+    Vector("Pulmonary edema (PE) resolved."),
+    Vector("High blood pressure (HBP) required treatment."),
+    // rejected: AA letters never match the scope initials
+    Vector("The patient was stable (XYZ) overnight."),
+    // rejected: numeric parenthetical (token type nu)
+    Vector("The cohort (12) was small."),
+    // rejected: every candidate expansion contains the AA itself
+    // (the reference's "Immigration and Nationality Act (Act)" case,
+    // text_objects.pl:3053-3058)
+    Vector("The Immigration and Nationality Act (Act) was cited."),
+    // rejected: single-char AA fails the length guard
+    Vector("Fever (F) subsided."))
+
+  def aaPages(spark: SparkSession): Dataset[Page] = {
+    import spark.implicits._
+    aaSentences.zipWithIndex.map { case (sents, i) =>
+      assembleUrl(s"https://ex.test/aa/$i", 900000L + i, s"AA note $i", sents, "en")
+    }.toDS()
   }
 
   /** Generate one page with its expectations. Title is sentence 0 and

@@ -105,12 +105,20 @@ object GraphOps {
     // the final answer — so testing the property beats waiting for an
     // unchanged-edge-set fixpoint, which costs one extra full
     // contraction round just to observe that nothing moved.
+    //
+    // ONE Spark action per probe: tag each endpoint role (child=1,
+    // parent=0), fold per node — sum(c) counts the node's parents
+    // (edges are distinct), min/max(c) straddling 0 and 1 means the
+    // node plays both roles. Any surviving violation row = not a star
+    // forest yet.
     def isStarForest(e: DataFrame): Boolean =
-      e.groupBy(col("u")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).isEmpty &&
-        e.select(col("v")).distinct()
-          .join(e.select(col("u")).distinct(), col("v") === col("u"), "left_semi")
-          .isEmpty
+      e.select(col("u").as("node"), lit(1).as("c"))
+        .union(e.select(col("v").as("node"), lit(0).as("c")))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("nParents"),
+          min(col("c")).as("minC"), max(col("c")).as("maxC"))
+        .filter(col("nParents") > 1 || (col("minC") === 0 && col("maxC") === 1))
+        .isEmpty
     var cur = orient(edges).localCheckpoint()
     var converged = cur.isEmpty || isStarForest(cur)
     var rounds = 0

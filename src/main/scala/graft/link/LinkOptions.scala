@@ -76,6 +76,22 @@ final case class LinkOptions(
     // instantiated NoMap pairs (filter_evaluations_by_user_exclusions,
     // skr.pl:2042-2055)
     noMap: Set[(String, String)] = Set.empty,
+    // input segmentation (get_skr_text_3, skr_text_processing.pl:142-178):
+    // --sldi one record per line; --sldiID lines are "ID|Text";
+    // --blanklines N records split on runs of >= N blank lines. All None/
+    // false = a DataFrame row is already one document (the batch default;
+    // the reference's stream default is blanklines 1)
+    sldi: Boolean = false,
+    sldiId: Boolean = false,
+    blankLines: Option[Int] = None,
+    // NegEx distances (negex.pl:893-918, NEGEX_UTTERANCE_MAX_DIST /
+    // NEGEX_CONCEPT_MAX_DIST env analogues; documented reference values
+    // 20/10): setting either switches Negex from the pinned 6-word fixed
+    // window to the reference's two-distance rule — no window when the
+    // trigger is within utteranceMaxDist tokens of the utterance end,
+    // else the trigger↔concept distance must be <= conceptMaxDist
+    negexUtteranceMaxDist: Option[Int] = None,
+    negexConceptMaxDist: Option[Int] = None,
     // --cascade: candidates positionally overlapping a semtype-DISCARDED
     // candidate are discarded too ("logistic regression" restricted to
     // disorders should not leave "Regression" behind;

@@ -1,18 +1,29 @@
 package graft.negex
 
-import graft.link.Mention
+import graft.link.{LinkOptions, Mention}
 import graft.text.{Tok, Tokenizer}
 import graft.umls.UmlsTables
 
 /** NegEx re-expression (/root/reference/lib/negex.pl:124-330; trigger
   * inventory lib/negex_triggers.pl).
   *
-  * Pre-concept triggers (nega) negate mentions starting within a 6-word
-  * window after the trigger; post-concept triggers (negb) negate mentions
-  * ending within a 6-word window before the trigger. Pseudo-negation
-  * phrases (pseudoneg) suppress a trigger. Scope is terminated by
+  * Pre-concept triggers (nega) negate mentions starting within a window
+  * after the trigger; post-concept triggers (negb) negate mentions ending
+  * within a window before the trigger. Pseudo-negation phrases
+  * (pseudoneg) suppress a trigger. Scope is terminated by
   * conjunction-class words. All per-sentence, pure function — broadcast
   * trigger lists, no state.
+  *
+  * Window semantics: the default is the pinned 6-word fixed window (the
+  * round-1 parity mode every golden corpus expectation is derived
+  * under). Setting [[LinkOptions.negexUtteranceMaxDist]] /
+  * [[LinkOptions.negexConceptMaxDist]] switches to the reference's
+  * env-tunable two-distance rule (negex.pl:893-918,
+  * NEGEX_UTTERANCE_MAX_DIST / NEGEX_CONCEPT_MAX_DIST, documented
+  * reference values 20/10): a negation is ruled out IFF the trigger is
+  * more than UtteranceMaxDist tokens from the utterance end AND the
+  * trigger↔concept distance exceeds ConceptMaxDist — i.e. near the end
+  * of an utterance no window applies at all.
   */
 object Negex {
 
@@ -22,7 +33,8 @@ object Negex {
     * @param sentToks full token stream of the sentence
     * @param mentions mentions located in this sentence (char offsets)
     */
-  def mark(sentToks: Vector[Tok], mentions: Vector[Mention], umls: UmlsTables): Vector[Mention] = {
+  def mark(sentToks: Vector[Tok], mentions: Vector[Mention], umls: UmlsTables,
+      opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
     if (mentions.isEmpty) return mentions
     val words = Tokenizer.wordToks(sentToks)
     val lcs = words.map(_.lc)
@@ -68,14 +80,28 @@ object Negex {
     def terminatorBetween(a: Int, b: Int): Boolean =
       termStarts.exists(k => k >= a && k < b)
 
+    // reference two-distance rule (negex.pl:893-918): within
+    // utteranceMaxDist of the utterance end the window is waived; beyond
+    // it, conceptMaxDist binds. Both set -> reference mode; neither ->
+    // the pinned fixed window.
+    val refMode = opts.negexUtteranceMaxDist.isDefined ||
+      opts.negexConceptMaxDist.isDefined
+    val uttMax = opts.negexUtteranceMaxDist.getOrElse(20)
+    val conceptMax = opts.negexConceptMaxDist.getOrElse(10)
+    def inWindow(triggerW: Int, dist: Int): Boolean =
+      if (!refMode) dist <= window
+      else (lcs.length - 1 - triggerW) <= uttMax || dist <= conceptMax
+
     mentions.map { m =>
       val mStartW = wordIdxOfChar(m.start)
       val mEndW = wordIdxOfChar(m.start + m.len - 1)
       val negByPre = preHits.exists { case (wIdx, _) =>
-        mStartW >= wIdx && mStartW - wIdx <= window && !terminatorBetween(wIdx, mStartW)
+        mStartW >= wIdx && inWindow(wIdx, mStartW - wIdx) &&
+          !terminatorBetween(wIdx, mStartW)
       }
       val negByPost = postHits.exists { case (wIdx, _) =>
-        mEndW < wIdx && wIdx - mEndW <= window && !terminatorBetween(mEndW + 1, wIdx)
+        mEndW < wIdx && inWindow(wIdx, wIdx - mEndW) &&
+          !terminatorBetween(mEndW + 1, wIdx)
       }
       if (negByPre || negByPost) m.copy(negated = true) else m
     }

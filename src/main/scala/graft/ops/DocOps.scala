@@ -711,6 +711,14 @@ object DocOps {
     */
   private val hybridCosCut = 0.15
 
+  /** Per-side candidate-list bound for RRF fusion: each retrieval side
+    * contributes its TOP-N only (classic bounded-list RRF), so the
+    * single-partition rank windows see at most N rows per side no matter
+    * the corpus size — the threshold filter alone is a score cut, not a
+    * size bound, and would grow linearly with the corpus.
+    */
+  private[graft] val hybridTopN = 1000
+
   def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val kwTerms = Seq("spark", "join", "window")
@@ -726,17 +734,30 @@ object DocOps {
       .filter(col("doc_id") =!= 0)
       .withColumn("kw_score", kwScore)
       .withColumn("cos6", round(cosineCol(col("embedding"), col("qe")), 6))
-      // the bound: survivors only — this filter is what keeps the rank
-      // windows off the full corpus at scale
+      // candidate cut (mirrored in the oracle), then the HARD top-N bound
       .filter(col("kw_score") >= 1 || col("cos6") >= hybridCosCut)
-    val kwW = Window.orderBy(col("kw_score").desc, col("doc_id"))
-    val vecW = Window.orderBy(col("cos6").desc, col("doc_id"))
-    scored
-      .withColumn("kw_rank", row_number().over(kwW))
-      .withColumn("vec_rank", row_number().over(vecW))
-      .withColumn("rrf",
-        round(lit(1.0) / (lit(60) + col("kw_rank")) +
-          lit(1.0) / (lit(60) + col("vec_rank")), 8))
+      .select(col("doc_id"), col("kw_score"), col("cos6"))
+    // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    // partial top-N then a bounded merge — no global sort exchange. The
+    // rank windows below therefore operate on <= N rows per side.
+    val kwTop = scored.orderBy(col("kw_score").desc, col("doc_id")).limit(hybridTopN)
+      .withColumn("kw_rank",
+        row_number().over(Window.orderBy(col("kw_score").desc, col("doc_id"))))
+    val vecTop = scored.orderBy(col("cos6").desc, col("doc_id")).limit(hybridTopN)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos6").desc, col("doc_id"))))
+      .select(col("doc_id").as("v_doc_id"), col("kw_score").as("v_kw_score"),
+        col("cos6").as("v_cos6"), col("vec_rank"))
+    // bounded-list RRF: a document absent from one side's list gets no
+    // contribution from that side
+    kwTop.join(vecTop, col("doc_id") === col("v_doc_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("v_doc_id")).as("doc_id"),
+        coalesce(col("kw_score"), col("v_kw_score")).as("kw_score"),
+        coalesce(col("cos6"), col("v_cos6")).as("cos6"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("kw_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 8).as("rrf"))
       .withColumn("rk", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
       .filter(col("rk") <= 20)
       .select(col("rk"), col("doc_id"), col("kw_score"), col("cos6"), col("rrf"))
@@ -754,13 +775,20 @@ object DocOps {
       |           sqrt(list_dot_product(q.qe, q.qe))), 6) cos6
       |      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q
       |      WHERE d.doc_id <> 0),
-      |r AS (SELECT doc_id, kw_score, cos6,
-      |        ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) kw_rank,
+      |surv AS (SELECT doc_id, kw_score, cos6 FROM s
+      |      WHERE kw_score >= 1 OR cos6 >= CAST($hybridCosCut AS DOUBLE)),
+      |r_kw AS (SELECT doc_id, kw_score, cos6,
+      |        ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) kw_rank
+      |      FROM surv QUALIFY kw_rank <= $hybridTopN),
+      |r_vec AS (SELECT doc_id, kw_score, cos6,
       |        ROW_NUMBER() OVER (ORDER BY cos6 DESC, doc_id) vec_rank
-      |      FROM s WHERE kw_score >= 1 OR cos6 >= CAST($hybridCosCut AS DOUBLE)),
-      |f AS (SELECT doc_id, kw_score, cos6,
-      |        round(1.0 / (60 + kw_rank) + 1.0 / (60 + vec_rank), 8) rrf
-      |      FROM r),
+      |      FROM surv QUALIFY vec_rank <= $hybridTopN),
+      |f AS (SELECT COALESCE(k.doc_id, v.doc_id) doc_id,
+      |        COALESCE(k.kw_score, v.kw_score) kw_score,
+      |        COALESCE(k.cos6, v.cos6) cos6,
+      |        round(COALESCE(1.0 / (60 + k.kw_rank), 0)
+      |            + COALESCE(1.0 / (60 + v.vec_rank), 0), 8) rrf
+      |      FROM r_kw k FULL OUTER JOIN r_vec v ON k.doc_id = v.doc_id),
       |t AS (SELECT doc_id, kw_score, cos6, rrf,
       |        ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) rk FROM f)
       |SELECT CAST(rk AS INT) AS rk, doc_id, kw_score, cos6, rrf

@@ -61,13 +61,19 @@ object JsonOutput {
         concat(lit("Processing "), col("url"), lit("\n"), col("blocks")).as("text"))
   }
 
-  /** --dump_aas analogue: one row per (url, acronym, expansion). */
-  def aaDump(pages: Dataset[Page], umls: Broadcast[UmlsTables])(
+  /** --dump_aas analogue: one row per (url, acronym, expansion). UDAs
+    * overlay the document-discovered AAs exactly like the kernel does
+    * (A6: `findAas ++ udas` — a UDA wins a key collision), so the dump
+    * shows the AA table each document was actually linked with.
+    */
+  def aaDump(pages: Dataset[Page], umls: Broadcast[UmlsTables],
+      opts: graft.link.LinkOptions = graft.link.LinkOptions.default)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val udas = opts.udas
     pages.flatMap { p =>
       if (p.lang != "en") Iterator.empty
-      else AaDetector.findAas(Tokenizer.tokenize(Extract.htmlToText(p.html)))
+      else (AaDetector.findAas(Tokenizer.tokenize(Extract.htmlToText(p.html))) ++ udas)
         .iterator.map { case (aa, exp) => (p.url, aa, exp.mkString(" ")) }
     }.toDF("url", "acronym", "expansion")
   }

@@ -63,7 +63,7 @@ object DocKernel {
           }
         }
       }
-      Negex.mark(sent.toks, sentMentions, umls)
+      Negex.mark(sent.toks, sentMentions, umls, opts)
     }
   }
 

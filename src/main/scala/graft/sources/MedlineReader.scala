@@ -163,6 +163,79 @@ object MedlineReader {
     Some(Citation(id, fs))
   }
 
+  /** Input-segmentation modes (get_skr_text_3,
+    * skr_text_processing.pl:142-178): how a raw input stream splits into
+    * records BEFORE citation detection / dummy-citation wrapping.
+    */
+  sealed trait SegMode
+  object SegMode {
+    /** --sldi: every non-blank line is one record (the reference reads
+      * exactly one line per interactive invocation; batch-equivalent =
+      * one record per line).
+      */
+    case object Sldi extends SegMode
+    /** --sldiID: every line must be `ID|Text`; anything else is a fatal
+      * error, exactly like the reference (:164-166).
+      */
+    case object SldiId extends SegMode
+    /** default / --blanklines N: records are separated by runs of at
+      * least N blank lines (N = 1 when the option is absent,
+      * get_num_blank_lines :175-178); shorter blank runs stay inside the
+      * record.
+      */
+    final case class BlankLines(n: Int) extends SegMode
+  }
+
+  /** Split one raw input stream into (id, text) records per the mode.
+    * Ids: sldiID takes the id from the line; the other modes number
+    * records 0..n-1 (the reference leaves TextID empty and later dummies
+    * it — an ordinal is the batch-useful equivalent).
+    */
+  def segment(body: String, mode: SegMode): Vector[(String, String)] = mode match {
+    case SegMode.Sldi =>
+      body.split("\n", -1).toVector.filter(_.trim.nonEmpty)
+        .zipWithIndex.map { case (l, i) => (i.toString, l) }
+    case SegMode.SldiId =>
+      body.split("\n", -1).toVector.filter(_.trim.nonEmpty).map { l =>
+        val bar = l.indexOf('|')
+        if (bar < 0)
+          throw new IllegalArgumentException(
+            "The sldiID option requires input lines of the form ID|Text")
+        (l.take(bar).trim, l.drop(bar + 1).trim)
+      }
+    case SegMode.BlankLines(n) =>
+      val records = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var pendingBlanks = 0
+      var inRecord = false
+      def close(): Unit = if (inRecord && cur.nonEmpty) {
+        records += cur.result(); cur.clear()
+      }
+      body.split("\n", -1).foreach { line =>
+        if (line.trim.isEmpty) pendingBlanks += 1
+        else {
+          if (inRecord) {
+            if (pendingBlanks >= math.max(1, n)) { close(); inRecord = false }
+            // an interior blank run SHORTER than n stays inside the record
+            else cur.append("\n" * (pendingBlanks + 1))
+          }
+          if (!inRecord) inRecord = true
+          cur.append(line)
+          pendingBlanks = 0
+        }
+      }
+      close()
+      records.result().zipWithIndex.map { case (t, i) => (i.toString, t) }
+  }
+
+  /** The segmentation mode an option set selects, or None when the
+    * options request no segmentation (row = document, the batch default).
+    */
+  def segModeOf(opts: graft.link.LinkOptions): Option[SegMode] =
+    if (opts.sldiId) Some(SegMode.SldiId)
+    else if (opts.sldi) Some(SegMode.Sldi)
+    else opts.blankLines.map(SegMode.BlankLines(_))
+
   /** Non-citation input becomes a pseudo-citation with the whole text as
     * one TX field and a dummy id (form_dummy_citation,
     * skr_text_processing.pl:338-360: `UI  - 00000000` + the text glommed

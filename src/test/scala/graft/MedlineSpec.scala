@@ -116,4 +116,48 @@ class MedlineSpec extends AnyFunSuite {
     // the TI "myocardial infarction" must link (C0027051 in the fixture)
     assert(ms.exists(m => m.url == "12345678.ti" && m.cui == "C0027051"))
   }
+
+  test("input segmentation: --sldi / --sldiID / --blanklines N") {
+    import MedlineReader.{segment, SegMode}
+    // sldi: one record per non-blank line
+    assert(segment("line one\n\nline two\nline three\n", SegMode.Sldi) ==
+      Vector(("0", "line one"), ("1", "line two"), ("2", "line three")))
+    // sldiID: id taken from the line, trimmed both sides
+    assert(segment("A1 | fever noted\nB2|chest pain", SegMode.SldiId) ==
+      Vector(("A1", "fever noted"), ("B2", "chest pain")))
+    // malformed sldiID input is a fatal error, like the reference
+    intercept[IllegalArgumentException] {
+      segment("no delimiter here", SegMode.SldiId)
+    }
+    // blanklines 1: records split on every blank line (the reference's
+    // stream default); leading blanks skipped
+    assert(segment("\na\nb\n\nc\n", SegMode.BlankLines(1)) ==
+      Vector(("0", "a\nb"), ("1", "c")))
+    // blanklines 2: a SINGLE blank line stays inside the record, a
+    // double run splits
+    assert(segment("a\n\nb\n\n\nc", SegMode.BlankLines(2)) ==
+      Vector(("0", "a\n\nb"), ("1", "c")))
+    // flag surface -> mode
+    import graft.api.Graft.parseFlags
+    assert(MedlineReader.segModeOf(parseFlags(Seq("--sldi"))) == Some(SegMode.Sldi))
+    assert(MedlineReader.segModeOf(parseFlags(Seq("--sldiID"))) == Some(SegMode.SldiId))
+    assert(MedlineReader.segModeOf(parseFlags(Seq("--blanklines", "3"))) ==
+      Some(SegMode.BlankLines(3)))
+    assert(MedlineReader.segModeOf(parseFlags(Seq.empty)).isEmpty)
+  }
+
+  test("sldi segmentation breaks cross-line AA reuse (record-local AAs)") {
+    // one document: AA defined on line 1, reused on line 2 -> the reuse
+    // links only when both lines are ONE record
+    val text = "Coronary artery (CA) disease was present.\nCA was severe."
+    val whole = graft.pipeline.DocKernel.mentions("d", text, umls)
+    assert(whole.exists(m => m.cui == "C0205042" && m.start > text.indexOf('\n')))
+    val opts = graft.link.LinkOptions(sldi = true)
+    val perLine = MedlineReader.segment(text, MedlineReader.SegMode.Sldi)
+      .flatMap { case (rid, rt) =>
+        graft.pipeline.DocKernel.mentions(s"d.$rid", rt, umls, opts)
+      }
+    // line 2's bare "CA" has no document-local AA table to resolve against
+    assert(!perLine.exists(m => m.url == "d.1" && m.cui == "C0205042"))
+  }
 }

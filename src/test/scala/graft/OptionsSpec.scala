@@ -168,6 +168,29 @@ class OptionsSpec extends AnyFunSuite {
     assert(all.find(_.cui == "C0004057").get.sources == Vector("MSH", "RXNORM"))
   }
 
+  test("NegEx distances: pinned 6-word default vs reference two-distance rule") {
+    // trigger "no evidence of" ... 7 filler words ... concept: distance 7
+    val text = "No evidence of alpha beta gamma delta epsilon zeta eta pneumonia."
+    def negated(o: LinkOptions) =
+      mentions(text, o).find(_.cui == "C0032285").exists(_.negated)
+    // pinned parity default: fixed 6-word window -> too far
+    assert(!negated(LinkOptions.default))
+    // reference rule (20/10): the trigger sits within 20 tokens of the
+    // utterance end, so the window is WAIVED entirely (negex.pl:893-901)
+    assert(negated(LinkOptions(negexUtteranceMaxDist = Some(20),
+      negexConceptMaxDist = Some(10))))
+    // far from the end (utteranceMaxDist 0) the concept distance binds:
+    // 7 > 3 rules it out, 7 <= 7 keeps it
+    assert(!negated(LinkOptions(negexUtteranceMaxDist = Some(0),
+      negexConceptMaxDist = Some(3))))
+    assert(negated(LinkOptions(negexUtteranceMaxDist = Some(0),
+      negexConceptMaxDist = Some(7))))
+    // flag surface
+    val o = graft.api.Graft.parseFlags(
+      Seq("--negex_utterance_max_dist", "20", "--negex_concept_max_dist", "10"))
+    assert(o.negexUtteranceMaxDist == Some(20) && o.negexConceptMaxDist == Some(10))
+  }
+
   test("--nomap user exclusions, with either side as a wildcard") {
     assert(mentions("chest pain").map(_.cui).contains("C0008031"))
     def gone(o: LinkOptions) = !mentions("chest pain", o).map(_.cui).contains("C0008031")

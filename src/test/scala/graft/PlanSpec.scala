@@ -194,4 +194,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!pp.contains("SinglePartition"),
       s"pack plan degraded to a global window:\n$pp")
   }
+
+  test("hybrid search: fusion windows read bounded top-N lists, not the corpus") {
+    // each retrieval side must pass through TakeOrderedAndProject(limit=N)
+    // BEFORE its rank window: per-partition partial top-N + bounded merge,
+    // so the single-partition window input is a constant (<= hybridTopN)
+    // regardless of corpus size — a score-threshold filter alone grows
+    // linearly with keyword-hit documents
+    val p = plan(DocOps.hybridSearch(spark, sf))
+    val takes = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(takes >= 2, s"per-side top-N cut missing ($takes):\n$p")
+    assert(p.contains(s"limit=${DocOps.hybridTopN}"), p)
+    val firstWindow = p.indexOf("Window")
+    val firstTake = p.indexOf("TakeOrderedAndProject")
+    assert(firstTake >= 0 && firstWindow >= 0)
+    // plan trees print consumers above producers: every window must sit
+    // ABOVE (before, textually) a TakeOrderedAndProject feeding it
+    assert(p.lastIndexOf("TakeOrderedAndProject") > firstWindow,
+      s"rank window not fed by a bounded top-N:\n$p")
+  }
 }
