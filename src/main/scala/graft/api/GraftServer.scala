@@ -1,0 +1,145 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
+import graft.link.LinkOptions
+import graft.pipeline.{DocKernel, DocTriples, Pipeline}
+import graft.umls.UmlsTables
+
+/** mmserver parity (/root/reference/mmserver/mmserver.pl:1): a
+  * long-running annotation service holding ONE SparkSession and ONE
+  * broadcast table set across requests — the reference keeps a warm
+  * Prolog engine behind PrologBeans for the same reason: per-request
+  * startup cost (table load) is paid once.
+  *
+  * The per-request path never schedules a Spark job: the document kernel
+  * is a pure function over the broadcast tables, so a request is a
+  * direct in-process call (exactly mmserver's execution shape; the
+  * cluster is for corpus-scale batch, the server for interactive
+  * single-document calls). JDK HttpServer — no extra dependencies.
+  *
+  * Endpoints:
+  *  - `POST /annotate?id=X[&flags=-i%20-J%20dsyn]` body = plain text →
+  *    JSON array of mentions
+  *  - `POST /triples?id=X` body = plain text → JSON array of triples
+  *  - `GET /health` → `{"status":"ok","requests":N}`
+  *
+  * Per-request `flags` accept the same reference CLI surface as
+  * [[Graft.parseFlags]] (mmserver's per-request option strings).
+  */
+object GraftServer {
+
+  final class Handle private[api] (server: HttpServer,
+      private[api] val counter: java.util.concurrent.atomic.AtomicLong) {
+    def port: Int = server.getAddress.getPort
+    def requestCount: Long = counter.get()
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split('&').filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseBody(code, bytes)
+  }
+
+  // sendResponseBody is not a real HttpExchange method — tiny shim keeps
+  // the call sites readable
+  private implicit class ExOps(private val ex: HttpExchange) extends AnyVal {
+    def sendResponseBody(code: Int, bytes: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+
+  /** Start the service; `port = 0` binds an ephemeral port (tests). */
+  def start(spark: SparkSession, port: Int = 0,
+      baseOpts: LinkOptions = LinkOptions.default,
+      umls: Option[Broadcast[UmlsTables]] = None): Handle = {
+    val bc = umls.getOrElse(Pipeline.broadcastUmls(spark))
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def readBody(ex: HttpExchange): String = {
+      val in = ex.getRequestBody
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    }
+
+    def optsFor(params: Map[String, String]): LinkOptions =
+      params.get("flags") match {
+        case Some(f) if f.trim.nonEmpty =>
+          Graft.parseFlags(f.trim.split("\\s+").toSeq)
+        case _ => baseOpts
+      }
+
+    server.createContext("/annotate", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        counter.incrementAndGet()
+        val params = queryParams(ex)
+        val id = params.getOrElse("id", "doc")
+        val ms = DocKernel.mentions(id, readBody(ex), bc.value, optsFor(params))
+        val body = ms.map { m =>
+          s"""{"url":${jsonStr(m.url)},"sentNo":${m.sentNo},"start":${m.start},""" +
+            s""""len":${m.len},"cui":${jsonStr(m.cui)},"score":${m.score},""" +
+            s""""semTypes":${m.semTypes.map(jsonStr).mkString("[", ",", "]")},""" +
+            s""""sources":${m.sources.map(jsonStr).mkString("[", ",", "]")},""" +
+            s""""negated":${m.negated},"text":${jsonStr(m.text)}}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, body)
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+      }
+    })
+
+    server.createContext("/triples", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        counter.incrementAndGet()
+        val params = queryParams(ex)
+        val id = params.getOrElse("id", "doc")
+        val ts = DocTriples.fromDoc(id, readBody(ex), bc.value, optsFor(params))
+        val body = ts.map { case (s, p, o, url, sentNo) =>
+          s"""{"subj_cui":${jsonStr(s)},"pred":${jsonStr(p)},""" +
+            s""""obj_cui":${jsonStr(o)},"url":${jsonStr(url)},"sentNo":$sentNo}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, body)
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+      }
+    })
+
+    server.createContext("/health", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, s"""{"status":"ok","requests":${counter.get()}}""")
+    })
+
+    server.setExecutor(null) // same-thread: the kernel is CPU-bound, tiny
+    server.start()
+    new Handle(server, counter)
+  }
+}

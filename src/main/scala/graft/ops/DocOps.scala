@@ -670,11 +670,62 @@ object DocOps {
     * force measured in OpsSpec. rows-only at the gate (iterative float
     * means are not practically DuckDB-replicable).
     */
+  /** IVF with a TRAINED coarse quantizer: 2 Lloyd iterations of
+    * integer-spherical k-means (Kmeans.fitIntSpherical — quantized
+    * vectors, integer-sum centroids; every intermediate exact in both
+    * engines), then the shared IVF probe. Exact DuckDB oracle since
+    * round 4: the chained-CTE Lloyd loop below reproduces the training
+    * bit-for-bit because no iterated float mean ever exists.
+    */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "embeddings")
-    val cents = Kmeans.centroidsDf(spark, Kmeans.fit(e, 16, 2))
+    val cents = Kmeans.centroidsDf(spark, Kmeans.fitIntSpherical(e, 16, 2))
     ivfProbe(ivfScoredWith(spark, sfDir, cents))
   }
+
+  /** One Lloyd iteration as a CTE pair: assign to the best centroid by
+    * rounded cosine, then per-dimension integer sums (empty cells keep
+    * the previous centroid).
+    */
+  private def lloydIterSql(prev: String, out: String): String =
+    s"""a_$out AS (SELECT q.vec_id, q.v, c.cid,
+       |        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |          round(list_dot_product(q.v, c.c) /
+       |            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+       |          c.cid) rk
+       |      FROM qv q, $prev c),
+       |s_$out AS (SELECT cid, d, CAST(SUM(x) AS DOUBLE) sx FROM (
+       |        SELECT cid, unnest(v) x, unnest(range(1, len(v)+1)) d
+       |        FROM a_$out WHERE rk = 1) GROUP BY cid, d),
+       |$out AS (SELECT p.cid, COALESCE(s.c, p.c) c FROM $prev p LEFT JOIN
+       |        (SELECT cid, list(sx ORDER BY d) c FROM s_$out GROUP BY cid) s
+       |        ON p.cid = s.cid)""".stripMargin
+
+  val annIvfKmeansSql: String =
+    s"""WITH qv AS (SELECT vec_id,
+      |        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 256) AS DOUBLE)) v
+      |      FROM embeddings),
+      |c0 AS (SELECT vec_id cid, v c FROM qv WHERE vec_id < 16),
+      |${lloydIterSql("c0", "c1")},
+      |${lloydIterSql("c1", "c2")},
+      |s AS (SELECT e.vec_id, e.embedding::DOUBLE[] ve, c.cid,
+      |        round(list_dot_product(e.embedding::DOUBLE[], c.c) /
+      |          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |           sqrt(list_dot_product(c.c, c.c))), 6) ccos
+      |      FROM embeddings e, c2 c),
+      |r AS (SELECT vec_id, ve, cid,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rk FROM s),
+      |asn AS (SELECT vec_id AS neighbor_id, ve AS ne, cid AS cell FROM r WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, ve AS qe, cid AS cell
+      |      FROM r WHERE rk <= 2 AND vec_id < 20),
+      |sc AS (SELECT q.query_id, a.neighbor_id,
+      |         round(list_dot_product(q.qe, a.ne) /
+      |           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.ne, a.ne))), 6) cos6
+      |       FROM q JOIN asn a ON q.cell = a.cell WHERE q.query_id <> a.neighbor_id),
+      |rr AS (SELECT query_id, neighbor_id, cos6,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) rk FROM sc)
+      |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos6 FROM rr WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
 
   val annIvfSql: String =
     """WITH c AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
@@ -887,8 +938,8 @@ object DocOps {
     "ann_ivf" -> annIvfSql,
     "ann_lsh_bucketed" -> annLshBucketedSql,
     "doc_lang_id" -> docLangIdSql,
-    "hybrid_search" -> hybridSearchSql)
-  // ann_ivf_kmeans stays rows-only BY DESIGN: iterative float k-means
-  // is not practically DuckDB-replicable; recall + determinism are
-  // pinned in OpsSpec.
+    "hybrid_search" -> hybridSearchSql,
+    // exact since round 4: integer-spherical training removed the
+    // iterated-float-mean drift that kept this rows-only
+    "ann_ivf_kmeans" -> annIvfKmeansSql)
 }

@@ -57,6 +57,52 @@ object Kmeans {
     cents
   }
 
+  /** Integer-spherical Lloyd: vectors quantized to integers
+    * (round(x*256)), centroids kept as UN-normalized per-dimension
+    * integer SUM vectors. Cosine is scale-invariant, so the mean's
+    * direction equals the sum's direction — Lloyd-with-cosine never needs
+    * the division, and every intermediate centroid is an EXACT integer
+    * (magnitudes bounded by corpus_size * 256 << 2^53). That eliminates
+    * the iterated-float-mean IEEE drift that made the plain [[fit]]
+    * non-replicable in DuckDB: identical integers in, identical rounded
+    * cosines out, identical assignments each iteration — the same
+    * integer-domain trick that took ann_lsh_bucketed exact in round 3.
+    * Same distributed shape as [[fit]] (broadcast centroids, map-side
+    * partial sums, K x dim driver collect per iteration).
+    */
+  def fitIntSpherical(embeddings: DataFrame, k: Int, iterations: Int): Vector[(Int, Array[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 256)).as("v"))
+
+    var cents: Vector[(Int, Array[Double])] = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("v")).as[(Int, Seq[Double])]
+      .collect().toVector.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+
+    for (_ <- 1 to iterations) {
+      val cdf = cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+      val sums = vecs.crossJoin(broadcast(cdf))
+        .withColumn("cos",
+          round(graft.functions.GraftFunctions.cosine(col("v"), col("c")), 6))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x")).as("s"))
+        .as[(Int, Int, Double)].collect()
+      val updated = sums.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3)
+      }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** Centroids as a (cid, ce) DataFrame ready to broadcast into an IVF
     * assignment join.
     */

@@ -133,4 +133,41 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
     val none = Graft.triples(df, "id", "body", Graft.parseFlags(Seq("-r", "1001")))
     assert(none.count() == 0)
   }
+
+  test("GraftServer: two requests through one warm session (mmserver parity)") {
+    val handle = graft.api.GraftServer.start(spark)
+    try {
+      def post(path: String, body: String): (Int, String) = {
+        val url = new java.net.URL(s"http://127.0.0.1:${handle.port}$path")
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        os.write(body.getBytes("UTF-8")); os.close()
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val resp = new String(in.readAllBytes(), "UTF-8"); in.close()
+        (code, resp)
+      }
+      // request 1: plain annotate
+      val (c1, r1) = post("/annotate?id=req1", "The patient had pneumonia.")
+      assert(c1 == 200 && r1.contains("\"cui\":\"C0032285\""), r1)
+      // request 2, same warm session: per-request flags narrow semtypes
+      val (c2, r2) = post("/annotate?id=req2&flags=-J%20sosy",
+        "No evidence of myocardial infarction or chest pain.")
+      assert(c2 == 200, r2)
+      assert(r2.contains("C0008031") && !r2.contains("C0027051"), r2)
+      // negation survives the trip
+      assert(r2.contains("\"negated\":true"), r2)
+      // triples endpoint on the same broadcast
+      val (c3, r3) = post("/triples?id=req3", "The patient had pneumonia and fever.")
+      assert(c3 == 200 && r3.contains("\"pred\":\"causes\""), r3)
+      // bad flags -> 400, server stays up
+      val (c4, _) = post("/annotate?flags=--bogus", "text")
+      assert(c4 == 400)
+      val (c5, r5) = post("/annotate?id=again", "Fever persisted.")
+      assert(c5 == 200 && r5.contains("C0015967"))
+      assert(handle.requestCount == 5L)
+    } finally handle.stop()
+  }
 }
