@@ -81,12 +81,21 @@ object Graft {
           o = o.copy(negexUtteranceMaxDist = Some(arg().toInt))
         case "--negex_concept_max_dist" =>
           o = o.copy(negexConceptMaxDist = Some(arg().toInt))
+        case "--UDA" =>
+          // file of a|b pairs (get_UDAs, text_objects.pl:3737-3745);
+          // merged over any UDAs already parsed
+          o = o.copy(udas = o.udas ++ parseUdaLines(readTextFile(arg())))
         case "--nomap" =>
-          // the reference takes a file of Term:CUI pairs; the API takes
-          // them inline as term:cui[,term:cui...] — empty side = wildcard
-          // (an all-empty element would be a match-everything wildcard
-          // that silently zeroes the corpus, so it is rejected)
-          o = o.copy(noMap = arg().split(',').iterator.map { p =>
+          // the reference takes a FILE of String|CUI pairs
+          // (create_UDAs Type='NoMap', text_objects.pl:3773-3795) — an
+          // existing-file argument reads that format; otherwise the API's
+          // inline form term:cui[,term:cui...] applies — empty side =
+          // wildcard (an all-empty element would be a match-everything
+          // wildcard that silently zeroes the corpus, so it is rejected)
+          val v = arg()
+          if (new java.io.File(v).isFile)
+            o = o.copy(noMap = o.noMap ++ parseNoMapLines(readTextFile(v)))
+          else o = o.copy(noMap = v.split(',').iterator.map { p =>
             if (p.isEmpty || p == ":")
               throw new IllegalArgumentException(
                 s"--nomap element '$p' would exclude every candidate")
@@ -98,6 +107,52 @@ object Graft {
       i += 1
     }
     o
+  }
+
+  private def readTextFile(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isFile)
+      throw new IllegalArgumentException(s"cannot read file: $path")
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Parse UDA-file content (create_UDAs + get_UDA_short_and_long_forms,
+    * text_objects.pl:3748-3830): one `a|b` pair per line, either order —
+    * the SHORTER side is the AA, the longer the expansion; lines sorted;
+    * whitespace trimmed; `#`-first lines are comments; exactly one `|`
+    * per data line or it is a fatal error.
+    */
+  def parseUdaLines(content: String): Map[String, Vector[String]] =
+    content.split("\n", -1).toVector.map(_.trim).sorted
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\|", -1)
+        if (parts.length != 2)
+          throw new IllegalArgumentException(
+            s"Each data line in UDA file must contain exactly one '|' char: $l")
+        val (a, b) = (parts(0).trim, parts(1).trim)
+        val (short, long) = if (a.length <= b.length) (a, b) else (b, a)
+        short.toLowerCase -> graft.text.Tokenizer.tokenizeMmLc(long)
+      }.toMap
+
+  /** Parse NoMap-file content (get_NoMap_string_and_CUI,
+    * text_objects.pl:3780-3797): one `String|CUI` pair per line, either
+    * order — the side shaped like a CUI (`C` + digits) is the CUI.
+    */
+  def parseNoMapLines(content: String): Set[(String, String)] = {
+    def looksLikeCui(s: String): Boolean =
+      s.length > 1 && s.head == 'C' && s.tail.forall(_.isDigit)
+    content.split("\n", -1).toVector.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\|", -1)
+        if (parts.length != 2)
+          throw new IllegalArgumentException(
+            s"Each data line in NoMap file must contain exactly one '|' char: $l")
+        val (a, b) = (parts(0).trim, parts(1).trim)
+        if (looksLikeCui(a)) (b, a) else (a, b)
+      }.toSet
   }
 
   /** Register the NLP surface as SQL functions on a session, so pure-SQL

@@ -168,6 +168,35 @@ class OptionsSpec extends AnyFunSuite {
     assert(all.find(_.cui == "C0004057").get.sources == Vector("MSH", "RXNORM"))
   }
 
+  test("--UDA and --nomap file loading (reference file formats)") {
+    def tmp(content: String): String = {
+      val f = java.io.File.createTempFile("graft_opt", ".txt")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      f.getAbsolutePath
+    }
+    // UDA file: a|b either order, SHORTER side is the AA; comments skip
+    val udaFile = tmp(
+      "# user AAs\nHA | Heart Attack\nhigh blood pressure|HBP\n\nMI|Myocardial Infarction\n")
+    val o = graft.api.Graft.parseFlags(Seq("--UDA", udaFile))
+    assert(o.udas == Map(
+      "ha" -> Vector("heart", "attack"),
+      "hbp" -> Vector("high", "blood", "pressure"),
+      "mi" -> Vector("myocardial", "infarction")))
+    // the loaded UDA resolves a bare acronym in text (A6 overlay)
+    val ms = mentions("HA was suspected.", o)
+    assert(ms.exists(_.cui == "C0027051"))
+    // malformed line -> fatal, like the reference
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.parseFlags(Seq("--UDA", tmp("no separator here")))
+    }
+    // NoMap file: String|CUI either order; the CUI-shaped side is the CUI
+    val nm = tmp("Chest Pain|C0008031\nC0015967|Fever\n")
+    val o2 = graft.api.Graft.parseFlags(Seq("--nomap", nm))
+    assert(o2.noMap == Set(("Chest Pain", "C0008031"), ("Fever", "C0015967")))
+    assert(!mentions("chest pain", o2).map(_.cui).contains("C0008031"))
+  }
+
   test("NegEx distances: pinned 6-word default vs reference two-distance rule") {
     // trigger "no evidence of" ... 7 filler words ... concept: distance 7
     val text = "No evidence of alpha beta gamma delta epsilon zeta eta pneumonia."
