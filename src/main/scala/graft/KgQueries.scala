@@ -137,6 +137,21 @@ object KgQueries {
       .orderBy(col("url"), col("acronym"))
   }
 
+  /** Real-UMLS-ingestion parity at the gate: the fixture tables round
+    * trip through parquet in the ingest schemas (UmlsIngest.dump → load)
+    * and the full mention pipeline runs on the LOADED tables. Shares
+    * kg_mentions' EXACT DuckDB oracle — the ingested path must reproduce
+    * the checkpoint byte-for-byte or the hash gate fails.
+    */
+  def kgMentionsIngested(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    KgOracleTables.ensure(spark, sfDir)
+    val dir = s"target/graft_ingest/${new java.io.File(sfDir).getName}"
+    graft.umls.UmlsIngest.dump(graft.umls.MiniUmls.tables, dir)
+    val bc = spark.sparkContext.broadcast(graft.umls.UmlsIngest.load(dir))
+    Pipeline.wsdDedup(Pipeline.mentions(CorpusGen.pages(spark, pagesFor(sfDir)), bc), bc)
+  }
+
   def kgHumanOutput(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
     output.JsonOutput.humanReadable(kgMentions(spark, sfDir),
@@ -348,10 +363,13 @@ object KgQueries {
   /** Exact DuckDB oracles for the corpus-level stages (everything
     * downstream of the kernel-produced mention checkpoint).
     */
-  def oracleSql: Map[String, String] = KgOracleTables.oracleSql
+  def oracleSql: Map[String, String] = KgOracleTables.oracleSql +
+    // the ingested path must land on the SAME mention oracle
+    ("kg_mentions_ingested" -> KgOracleTables.kgMentionsSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_mentions" -> (kgMentions _),
+    "kg_mentions_ingested" -> (kgMentionsIngested _),
     "kg_wsd_dedup" -> (kgWsdDedup _),
     "kg_medline_mentions" -> (kgMedlineMentions _),
     "kg_negated_mentions" -> (kgNegated _),
