@@ -22,6 +22,7 @@ object Bench {
     "dedup_cc_clusters",
     "ann_topk_bruteforce", "ann_ivf",
     "doc_quality_filter", "corpus_vocab", "corpus_train_split",
+    "corpus_decontaminate", "corpus_sampling_plan", "dedup_canonical",
     "doc_pii_scrub", "doc_lang_id")
 
   private val kgPages = 200000L

@@ -217,12 +217,106 @@ object CorpusOps {
       |  CAST((cum - 1) // $PackBudget AS INT) AS pack_in_shard
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap scrub a
+    * training pipeline runs against held-out eval sets, scaled to
+    * 5-grams for the synthetic corpus): documents sharing any word
+    * n-gram with the benchmark set are flagged. The benchmark here is
+    * the deterministic doc_id % 97 == 0 slice standing in for an
+    * external eval-set table.
+    *
+    * Scale shape: benchmark grams are EVAL-set-scale (bounded,
+    * independent of corpus size) — broadcast; the corpus side is one
+    * explode + broadcast-join + keyed count, map-side combined. Nothing
+    * pairwise, no corpus-scale shuffle beyond the per-doc count.
+    */
+  val DecontamN = 5
+
+  def corpusDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    // short-doc guard: Spark sequence(1, stop) COUNTS DOWN for stop < 1
+    val grams = when(size(t) >= DecontamN,
+      transform(sequence(lit(1), size(t) - (DecontamN - 1)),
+        i => concat_ws(" ", slice(t, i, lit(DecontamN)))))
+      .otherwise(array().cast("array<string>"))
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), grams.as("g"))
+    val bench = d.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("g")).as("bg")).distinct()
+    d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode_outer(array_distinct(col("g"))).as("gr"))
+      .join(broadcast(bench), col("gr") === col("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("bg")).as("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDecontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(tk) >= $DecontamN THEN
+      |      list_transform(range(1, len(tk) - ${DecontamN - 2}),
+      |        i -> array_to_string(tk[i:i+${DecontamN - 1}], ' '))
+      |    ELSE [] END gs
+      |  FROM t),
+      |bench AS (SELECT DISTINCT unnest(gs) bg FROM g WHERE doc_id % 97 = 0),
+      |e AS (SELECT doc_id, unnest(list_distinct(gs)) gr FROM g WHERE doc_id % 97 <> 0),
+      |cnt AS (SELECT e.doc_id, COUNT(bench.bg) n
+      |        FROM e LEFT JOIN bench ON e.gr = bench.bg GROUP BY e.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_contaminated_grams,
+      |  COALESCE(cnt.n, 0) >= 1 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      |LEFT JOIN cnt USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Temperature-weighted source-mixing plan (the domain-mixing stage:
+    * upsample small sources, downsample the giant one). Weight per
+    * source = sqrt(n_s / n_max) — inverse-temperature alpha = 0.5 chosen
+    * because sqrt is IEEE-correctly-rounded, so Spark and DuckDB compute
+    * the identical double from the identical integers (a pow(x, 0.7)
+    * would be library-dependent in the last bit). Per-doc inclusion is
+    * the deterministic md5 fraction < weight — stable under reruns and
+    * corpus growth within a source-count snapshot.
+    *
+    * Scale shape: source counts are a tiny keyed agg (map-side
+    * combined), broadcast back; the decision column is map-only.
+    */
+  def corpusSamplingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_source_docs"))
+    val withMax = counts.crossJoin(
+      broadcast(counts.agg(max(col("n_source_docs")).as("n_max"))))
+    val w = sqrt(col("n_source_docs").cast("double") / col("n_max").cast("double"))
+    val h = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+    d.join(broadcast(withMax), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source_docs"),
+        round(w, 6).as("weight"), (h < w).as("sampled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusSamplingPlanSql: String =
+    """WITH c AS (SELECT source, COUNT(*) n FROM documents GROUP BY source),
+      |m AS (SELECT MAX(n) nmax FROM c),
+      |s AS (SELECT d.doc_id, d.source, c.n n_source_docs,
+      |        sqrt(CAST(c.n AS DOUBLE) / CAST(m.nmax AS DOUBLE)) w,
+      |        CAST(('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+      |          / 4294967296.0 h
+      |      FROM documents d JOIN c USING (source), m)
+      |SELECT doc_id, source, CAST(n_source_docs AS BIGINT) AS n_source_docs,
+      |  round(w, 6) AS weight, h < w AS sampled
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_quality_filter" -> (docQualityFilter _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_stats" -> (corpusStats _),
     "corpus_train_split" -> (corpusTrainSplit _),
     "corpus_pack_plan" -> (corpusPackPlan _),
+    "corpus_decontaminate" -> (corpusDecontaminate _),
+    "corpus_sampling_plan" -> (corpusSamplingPlan _),
     "doc_pii_scrub" -> (docPiiScrub _))
 
   val oracleSql: Map[String, String] = Map(
@@ -231,5 +325,7 @@ object CorpusOps {
     "corpus_stats" -> corpusStatsSql,
     "corpus_train_split" -> corpusTrainSplitSql,
     "corpus_pack_plan" -> corpusPackPlanSql,
+    "corpus_decontaminate" -> corpusDecontaminateSql,
+    "corpus_sampling_plan" -> corpusSamplingPlanSql,
     "doc_pii_scrub" -> docPiiScrubSql)
 }

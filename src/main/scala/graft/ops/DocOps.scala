@@ -420,6 +420,41 @@ object DocOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-document selection per near-dup cluster — the step after
+    * clustering that a dedup pipeline actually ships: keep ONE
+    * representative per cluster (longest document, doc_id tie-break) and
+    * drop the rest. The per-cluster window is keyed by cluster_id;
+    * clusters are near-dup groups whose size the upstream hot-bucket cap
+    * bounds, so no window partition is corpus-scale.
+    */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    dedupCcClusters(spark, sfDir)
+      .join(docs, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+      |e AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |r(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM r JOIN e ON r.node = e.src WHERE r.lbl < e.dst),
+      |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+      |j AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+      |          ORDER BY d.n_chars DESC, cc.doc_id) rk
+      |      FROM cc JOIN documents d USING (doc_id))
+      |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, n_chars,
+      |  rk = 1 AS keep
+      |FROM j ORDER BY doc_id""".stripMargin
+
   /** The CC oracle recomputes true connected components over the same
     * candidate pairs with a recursive CTE: the component minimum m
     * propagates across every edge (every other member is > m, so the
@@ -915,6 +950,7 @@ object DocOps {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_token_jaccard" -> (dedupTokenJaccard _),
     "dedup_cc_clusters" -> (dedupCcClusters _),
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk_bruteforce" -> (annTopkBruteforce _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
@@ -933,6 +969,7 @@ object DocOps {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_token_jaccard" -> dedupTokenJaccardSql,
     "dedup_cc_clusters" -> dedupCcClustersSql,
+    "dedup_canonical" -> dedupCanonicalSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
     "ann_ivf" -> annIvfSql,

@@ -78,4 +78,67 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     info(byS.toMap.toString)
     assert(byS("train") > 0.7 && byS("train") < 0.9)
   }
+
+  test("decontaminate: benchmark-overlapping docs flagged, benchmark excluded") {
+    import spark.implicits._
+    val rows = CorpusOps.corpusDecontaminate(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // benchmark docs (id % 97 == 0) never appear in the output
+    assert(rows.forall(_._1 % 97 != 0))
+    // flag consistent with count; some of both classes on synthetic data
+    assert(rows.forall { case (_, n, c) => c == (n >= 1) })
+    info(s"${rows.count(_._3)} / ${rows.length} contaminated")
+    // cross-check one contaminated doc by recomputing its 5-gram overlap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def grams(id: Long): Set[String] = {
+      val t = docs(id).split(" ")
+      if (t.length < 5) Set.empty
+      else t.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.keys.filter(_ % 97 == 0).flatMap(grams).toSet
+    rows.find(_._3).foreach { case (id, n, _) =>
+      assert((grams(id) & bench).size.toLong == n, s"doc $id")
+    }
+    rows.find(!_._3).foreach { case (id, _, _) =>
+      assert((grams(id) & bench).isEmpty, s"doc $id")
+    }
+  }
+
+  test("sampling plan: sqrt-temperature weights, deterministic inclusion") {
+    import spark.implicits._
+    val rows = CorpusOps.corpusSamplingPlan(spark, sf)
+      .as[(Long, String, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._2)
+    val nMax = bySource.values.map(_.head._3).max
+    bySource.foreach { case (_, rs) =>
+      val n = rs.head._3
+      // weight = round(sqrt(n/nMax), 6), identical for every doc of the source
+      assert(rs.forall(_._4 == BigDecimal(math.sqrt(n.toDouble / nMax))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      // the dominant source keeps everything
+      if (n == nMax) assert(rs.forall(_._5))
+      // sampled fraction tracks the weight (loose: md5 is uniform)
+      val frac = rs.count(_._5).toDouble / rs.length
+      assert(math.abs(frac - rs.head._4) < 0.15, s"frac $frac vs ${rs.head._4}")
+    }
+  }
+
+  test("dedup canonical: exactly one representative per cluster, longest wins") {
+    import spark.implicits._
+    val rows = graft.ops.DocOps.dedupCanonical(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid")
+      val kept = members.find(_._4).get
+      // longest doc (tie: lowest id) is the representative
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept._1 == best._1, s"cluster $cid kept ${kept._1} != ${best._1}")
+    }
+    // multi-member clusters exist on the synthetic corpus (near-dups seeded)
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
 }
