@@ -141,8 +141,11 @@ object Graft {
     * order — the side shaped like a CUI (`C` + digits) is the CUI.
     */
   def parseNoMapLines(content: String): Set[(String, String)] = {
+    // real Metathesaurus CUIs are C + exactly 7 digits; a looser
+    // C+digits test would misread biomedical terms like complement
+    // component "C3" as the CUI side and silently invert the pair
     def looksLikeCui(s: String): Boolean =
-      s.length > 1 && s.head == 'C' && s.tail.forall(_.isDigit)
+      s.length == 8 && s.head == 'C' && s.tail.forall(_.isDigit)
     content.split("\n", -1).toVector.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>

@@ -113,6 +113,8 @@ object GraftServer {
       } catch {
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 500, s"""{"error":${jsonStr(String.valueOf(e))}}""")
       }
     })
 
@@ -130,6 +132,8 @@ object GraftServer {
       } catch {
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 500, s"""{"error":${jsonStr(String.valueOf(e))}}""")
       }
     })
 

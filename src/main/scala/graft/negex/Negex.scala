@@ -43,8 +43,12 @@ object Negex {
     // classes — one trie probe per class per position regardless of the
     // 285-phrase inventory size. Tie/shadow priority on equal length:
     // pseudo (pnega/pnegb) beats the trigger it shadows; conj terminates.
-    val preHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (wordIdx after trigger, charPos)
-    val postHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (wordIdx before trigger, charPos)
+    // (boundary word idx for the concept-distance test, trigger LAST word
+    // idx for the utterance-end anchor — the reference measures the
+    // waiver from TriggerLastTokenPos, negex.pl:905-918, so both trigger
+    // classes must anchor at the same point)
+    val preHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val postHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     val termStarts = scala.collection.mutable.ArrayBuffer[Int]() // conj word idx
     var i = 0
     while (i < lcs.length) {
@@ -63,10 +67,10 @@ object Negex {
         else if (pseudoLen == best) i += pseudoLen // suppressed: no negation
         else if (conjLen == best) { termStarts += i; i += conjLen }
         else if (postLen == best) {
-          postHits += ((i, if (i > 0) words(i - 1).end else 0))
+          postHits += ((i, i + postLen - 1))
           i += postLen
         } else {
-          preHits += ((i + preLen, words(math.min(i + preLen, words.length - 1)).start))
+          preHits += ((i + preLen, i + preLen - 1))
           i += preLen
         }
       }
@@ -88,19 +92,21 @@ object Negex {
       opts.negexConceptMaxDist.isDefined
     val uttMax = opts.negexUtteranceMaxDist.getOrElse(20)
     val conceptMax = opts.negexConceptMaxDist.getOrElse(10)
-    def inWindow(triggerW: Int, dist: Int): Boolean =
+    // triggerLastW anchors the utterance-end waiver for BOTH classes
+    // (TriggerLastTokenPos, negex.pl:905-918)
+    def inWindow(triggerLastW: Int, dist: Int): Boolean =
       if (!refMode) dist <= window
-      else (lcs.length - 1 - triggerW) <= uttMax || dist <= conceptMax
+      else (lcs.length - 1 - triggerLastW) <= uttMax || dist <= conceptMax
 
     mentions.map { m =>
       val mStartW = wordIdxOfChar(m.start)
       val mEndW = wordIdxOfChar(m.start + m.len - 1)
-      val negByPre = preHits.exists { case (wIdx, _) =>
-        mStartW >= wIdx && inWindow(wIdx, mStartW - wIdx) &&
+      val negByPre = preHits.exists { case (wIdx, lastW) =>
+        mStartW >= wIdx && inWindow(lastW, mStartW - wIdx) &&
           !terminatorBetween(wIdx, mStartW)
       }
-      val negByPost = postHits.exists { case (wIdx, _) =>
-        mEndW < wIdx && inWindow(wIdx, wIdx - mEndW) &&
+      val negByPost = postHits.exists { case (wIdx, lastW) =>
+        mEndW < wIdx && inWindow(lastW, wIdx - mEndW) &&
           !terminatorBetween(mEndW + 1, wIdx)
       }
       if (negByPre || negByPost) m.copy(negated = true) else m

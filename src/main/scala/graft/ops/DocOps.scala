@@ -439,14 +439,22 @@ object DocOps {
       .orderBy(col("doc_id"))
   }
 
-  val dedupCanonicalSql: String =
-    s"""WITH RECURSIVE $minhashPairsCte,
+  /** Min-label connected-components fixpoint over the candidate pairs,
+    * shared VERBATIM by the dedup_cc_clusters and dedup_canonical
+    * oracles — one copy, so a future change cannot desynchronize them.
+    * Ends with `cc(doc_id, cluster_id)`.
+    */
+  private def ccFixpointCte: String =
+    s"""$minhashPairsCte,
       |e AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
       |r(node, lbl) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.dst, r.lbl FROM r JOIN e ON r.node = e.src WHERE r.lbl < e.dst),
-      |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+      |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM r GROUP BY node)""".stripMargin
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $ccFixpointCte,
       |j AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars,
       |        ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
       |          ORDER BY d.n_chars DESC, cc.doc_id) rk
@@ -463,14 +471,9 @@ object DocOps {
     * independent fixpoint formulation.
     */
   val dedupCcClustersSql: String =
-    s"""WITH RECURSIVE $minhashPairsCte,
-      |e AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-      |r(node, lbl) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.dst, r.lbl FROM r JOIN e ON r.node = e.src WHERE r.lbl < e.dst)
-      |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-      |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE $ccFixpointCte
+      |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+      |FROM cc ORDER BY doc_id""".stripMargin
 
   // ---------- embedding similarity ----------
 
@@ -823,6 +826,11 @@ object DocOps {
       // candidate cut (mirrored in the oracle), then the HARD top-N bound
       .filter(col("kw_score") >= 1 || col("cos6") >= hybridCosCut)
       .select(col("doc_id"), col("kw_score"), col("cos6"))
+      // materialize the survivor set ONCE: both per-side top-N cuts read
+      // the cached blocks instead of re-running the scan + join + cosine
+      // (two independent orderBy/limit branches would otherwise execute
+      // the expensive corpus pass twice)
+      .localCheckpoint()
     // orderBy+limit compiles to TakeOrderedAndProject: per-partition
     // partial top-N then a bounded merge — no global sort exchange. The
     // rank windows below therefore operate on <= N rows per side.

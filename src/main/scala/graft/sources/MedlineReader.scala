@@ -135,8 +135,13 @@ object MedlineReader {
     * append to the open field with a single space, blank lines drop.
     */
   def parseCitation(block: String): Option[Citation] = {
-    val lines = block.split("\n", -1).toVector
-    if (!isCitation(lines)) return None
+    val lines0 = block.split("\n", -1).toVector
+    if (!isCitation(lines0)) return None
+    // the HEAD line was accepted by the left-trimming detection grammar,
+    // so parse it left-trimmed too — otherwise an indented PMID head
+    // would lose its id field to the stricter per-line parse grammar
+    val headIdx = lines0.indexWhere(_.trim.nonEmpty)
+    val lines = lines0.updated(headIdx, lines0(headIdx).dropWhile(_.isWhitespace))
     val fields = Vector.newBuilder[Field]
     var open: Option[(String, StringBuilder)] = None
     def close(): Unit = open.foreach { case (n, sb) =>
@@ -243,14 +248,17 @@ object MedlineReader {
     * it annotates it.
     */
   def parseBlocks(body: String): Vector[Citation] = {
-    val cits = splitCitations(body).flatMap(parseCitation)
-    if (cits.nonEmpty) cits
-    else {
-      val text = body.split("\n", -1).iterator.map(_.trim)
+    def dummyOf(block: String): Option[Citation] = {
+      val text = block.split("\n", -1).iterator.map(_.trim)
         .filter(_.nonEmpty).mkString(" ")
-      if (text.isEmpty) Vector.empty
-      else Vector(Citation("00000000", Vector(Field("TX", text))))
+      if (text.isEmpty) None
+      else Some(Citation("00000000", Vector(Field("TX", text))))
     }
+    // PER-BLOCK fallback: every record that fails citation parse (plain
+    // text before the first head, a title-less PMID block, a UI-headed
+    // block) dummy-wraps independently — not only when the whole body
+    // has zero citations
+    splitCitations(body).flatMap(b => parseCitation(b).orElse(dummyOf(b)))
   }
 
   /** Split a raw file body into citation blocks: a new block starts at
@@ -261,17 +269,29 @@ object MedlineReader {
     var cur = new StringBuilder
     var seenAny = false
     body.split("\n", -1).foreach { line =>
-      val starts = citationFieldName(line).exists(firstFieldNames)
+      // a block starts ONLY at an UNINDENTED PMID/TY head: an indented
+      // line is a continuation by the parse grammar (f_dense_token
+      // rejects leading space), so letting the trimming DETECTION
+      // matcher start blocks would shear a citation apart on an
+      // abstract line that happens to begin "      PMID: ..."
+      val starts = !line.headOption.exists(_.isWhitespace) &&
+        citationFieldName(line).exists(firstFieldNames)
       if (starts && seenAny) { blocks += cur.result(); cur = new StringBuilder }
+      if (starts && !seenAny && cur.nonEmpty) {
+        // plain text preceding the first citation head becomes its own
+        // (non-citation) block so parseBlocks can dummy-wrap it — the
+        // reference never drops leading text
+        blocks += cur.result(); cur = new StringBuilder
+      }
       if (starts) seenAny = true
       if (line.trim == "ER" || beginsField(line).exists(_._1 == "ER")) {
         if (seenAny) { blocks += cur.result(); cur = new StringBuilder; seenAny = false }
-      } else if (seenAny) {
+      } else {
         if (cur.nonEmpty) cur.append('\n')
         cur.append(line)
       }
     }
-    if (seenAny && cur.nonEmpty) blocks += cur.result()
+    if (cur.nonEmpty && cur.result().trim.nonEmpty) blocks += cur.result()
     blocks.result()
   }
 

@@ -68,26 +68,39 @@ object UmlsIngest {
       // the built-in negex_triggers-scale list (NegexTriggers)
       negexTriggers: Option[DataFrame] = None)
 
+  /** Collect with EXPLICIT casts so user DataFrames with any compatible
+    * column width (int pos from row_number, bigint counts, …) load
+    * instead of throwing ClassCastException deep inside a collect.
+    * Cast spec: name or "name:type" (default string).
+    */
   private def collectRows(df: DataFrame, cols: String*): Vector[Row] =
-    df.select(cols.map(col): _*).collect().toVector
+    df.select(cols.map { c =>
+      val parts = c.split(":")
+      if (parts.length == 2) col(parts(0)).cast(parts(1)).as(parts(0))
+      else col(c).cast("string").as(c)
+    }: _*).collect().toVector
 
   private def orderedList(rows: Vector[(String, String, Option[Long])])
       : Map[String, Vector[String]] =
     rows.groupBy(_._1).map { case (k, vs) =>
-      k -> vs.map(v => (v._3, v._2)).distinct
-        .sortBy { case (p, s) => (p.getOrElse(Long.MaxValue), s) }.map(_._2)
+      // dedup by VALUE after the positional sort: the reference's
+      // cuisourceinfo is keyed per string, so the same SAB legitimately
+      // repeats at many positions for one CUI
+      k -> vs.map(v => (v._3, v._2))
+        .sortBy { case (p, s) => (p.getOrElse(Long.MaxValue), s) }
+        .map(_._2).distinct
     }
 
   private def withOptPos(df: DataFrame, a: String, b: String)
       : Vector[(String, String, Option[Long])] =
     if (df.columns.contains("pos"))
-      collectRows(df, a, b, "pos").map(r =>
+      collectRows(df, a, b, "pos:long").map(r =>
         (r.getString(0), r.getString(1),
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
     else collectRows(df, a, b).map(r => (r.getString(0), r.getString(1), None))
 
   private def variantMap(df: DataFrame): Map[String, Vector[Variant]] =
-    collectRows(df, "word", "variant", "var_level", "history")
+    collectRows(df, "word", "variant", "var_level:int", "history")
       .map(r => (r.getString(0), Variant(r.getString(1), r.getInt(2), r.getString(3))))
       .groupBy(_._1).map { case (w, vs) =>
         // closure emission order: (level, variant) — reconstructible
@@ -176,7 +189,7 @@ object UmlsIngest {
     UmlsTables(
       firstWordIndex = firstWordIndex,
       wordCounts = aux.wordCounts.map(df =>
-        collectRows(df, "word", "n").map(r => r.getString(0) -> r.getInt(1)).toMap)
+        collectRows(df, "word", "n:int").map(r => r.getString(0) -> r.getInt(1)).toMap)
         .getOrElse(Map.empty),
       cuiPreferred = cuiPreferred,
       cuiSemTypes = cuiSemTypes,
@@ -202,7 +215,7 @@ object UmlsIngest {
       treecodes = aux.treecodes.map(df => orderedList(withOptPos(df, "cui", "treecode")))
         .getOrElse(Map.empty),
       semTypePriority = aux.semTypePriority.map(df =>
-        collectRows(df, "st", "priority").map(r => r.getString(0) -> r.getInt(1)).toMap)
+        collectRows(df, "st", "priority:int").map(r => r.getString(0) -> r.getInt(1)).toMap)
         .getOrElse(Map.empty),
       stopPhrases = aux.stopPhrases.map(df =>
         collectRows(df, "phrase", "cat").map(r => (r.getString(0), r.getString(1)))

@@ -117,6 +117,34 @@ class MedlineSpec extends AnyFunSuite {
     assert(ms.exists(m => m.url == "12345678.ti" && m.cui == "C0027051"))
   }
 
+  test("S1 medline: mixed content — leading text and title-less blocks dummy-wrap") {
+    // plain text BEFORE the first citation head must not vanish
+    val mixed = "Leading patient note.\n" + citation
+    val cits = MedlineReader.parseBlocks(mixed)
+    assert(cits.length == 2)
+    assert(cits(0) == MedlineReader.Citation("00000000",
+      Vector(MedlineReader.Field("TX", "Leading patient note."))))
+    assert(cits(1).id == "12345678")
+    // a PMID-headed block WITHOUT a title field is not a citation
+    // (medlineRIS_citation needs a title line) — dummy-wrapped, not dropped
+    val noTitle = citation + "\nPMID- 555\nAB  - Abstract only block."
+    val cits2 = MedlineReader.parseBlocks(noTitle)
+    assert(cits2.length == 2)
+    assert(cits2(1).id == "00000000")
+    assert(cits2(1).fields.head.value.contains("Abstract only block."))
+    // an INDENTED line that looks like a field inside an open AB stays a
+    // continuation: no block shear, one citation
+    val sheared = "PMID- 7\nTI  - T.\nAB  - line one\n      PMID: 9 cited below\n      line three"
+    val cits3 = MedlineReader.parseBlocks(sheared)
+    assert(cits3.length == 1 && cits3.head.id == "7")
+    assert(cits3.head.fields.find(_.name == "AB").get.value ==
+      "line one PMID: 9 cited below line three")
+    // an indented citation HEAD still parses with its id (detection
+    // left-trims; the head line parses left-trimmed too)
+    val indented = "  PMID- 42\nTI  - Aspirin." // as a single record
+    assert(MedlineReader.parseCitation(indented).get.id == "42")
+  }
+
   test("input segmentation: --sldi / --sldiID / --blanklines N") {
     import MedlineReader.{segment, SegMode}
     // sldi: one record per non-blank line
