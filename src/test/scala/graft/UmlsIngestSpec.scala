@@ -110,6 +110,94 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fromDataFrames tolerates real-world input shapes") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // MRCONSO-ish: duplicate SABs across string rows, suppressed pref row
+    val mrconso = Seq(
+      ("C0000001", "Alpha Thing", "MSH", "N", "N"),
+      ("C0000001", "Alpha Thing", "SNOMEDCT_US", "N", "N"),
+      ("C0000001", "Thing, Alpha", "MSH", "N", "N"),
+      ("C0000001", "Alpha Entity", "MSH", "Y", "Y"), // pref, NOT indexed
+      ("C0000002", "Beta Item", "RXNORM", "Y", "N"))
+      .toDF("cui", "str", "sab", "ispref", "suppress")
+    // per-string cuisourceinfo with REPEATED SABs at distinct INT positions
+    // (the exact shape the reference table has)
+    val csi = Seq(("C0000001", "MSH"), ("C0000001", "MSH"),
+      ("C0000001", "SNOMEDCT_US"), ("C0000002", "RXNORM"))
+      .toDF("cui", "sab")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("cui")).orderBy(col("sab"))) - 1) // IntegerType pos
+    val mrsty = Seq(("C0000001", "dsyn"), ("C0000002", "phsu")).toDF("cui", "st")
+    val lexicon = Seq(("alpha", "adj"), ("thing", "noun"), ("beta", "adj"),
+      ("item", "noun"), ("alpha thing", "form")).toDF("word", "cat")
+    val variants = Seq(("alpha", "alpha", 0, ""), ("thing", "thing", 0, ""))
+      .toDF("word", "variant", "var_level", "history")
+    val semnet = Seq(("phsu", "treats", "dsyn")).toDF("st1", "rel", "st2")
+    val t = graft.umls.UmlsIngest.fromDataFrames(mrconso, mrsty, lexicon,
+      variants, semnet, graft.umls.UmlsIngest.UmlsAuxSources(cuiSourceInfo = Some(csi)))
+    // suppressed pref names the concept but is not matchable
+    assert(t.cuiPreferred("C0000001") == "Alpha Entity")
+    assert(!t.firstWordIndex.valuesIterator.flatten.exists(_.str == "Alpha Entity"))
+    // uninversion indexed "Thing, Alpha" under "alpha"
+    assert(t.firstWordIndex("alpha").exists(_.str == "Thing, Alpha"))
+    // repeated SABs dedup BY VALUE, int pos column coerced
+    assert(t.cuiSources("C0000001") == Vector("MSH", "SNOMEDCT_US"))
+    assert(t.lexiconForms == Set("alpha thing"))
+    assert(t.semnet(("phsu", "dsyn")) == Vector("treats"))
+  }
+
+  test("variant job == sequential closure on a 2000-word synthetic lexicon") {
+    implicit val s = spark
+    import s.implicits._
+    // synthetic lexicon far beyond the fixture: deterministic words with
+    // rule-morphology-eligible shapes plus curated pair tables
+    val words = Vector.tabulate(2000) { i =>
+      val base = "w" + java.lang.Integer.toString(i * 2654435761L.toInt >>> 8, 36)
+      if (i % 3 == 0) (base + "ness", "noun")
+      else if (i % 3 == 1) (base + "ic", "adj")
+      else (base + "ate", "verb")
+    }
+    val lexicon = words.toDF("word", "cat")
+    val spellings = words.take(200).map(w => (w._1, w._1 + "x")) ++
+      words.take(200).map(w => (w._1 + "x", w._1))
+    val synonyms = words.slice(200, 300).zip(words.slice(300, 400))
+      .flatMap { case (a, b) => Vector((a._1, b._1), (b._1, a._1)) }
+    val inflections = words.slice(400, 500).map(w => (w._1, w._1 + "s"))
+    val derivations = words.slice(500, 550).map(w => (w._1, w._1 + "ly"))
+    val job = graft.umls.UmlsIngest.variantTableJob(spark, lexicon,
+      spellings = spellings.toVector.toDF("word", "variant"),
+      inflections = inflections.toVector.toDF("word", "variant"),
+      synonyms = synonyms.toVector.toDF("word", "variant"),
+      derivations = derivations.toVector.toDF("word", "variant"))
+      .as[(String, String, Int, String)].collect().toVector
+      .groupBy(_._1).map { case (w, vs) =>
+        w -> vs.map(v => graft.umls.Variant(v._2, v._3, v._4))
+          .sortBy(v => (v.varLevel, v.word))
+      }
+    // sequential reference: same edges, same closure, driver-side
+    val lexCats = words.groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).toSet }
+    val lexWords = lexCats.keySet
+    val ruleEdges = lexCats.toVector.map { case (w, cs) =>
+      graft.umls.VariantClosure.ruleEdgesForWord(w, cs, lexWords, None, false)
+    }
+    val e = graft.umls.VariantClosure.edges(
+      spellings = spellings.toVector,
+      inflections = (inflections ++ ruleEdges.flatMap(_._1)).toVector,
+      synonyms = synonyms.toVector,
+      derivations = (derivations ++ ruleEdges.flatMap(_._2)).toVector)
+    val allWords = (lexWords.toVector ++ spellings.map(_._1) ++
+      inflections.map(_._1) ++ derivations.map(_._1) ++
+      ruleEdges.flatMap(_._1).flatMap(p => Vector(p._1, p._2)) ++
+      ruleEdges.flatMap(_._2).flatMap(p => Vector(p._1, p._2)) ++
+      synonyms.map(_._1)).distinct
+    val seq = graft.umls.VariantClosure.table(allWords.toVector, e)
+    assert(job.size == seq.size)
+    assert(job == seq)
+  }
+
   test("closure is order-independent: shuffled edge input, same table") {
     val e1 = VariantClosure.edges(
       MiniUmls.spellings, MiniUmls.inflections,
