@@ -214,6 +214,7 @@ object KgQueries {
       "restrict_src_rxnorm" -> LinkOptions(restrictSources = Set("RXNORM")),
       "exclude_src_msh" -> LinkOptions(excludeSources = Set("MSH")),
       "nomap" -> LinkOptions(noMap = Set(("", "C0027051"))),
+      "wsd" -> LinkOptions(wsd = true),
       // --sldi: each page line becomes its own record — document-local
       // AA reuse across lines is lost, so the count genuinely differs
       "sldi" -> LinkOptions(sldi = true),

@@ -45,6 +45,7 @@ object Graft {
         case "-Y" | "--prefer_multiple_concepts" => o = o.copy(preferMultiple = true)
         case "-b" | "--compute_all_mappings" => o = o.copy(computeAllMappings = true)
         case "--conj" => o = o.copy(conjMerge = true)
+        case "-y" | "--word_sense_disambiguation" => o = o.copy(wsd = true)
         case "--aa_span_merge" => o = o.copy(aaSpanMerge = true)
         case "-z" | "--term_processing" => o = o.copy(termProcessing = true)
         case "-r" | "--threshold" => o = o.copy(scoreThreshold = arg().toInt)

@@ -76,6 +76,11 @@ final case class LinkOptions(
     // instantiated NoMap pairs (filter_evaluations_by_user_exclusions,
     // skr.pl:2042-2055)
     noMap: Set[(String, String)] = Set.empty,
+    // -y/--word_sense_disambiguation (nls_system.pl:228): resolve each
+    // ambiguous span to ONE concept — the corpus-level window-dedup
+    // re-expression (score desc, semtype prior, cui) applied
+    // document-locally, identical ranking to Pipeline.wsdDedup
+    wsd: Boolean = false,
     // input segmentation (get_skr_text_3, skr_text_processing.pl:142-178):
     // --sldi one record per line; --sldiID lines are "ID|Text";
     // --blanklines N records split on runs of >= N blank lines. All None/

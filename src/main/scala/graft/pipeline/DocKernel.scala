@@ -15,6 +15,20 @@ import graft.umls.UmlsTables
   */
 object DocKernel {
 
+  /** -y WSD applied document-locally: one concept per span, ranked
+    * exactly like the corpus-level Pipeline.wsdDedup window (score desc,
+    * min semtype priority, cui) — spans never cross documents, so the
+    * dedup commutes with the corpus window.
+    */
+  private def wsdLocal(ms: Vector[Mention], umls: UmlsTables): Vector[Mention] = {
+    def stPrio(m: Mention): Int =
+      m.semTypes.map(st => umls.semTypePriority.getOrElse(st, 99))
+        .minOption.getOrElse(99)
+    ms.groupBy(m => (m.sentNo, m.start, m.len)).valuesIterator
+      .map(grp => grp.minBy(m => (-m.score, stPrio(m), m.cui)))
+      .toVector.sortBy(m => (m.sentNo, m.start, m.len, m.cui))
+  }
+
   def mentions(url: String, text: String, umls: UmlsTables,
       opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
     if (text.isEmpty) return Vector.empty
@@ -22,7 +36,7 @@ object DocKernel {
     // A6: user-defined AAs overlay the document-discovered ones
     val aas = AaDetector.findAas(toks) ++ opts.udas
     val sents = Sentences.split(toks)
-    sents.flatMap { sent =>
+    val out = sents.flatMap { sent =>
       // tagged mode (P1): the deterministic bigram tagger assigns one
       // category per word; tags drive chunk membership (P5 analogue) and
       // V10 variant filtering. Default OFF = the pinned --no_tagging mode.
@@ -65,6 +79,7 @@ object DocKernel {
       }
       Negex.mark(sent.toks, sentMentions, umls, opts)
     }
+    if (opts.wsd) wsdLocal(out, umls) else out
   }
 
   /** Rich per-phrase analysis for the MMO machine-output writer

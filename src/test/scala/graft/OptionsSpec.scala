@@ -168,6 +168,20 @@ class OptionsSpec extends AnyFunSuite {
     assert(all.find(_.cui == "C0004057").get.sources == Vector("MSH", "RXNORM"))
   }
 
+  test("-y word_sense_disambiguation: one concept per span, prior-ranked") {
+    // "cold" is ambiguous in the fixture: C0009443 Common Cold [dsyn]
+    // vs C0009264 Cold Temperature [npop]; both score 1000 on the span
+    val text = "The patient had a cold."
+    val all = mentions(text)
+    val coldSpan = all.filter(_.text == "cold")
+    assert(coldSpan.map(_.cui).toSet == Set("C0009443", "C0009264"))
+    val wsd = mentions(text, LinkOptions(wsd = true)).filter(_.text == "cold")
+    // dsyn priority (0) beats npop (11) on the score tie — same ranking
+    // as the corpus-level WSD window
+    assert(wsd.map(_.cui) == Vector("C0009443"))
+    assert(graft.api.Graft.parseFlags(Seq("-y")).wsd)
+  }
+
   test("--UDA and --nomap file loading (reference file formats)") {
     def tmp(content: String): String = {
       val f = java.io.File.createTempFile("graft_opt", ".txt")
