@@ -94,7 +94,12 @@ object Graft {
           // wildcard (an all-empty element would be a match-everything
           // wildcard that silently zeroes the corpus, so it is rejected)
           val v = arg()
-          if (new java.io.File(v).isFile)
+          // unambiguous dispatch: an argument containing ':' is ALWAYS
+          // the inline form (a stray file named "fever:C0015967" in the
+          // cwd must not hijack the user's inline exclusion); a
+          // colon-free argument naming an existing file reads the
+          // reference format, otherwise it is a bare-term wildcard
+          if (!v.contains(':') && new java.io.File(v).isFile)
             o = o.copy(noMap = o.noMap ++ parseNoMapLines(readTextFile(v)))
           else o = o.copy(noMap = v.split(',').iterator.map { p =>
             if (p.isEmpty || p == ":")
@@ -213,11 +218,12 @@ object Graft {
             case None => DocKernel.mentions(id, text, t, opts).iterator
             case Some(m) =>
               graft.sources.MedlineReader.segment(text, m).iterator.flatMap {
-                // sldiID record ids are authoritative; ordinal modes
-                // qualify the row id
+                // EVERY mode qualifies the record id with the row id:
+                // sldiID ids repeat across rows in practice, and a bare
+                // record id would let WSD/triples silently merge
+                // unrelated documents sharing one url
                 case (rid, rt) =>
-                  val url = if (opts.sldiId) rid else s"$id.$rid"
-                  DocKernel.mentions(url, rt, t, opts)
+                  DocKernel.mentions(s"$id.$rid", rt, t, opts)
               }
           }
         }

@@ -101,7 +101,17 @@ object GraftServer {
         counter.incrementAndGet()
         val params = queryParams(ex)
         val id = params.getOrElse("id", "doc")
-        val ms = DocKernel.mentions(id, readBody(ex), bc.value, optsFor(params))
+        val opts = optsFor(params)
+        val body0 = readBody(ex)
+        // honor the segmentation flags exactly like Graft.annotate: the
+        // body is a raw stream under --sldi/--sldiID/--blanklines
+        val ms = graft.sources.MedlineReader.segModeOf(opts) match {
+          case None => DocKernel.mentions(id, body0, bc.value, opts)
+          case Some(m) => graft.sources.MedlineReader.segment(body0, m)
+            .flatMap { case (rid, rt) =>
+              DocKernel.mentions(s"$id.$rid", rt, bc.value, opts)
+            }
+        }
         val body = ms.map { m =>
           s"""{"url":${jsonStr(m.url)},"sentNo":${m.sentNo},"start":${m.start},""" +
             s""""len":${m.len},"cui":${jsonStr(m.cui)},"score":${m.score},""" +
@@ -123,7 +133,15 @@ object GraftServer {
         counter.incrementAndGet()
         val params = queryParams(ex)
         val id = params.getOrElse("id", "doc")
-        val ts = DocTriples.fromDoc(id, readBody(ex), bc.value, optsFor(params))
+        val opts = optsFor(params)
+        val body0 = readBody(ex)
+        val ts = graft.sources.MedlineReader.segModeOf(opts) match {
+          case None => DocTriples.fromDoc(id, body0, bc.value, opts)
+          case Some(m) => graft.sources.MedlineReader.segment(body0, m)
+            .flatMap { case (rid, rt) =>
+              DocTriples.fromDoc(s"$id.$rid", rt, bc.value, opts)
+            }
+        }
         val body = ts.map { case (s, p, o, url, sentNo) =>
           s"""{"subj_cui":${jsonStr(s)},"pred":${jsonStr(p)},""" +
             s""""obj_cui":${jsonStr(o)},"url":${jsonStr(url)},"sentNo":$sentNo}"""

@@ -829,8 +829,10 @@ object DocOps {
       // materialize the survivor set ONCE: both per-side top-N cuts read
       // the cached blocks instead of re-running the scan + join + cosine
       // (two independent orderBy/limit branches would otherwise execute
-      // the expensive corpus pass twice)
-      .localCheckpoint()
+      // the expensive corpus pass twice). LAZY: plan construction (e.g.
+      // PlanDump) must not side-effect a corpus job — the first action
+      // materializes, the second branch reuses.
+      .localCheckpoint(false)
     // orderBy+limit compiles to TakeOrderedAndProject: per-partition
     // partial top-N then a bounded merge — no global sort exchange. The
     // rank windows below therefore operate on <= N rows per side.

@@ -16,18 +16,14 @@ import graft.umls.UmlsTables
 object DocKernel {
 
   /** -y WSD applied document-locally: one concept per span, ranked
-    * exactly like the corpus-level Pipeline.wsdDedup window (score desc,
-    * min semtype priority, cui) — spans never cross documents, so the
-    * dedup commutes with the corpus window.
+    * exactly like the corpus-level Pipeline.wsdDedup window. ONE
+    * implementation of the ranking exists — DocTriples.wsdLocal (the
+    * /triples path uses it too); this wrapper only adds the
+    * deterministic output ordering.
     */
-  private def wsdLocal(ms: Vector[Mention], umls: UmlsTables): Vector[Mention] = {
-    def stPrio(m: Mention): Int =
-      m.semTypes.map(st => umls.semTypePriority.getOrElse(st, 99))
-        .minOption.getOrElse(99)
-    ms.groupBy(m => (m.sentNo, m.start, m.len)).valuesIterator
-      .map(grp => grp.minBy(m => (-m.score, stPrio(m), m.cui)))
-      .toVector.sortBy(m => (m.sentNo, m.start, m.len, m.cui))
-  }
+  private def wsdLocal(ms: Vector[Mention], umls: UmlsTables): Vector[Mention] =
+    DocTriples.wsdLocal(ms, umls)
+      .sortBy(m => (m.sentNo, m.start, m.len, m.cui))
 
   def mentions(url: String, text: String, umls: UmlsTables,
       opts: LinkOptions = LinkOptions.default): Vector[Mention] = {

@@ -284,8 +284,13 @@ object MedlineReader {
         blocks += cur.result(); cur = new StringBuilder
       }
       if (starts) seenAny = true
-      if (line.trim == "ER" || beginsField(line).exists(_._1 == "ER")) {
-        if (seenAny) { blocks += cur.result(); cur = new StringBuilder; seenAny = false }
+      // the ER terminator only closes a RECORD; in plain text an
+      // ER-shaped line is content and must survive into the dummy
+      // citation (the never-drop-text contract)
+      val isEr = seenAny &&
+        (line.trim == "ER" || beginsField(line).exists(_._1 == "ER"))
+      if (isEr) {
+        blocks += cur.result(); cur = new StringBuilder; seenAny = false
       } else {
         if (cur.nonEmpty) cur.append('\n')
         cur.append(line)

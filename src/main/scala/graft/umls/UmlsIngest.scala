@@ -130,9 +130,11 @@ object UmlsIngest {
     // lexicographically first unsuppressed string
     val cuiPreferred: Map[String, String] = consoCols.groupBy(_._1).map {
       case (cui, rows) =>
+        // every fallback tier is a MIN, never a head: collect() row order
+        // varies run to run, and the concept name must not
         cui -> rows.filter(_._4).map(_._2).minOption
           .orElse(rows.filterNot(_._5).map(_._2).minOption)
-          .getOrElse(rows.head._2)
+          .getOrElse(rows.map(_._2).min)
     }
 
     // index entries from unsuppressed strings: normalize exactly like the
@@ -196,8 +198,17 @@ object UmlsIngest {
       cuiSources = cuiSources,
       variants = variantMap(variants),
       variantsByCat = aux.variantsByCat.map { df =>
-        df.select(col("cat")).distinct().collect().map(_.getString(0)).toVector.sorted
-          .map(c => c -> variantMap(df.filter(col("cat") === c).drop("cat"))).toMap
+        // ONE scan: collect with the cat column, split driver-side (the
+        // per-category filter+collect alternative reads the dictionary-
+        // scale table once per category)
+        collectRows(df, "cat", "word", "variant", "var_level:int", "history")
+          .map(r => (r.getString(0),
+            (r.getString(1), Variant(r.getString(2), r.getInt(3), r.getString(4)))))
+          .groupBy(_._1).map { case (c, rows) =>
+            c -> rows.map(_._2).groupBy(_._1).map { case (w, vs) =>
+              w -> vs.map(_._2).distinct.sortBy(v => (v.varLevel, v.word))
+            }
+          }
       }.getOrElse(Map.empty),
       lexiconForms = lexiconForms,
       lexCats = lexCats,
@@ -394,11 +405,18 @@ object UmlsIngest {
       }.toDF("class", "phrase", "pos"), "negex_triggers")
   }
 
-  /** Read a [[dump]]-shaped directory back into an [[UmlsTables]]. */
+  /** Read a [[dump]]-shaped directory back into an [[UmlsTables]].
+    * Existence probes go through the Hadoop FileSystem API, so `dir` can
+    * live on any Spark-reachable store (hdfs://, s3a://, file:) — a
+    * java.io.File probe would silently treat every remote aux table as
+    * absent and quietly change WSD/negex/stop-phrase behavior.
+    */
   def load(dir: String)(implicit spark: SparkSession): UmlsTables = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     def read(name: String): Option[DataFrame] = {
-      val p = new java.io.File(s"$dir/$name")
-      if (p.exists()) Some(spark.read.parquet(s"$dir/$name")) else None
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (p.getFileSystem(hconf).exists(p)) Some(spark.read.parquet(s"$dir/$name"))
+      else None
     }
     fromDataFrames(
       mrconso = read("mrconso").get,

@@ -162,12 +162,21 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
       // triples endpoint on the same broadcast
       val (c3, r3) = post("/triples?id=req3", "The patient had pneumonia and fever.")
       assert(c3 == 200 && r3.contains("\"pred\":\"causes\""), r3)
+      // segmentation flags are honored: sldi breaks cross-line AA reuse
+      // and stamps record-qualified urls
+      val (c6, r6) = post("/annotate?id=seg&flags=--sldi",
+        "Coronary artery (CA) disease was present.\nCA was severe.")
+      assert(c6 == 200, r6)
+      assert(r6.contains("\"url\":\"seg.0\""), r6)
+      // line 2's bare CA has no record-local AA -> no C0205042 under seg.1
+      assert(!r6.contains("\"url\":\"seg.1\",\"sentNo\":0,\"start\":0,\"len\":2,\"cui\":\"C0205042\""),
+        r6)
       // bad flags -> 400, server stays up
       val (c4, _) = post("/annotate?flags=--bogus", "text")
       assert(c4 == 400)
       val (c5, r5) = post("/annotate?id=again", "Fever persisted.")
       assert(c5 == 200 && r5.contains("C0015967"))
-      assert(handle.requestCount == 5L)
+      assert(handle.requestCount == 6L)
     } finally handle.stop()
   }
 }

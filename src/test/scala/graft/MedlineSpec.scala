@@ -143,6 +143,12 @@ class MedlineSpec extends AnyFunSuite {
     // left-trims; the head line parses left-trimmed too)
     val indented = "  PMID- 42\nTI  - Aspirin." // as a single record
     assert(MedlineReader.parseCitation(indented).get.id == "42")
+    // an ER-shaped line in PLAIN text is content, not a terminator
+    val erText = MedlineReader.parseBlocks(
+      "Patient seen.\nER  - emergency visit noted.\nFollow up.")
+    assert(erText == Vector(MedlineReader.Citation("00000000",
+      Vector(MedlineReader.Field("TX",
+        "Patient seen. ER  - emergency visit noted. Follow up.")))))
   }
 
   test("input segmentation: --sldi / --sldiID / --blanklines N") {
