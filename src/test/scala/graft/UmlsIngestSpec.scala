@@ -198,6 +198,44 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(job == seq)
   }
 
+  test("fromDataFrames at 50k-string index scale: deterministic, probe-correct") {
+    implicit val s = spark
+    import s.implicits._
+    def w(i: Int) = "zq" + java.lang.Integer.toString(i, 36)
+    // 50k strings over 20k CUIs, 1-3 words each, one ispref row per CUI
+    val conso = (0 until 50000).map { i =>
+      val cui = f"C9${i % 20000}%06d"
+      val words = (0 to i % 3).map(k => w((i * 7 + k * 131) % 90000))
+      (cui, words.mkString(" "),
+        if (i % 2 == 0) "MSH" else "SNOMEDCT_US",
+        if (i < 20000) "Y" else "N")
+    }.toDF("cui", "str", "sab", "ispref")
+    val mrsty = (0 until 20000).map(i => (f"C9$i%06d", "dsyn")).toDF("cui", "st")
+    val lexicon = Seq(("zq1", "noun")).toDF("word", "cat")
+    val variants = Seq(("zq1", "zq1", 0, "")).toDF("word", "variant", "var_level", "history")
+    val semnet = Seq(("dsyn", "co-occurs_with", "dsyn")).toDF("st1", "rel", "st2")
+    def build() = graft.umls.UmlsIngest.fromDataFrames(
+      conso.repartition(16), mrsty, lexicon, variants, semnet)
+    val t1 = build()
+    // repartitioned input, second build: byte-identical tables (collect
+    // order must not leak into any map)
+    val t2 = build()
+    assert(t1.firstWordIndex == t2.firstWordIndex)
+    assert(t1.cuiPreferred == t2.cuiPreferred)
+    assert(t1.cuiSources == t2.cuiSources)
+    // index integrity: every distinct (cui, str) indexed exactly once,
+    // per-word entry lists sorted by (len, cui, str)
+    val nEntries = t1.firstWordIndex.valuesIterator.map(_.size).sum
+    assert(nEntries == 50000)
+    t1.firstWordIndex.valuesIterator.take(200).foreach { es =>
+      val key = es.map(e => (e.nmWords.length, e.cui, e.str))
+      assert(key == key.sorted)
+    }
+    // the ispref row names the concept; sources are sorted distinct SABs
+    assert(t1.cuiPreferred.size == 20000)
+    assert(t1.cuiSources.valuesIterator.forall(ss => ss == ss.sorted && ss.distinct == ss))
+  }
+
   test("closure is order-independent: shuffled edge input, same table") {
     val e1 = VariantClosure.edges(
       MiniUmls.spellings, MiniUmls.inflections,
