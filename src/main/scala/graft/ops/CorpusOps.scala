@@ -309,7 +309,63 @@ object CorpusOps {
       |  round(w, 6) AS weight, h < w AS sampled
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** THE curation decision — the fused keep/drop verdict a training-data
+    * pipeline actually ships, composing the individual signals end to
+    * end: quality gate AND not benchmark-contaminated AND selected by the
+    * source-mixing plan AND the canonical representative of its near-dup
+    * cluster; benchmark (eval-slice) documents are excluded outright.
+    * Every input signal is itself an exact-oracled operator; the oracle
+    * here composes their SQL verbatim as subqueries, so the fused
+    * decision cannot drift from the parts.
+    *
+    * Scale shape: four already-bounded pipelines joined on doc_id — the
+    * joins are co-keyed 1:1 on the id, nothing new shuffles beyond what
+    * the parts already did.
+    */
+  def corpusCurationDecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = docQualityFilter(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val decontam = corpusDecontaminate(spark, sfDir)
+      .select(col("doc_id"), col("contaminated"))
+    val sampling = corpusSamplingPlan(spark, sfDir)
+      .select(col("doc_id"), col("sampled"))
+    val canonical = graft.ops.DocOps.dedupCanonical(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      .withColumn("is_benchmark", col("doc_id") % 97 === 0)
+      .join(quality, Seq("doc_id"))
+      .join(decontam, Seq("doc_id"), "left") // benchmark docs have no row
+      .join(sampling, Seq("doc_id"))
+      .join(canonical, Seq("doc_id"))
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("keep",
+        !col("is_benchmark") && col("quality_keep") && !col("contaminated") &&
+          col("sampled") && col("dedup_keep"))
+      .select(col("doc_id"), col("is_benchmark"), col("quality_keep"),
+        col("contaminated"), col("sampled"), col("dedup_keep"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composes the part oracles VERBATIM as subqueries (DuckDB supports
+    * nested WITH, including RECURSIVE, inside a subquery) — one source of
+    * truth per signal.
+    */
+  def corpusCurationDecisionSql: String =
+    s"""SELECT d.doc_id, d.doc_id % 97 = 0 AS is_benchmark,
+      |  q.keep AS quality_keep,
+      |  COALESCE(c.contaminated, false) AS contaminated,
+      |  sp.sampled, dc.keep AS dedup_keep,
+      |  d.doc_id % 97 <> 0 AND q.keep AND NOT COALESCE(c.contaminated, false)
+      |    AND sp.sampled AND dc.keep AS keep
+      |FROM documents d
+      |JOIN ($docQualityFilterSql) q ON d.doc_id = q.doc_id
+      |LEFT JOIN ($corpusDecontaminateSql) c ON d.doc_id = c.doc_id
+      |JOIN ($corpusSamplingPlanSql) sp ON d.doc_id = sp.doc_id
+      |JOIN (${graft.ops.DocOps.dedupCanonicalSql}) dc ON d.doc_id = dc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curation_decision" -> (corpusCurationDecision _),
     "doc_quality_filter" -> (docQualityFilter _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_stats" -> (corpusStats _),
@@ -320,6 +376,7 @@ object CorpusOps {
     "doc_pii_scrub" -> (docPiiScrub _))
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_curation_decision" -> corpusCurationDecisionSql,
     "doc_quality_filter" -> docQualityFilterSql,
     "corpus_vocab" -> corpusVocabSql,
     "corpus_stats" -> corpusStatsSql,

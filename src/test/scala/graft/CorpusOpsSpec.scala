@@ -126,6 +126,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curation decision: keep == conjunction of the part signals") {
+    import spark.implicits._
+    val rows = CorpusOps.corpusCurationDecision(spark, sf)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bench, q, c, s2, d, keep) =>
+      assert(keep == (!bench && q && !c && s2 && d), s"doc $id")
+      assert(bench == (id % 97 == 0))
+      if (bench) assert(!c) // benchmark docs carry no contamination row
+    }
+    // the decision actually discriminates on the synthetic corpus
+    assert(rows.exists(_._7) && rows.exists(!_._7))
+    // part-consistency: quality_keep matches the standalone operator
+    val q = CorpusOps.docQualityFilter(spark, sf)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    rows.foreach { case (id, _, qk, _, _, _, _) => assert(qk == q(id)) }
+  }
+
   test("dedup canonical: exactly one representative per cluster, longest wins") {
     import spark.implicits._
     val rows = graft.ops.DocOps.dedupCanonical(spark, sf)
