@@ -94,12 +94,15 @@ object Graft {
           // wildcard (an all-empty element would be a match-everything
           // wildcard that silently zeroes the corpus, so it is rejected)
           val v = arg()
-          // unambiguous dispatch: an argument containing ':' is ALWAYS
-          // the inline form (a stray file named "fever:C0015967" in the
-          // cwd must not hijack the user's inline exclusion); a
-          // colon-free argument naming an existing file reads the
-          // reference format, otherwise it is a bare-term wildcard
-          if (!v.contains(':') && new java.io.File(v).isFile)
+          // dispatch rules: "@path" is EXPLICITLY a file (works for paths
+          // containing ':'); a colon-free argument naming an existing
+          // file reads the reference format; anything else is inline —
+          // so a stray file named "fever:C0015967" cannot hijack an
+          // inline exclusion, and a colon-bearing path is reachable
+          // via the @ prefix
+          if (v.startsWith("@"))
+            o = o.copy(noMap = o.noMap ++ parseNoMapLines(readTextFile(v.drop(1))))
+          else if (!v.contains(':') && new java.io.File(v).isFile)
             o = o.copy(noMap = o.noMap ++ parseNoMapLines(readTextFile(v)))
           else o = o.copy(noMap = v.split(',').iterator.map { p =>
             if (p.isEmpty || p == ":")
@@ -207,25 +210,18 @@ object Graft {
     // --sldi / --sldiID / --blanklines N: the text cell is a raw input
     // STREAM, segmented into records before the kernel
     // (skr_text_processing.pl:142-178). AAs are record-local, exactly
-    // like the reference's per-record text objects.
-    val segMode = graft.sources.MedlineReader.segModeOf(opts)
+    // like the reference's per-record text objects. MedlineReader
+    // .records is the single shared dispatch (ids must not drift
+    // between annotate, triples, and the server).
     df.select(df.col(idCol).cast("string"), df.col(textCol).cast("string"))
       .as[(String, String)].mapPartitions { it =>
         val t = bc.value
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
-          else segMode match {
-            case None => DocKernel.mentions(id, text, t, opts).iterator
-            case Some(m) =>
-              graft.sources.MedlineReader.segment(text, m).iterator.flatMap {
-                // EVERY mode qualifies the record id with the row id:
-                // sldiID ids repeat across rows in practice, and a bare
-                // record id would let WSD/triples silently merge
-                // unrelated documents sharing one url
-                case (rid, rt) =>
-                  DocKernel.mentions(s"$id.$rid", rt, t, opts)
-              }
-          }
+          else graft.sources.MedlineReader.records(id, text, opts)
+            .iterator.flatMap { case (url, rt) =>
+              DocKernel.mentions(url, rt, t, opts)
+            }
         }
       }.toDF()
   }
@@ -264,7 +260,10 @@ object Graft {
         val t = bc.value
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
-          else DocTriples.fromDoc(id, text, t, opts).iterator
+          else graft.sources.MedlineReader.records(id, text, opts)
+            .iterator.flatMap { case (url, rt) =>
+              DocTriples.fromDoc(url, rt, t, opts)
+            }
         }
       }.toDF("subj_cui", "pred", "obj_cui", "url", "sentNo")
   }

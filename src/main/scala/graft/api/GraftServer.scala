@@ -103,15 +103,13 @@ object GraftServer {
         val id = params.getOrElse("id", "doc")
         val opts = optsFor(params)
         val body0 = readBody(ex)
-        // honor the segmentation flags exactly like Graft.annotate: the
-        // body is a raw stream under --sldi/--sldiID/--blanklines
-        val ms = graft.sources.MedlineReader.segModeOf(opts) match {
-          case None => DocKernel.mentions(id, body0, bc.value, opts)
-          case Some(m) => graft.sources.MedlineReader.segment(body0, m)
-            .flatMap { case (rid, rt) =>
-              DocKernel.mentions(s"$id.$rid", rt, bc.value, opts)
-            }
-        }
+        // the SAME dispatches Graft.annotate uses: -z routes to term
+        // processing, segmentation flags via the shared records()
+        val ms = graft.sources.MedlineReader.records(id, body0, opts)
+          .flatMap { case (url, rt) =>
+            if (opts.termProcessing) DocKernel.termMentions(url, rt, bc.value, opts)
+            else DocKernel.mentions(url, rt, bc.value, opts)
+          }
         val body = ms.map { m =>
           s"""{"url":${jsonStr(m.url)},"sentNo":${m.sentNo},"start":${m.start},""" +
             s""""len":${m.len},"cui":${jsonStr(m.cui)},"score":${m.score},""" +
@@ -135,13 +133,10 @@ object GraftServer {
         val id = params.getOrElse("id", "doc")
         val opts = optsFor(params)
         val body0 = readBody(ex)
-        val ts = graft.sources.MedlineReader.segModeOf(opts) match {
-          case None => DocTriples.fromDoc(id, body0, bc.value, opts)
-          case Some(m) => graft.sources.MedlineReader.segment(body0, m)
-            .flatMap { case (rid, rt) =>
-              DocTriples.fromDoc(s"$id.$rid", rt, bc.value, opts)
-            }
-        }
+        val ts = graft.sources.MedlineReader.records(id, body0, opts)
+          .flatMap { case (url, rt) =>
+            DocTriples.fromDoc(url, rt, bc.value, opts)
+          }
         val body = ts.map { case (s, p, o, url, sentNo) =>
           s"""{"subj_cui":${jsonStr(s)},"pred":${jsonStr(p)},""" +
             s""""obj_cui":${jsonStr(o)},"url":${jsonStr(url)},"sentNo":$sentNo}"""

@@ -241,6 +241,23 @@ object MedlineReader {
     else if (opts.sldi) Some(SegMode.Sldi)
     else opts.blankLines.map(SegMode.BlankLines(_))
 
+  /** THE segmentation dispatch, shared by Graft.annotate/triples and the
+    * server endpoints (one copy — the id scheme must not drift between
+    * entry points): no mode → the text IS one document under the row id;
+    * sldiID record ids are AUTHORITATIVE (the reference labels output
+    * with the provided ID verbatim — id collisions across rows are the
+    * same user error as duplicate ids in the id column itself); ordinal
+    * modes qualify with the row id.
+    */
+  def records(id: String, text: String,
+      opts: graft.link.LinkOptions): Vector[(String, String)] =
+    segModeOf(opts) match {
+      case None => Vector((id, text))
+      case Some(m) => segment(text, m).map { case (rid, rt) =>
+        (if (opts.sldiId) rid else s"$id.$rid", rt)
+      }
+    }
+
   /** Non-citation input becomes a pseudo-citation with the whole text as
     * one TX field and a dummy id (form_dummy_citation,
     * skr_text_processing.pl:338-360: `UI  - 00000000` + the text glommed
@@ -284,16 +301,16 @@ object MedlineReader {
         blocks += cur.result(); cur = new StringBuilder
       }
       if (starts) seenAny = true
-      // the ER terminator only closes a RECORD; in plain text an
-      // ER-shaped line is content and must survive into the dummy
-      // citation (the never-drop-text contract)
+      // the ER terminator only closes a RECORD; the ER line itself stays
+      // IN the block (as an ER field, or as plain text in a dummy
+      // citation) so any trailing content on it survives — the
+      // never-drop-text contract
       val isEr = seenAny &&
         (line.trim == "ER" || beginsField(line).exists(_._1 == "ER"))
+      if (cur.nonEmpty) cur.append('\n')
+      cur.append(line)
       if (isEr) {
         blocks += cur.result(); cur = new StringBuilder; seenAny = false
-      } else {
-        if (cur.nonEmpty) cur.append('\n')
-        cur.append(line)
       }
     }
     if (cur.nonEmpty && cur.result().trim.nonEmpty) blocks += cur.result()

@@ -99,13 +99,18 @@ object UmlsIngest {
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
     else collectRows(df, a, b).map(r => (r.getString(0), r.getString(1), None))
 
+  /** The ONE rows→variant-map grouping rule (closure emission order is
+    * (level, variant), reconstructible) — shared by the flat and
+    * per-category readers so the two cannot desynchronize.
+    */
+  private def groupVariants(rows: Vector[(String, Variant)]): Map[String, Vector[Variant]] =
+    rows.groupBy(_._1).map { case (w, vs) =>
+      w -> vs.map(_._2).distinct.sortBy(v => (v.varLevel, v.word))
+    }
+
   private def variantMap(df: DataFrame): Map[String, Vector[Variant]] =
-    collectRows(df, "word", "variant", "var_level:int", "history")
-      .map(r => (r.getString(0), Variant(r.getString(1), r.getInt(2), r.getString(3))))
-      .groupBy(_._1).map { case (w, vs) =>
-        // closure emission order: (level, variant) — reconstructible
-        w -> vs.map(_._2).distinct.sortBy(v => (v.varLevel, v.word))
-      }
+    groupVariants(collectRows(df, "word", "variant", "var_level:int", "history")
+      .map(r => (r.getString(0), Variant(r.getString(1), r.getInt(2), r.getString(3)))))
 
   /** Assemble a broadcastable [[UmlsTables]] from source DataFrames. */
   def fromDataFrames(
@@ -131,7 +136,7 @@ object UmlsIngest {
     val cuiPreferred: Map[String, String] = consoCols.groupBy(_._1).map {
       case (cui, rows) =>
         // every fallback tier is a MIN, never a head: collect() row order
-        // varies run to run, and the concept name must not
+        // varies run to run, and the concept name must not vary with it
         cui -> rows.filter(_._4).map(_._2).minOption
           .orElse(rows.filterNot(_._5).map(_._2).minOption)
           .getOrElse(rows.map(_._2).min)
@@ -200,15 +205,12 @@ object UmlsIngest {
       variantsByCat = aux.variantsByCat.map { df =>
         // ONE scan: collect with the cat column, split driver-side (the
         // per-category filter+collect alternative reads the dictionary-
-        // scale table once per category)
+        // scale table once per category), each group through the shared
+        // variant-map rule
         collectRows(df, "cat", "word", "variant", "var_level:int", "history")
           .map(r => (r.getString(0),
             (r.getString(1), Variant(r.getString(2), r.getInt(3), r.getString(4)))))
-          .groupBy(_._1).map { case (c, rows) =>
-            c -> rows.map(_._2).groupBy(_._1).map { case (w, vs) =>
-              w -> vs.map(_._2).distinct.sortBy(v => (v.varLevel, v.word))
-            }
-          }
+          .groupBy(_._1).map { case (c, rows) => c -> groupVariants(rows.map(_._2)) }
       }.getOrElse(Map.empty),
       lexiconForms = lexiconForms,
       lexCats = lexCats,

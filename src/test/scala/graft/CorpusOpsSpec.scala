@@ -136,8 +136,11 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(bench == (id % 97 == 0))
       if (bench) assert(!c) // benchmark docs carry no contamination row
     }
-    // the decision actually discriminates on the synthetic corpus
+    // the decision actually discriminates on the synthetic corpus, and
+    // benchmark docs genuinely appear (with keep = false)
     assert(rows.exists(_._7) && rows.exists(!_._7))
+    assert(rows.exists(_._2))
+    assert(rows.filter(_._2).forall(!_._7))
     // part-consistency: quality_keep matches the standalone operator
     val q = CorpusOps.docQualityFilter(spark, sf)
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap

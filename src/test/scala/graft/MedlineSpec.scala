@@ -149,6 +149,28 @@ class MedlineSpec extends AnyFunSuite {
     assert(erText == Vector(MedlineReader.Citation("00000000",
       Vector(MedlineReader.Field("TX",
         "Patient seen. ER  - emergency visit noted. Follow up.")))))
+    // inside a record the ER line closes it but its trailing content
+    // survives as an ER field
+    val erTail = MedlineReader.parseBlocks(
+      "PMID- 1\nTI  - x.\nER  - emergency visit noted.")
+    assert(erTail.length == 1 && erTail.head.id == "1")
+    assert(erTail.head.fields.contains(
+      MedlineReader.Field("ER", "emergency visit noted.")))
+  }
+
+  test("records(): the shared segmentation dispatch — sldiID ids authoritative") {
+    import graft.link.LinkOptions
+    // no mode: row = document under the row id
+    assert(MedlineReader.records("row", "text here", LinkOptions()) ==
+      Vector(("row", "text here")))
+    // ordinal modes qualify with the row id
+    assert(MedlineReader.records("row", "a\nb", LinkOptions(sldi = true)) ==
+      Vector(("row.0", "a"), ("row.1", "b")))
+    // sldiID: the record id IS the document id, verbatim (the reference
+    // labels output with the provided ID)
+    assert(MedlineReader.records("row", "A1|fever\nB2|pain",
+      LinkOptions(sldiId = true)) ==
+      Vector(("A1", "fever"), ("B2", "pain")))
   }
 
   test("input segmentation: --sldi / --sldiID / --blanklines N") {

@@ -209,6 +209,12 @@ class OptionsSpec extends AnyFunSuite {
     val o2 = graft.api.Graft.parseFlags(Seq("--nomap", nm))
     assert(o2.noMap == Set(("Chest Pain", "C0008031"), ("Fever", "C0015967")))
     assert(!mentions("chest pain", o2).map(_.cui).contains("C0008031"))
+    // @file is the EXPLICIT file form (reaches paths containing ':')
+    val o3 = graft.api.Graft.parseFlags(Seq("--nomap", "@" + nm))
+    assert(o3.noMap == o2.noMap)
+    // a CUI-shape-only check: "C3" stays the term side
+    assert(graft.api.Graft.parseNoMapLines("C3|C0009325") ==
+      Set(("C3", "C0009325")))
   }
 
   test("NegEx distances: pinned 6-word default vs reference two-distance rule") {
