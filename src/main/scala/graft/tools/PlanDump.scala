@@ -79,7 +79,21 @@ object PlanDump {
           "min-agg joined back to the edge list — per-key state is ONE value, " +
           "never a neighbor array (no driver graph, rounds O(log^2 n) not " +
           "O(diameter)); shown is the final members join.",
-        fmt(graft.ops.DocOps.dedupCcClusters(spark, sf))))
+        fmt(graft.ops.DocOps.dedupCcClusters(spark, sf))),
+      ("corpus_decontaminate",
+        "Benchmark grams are eval-set-scale and BROADCAST: the corpus side is " +
+          "one explode + BroadcastHashJoin + map-side-combined count — no " +
+          "corpus-scale shuffle key beyond the per-doc id.",
+        fmt(graft.ops.CorpusOps.corpusDecontaminate(spark, sf))),
+      ("corpus_sampling_plan",
+        "Per-source counts (tiny keyed agg) and the global max broadcast back " +
+          "onto a map-only decision column; no corpus-scale shuffle at all.",
+        fmt(graft.ops.CorpusOps.corpusSamplingPlan(spark, sf))),
+      ("dedup_canonical",
+        "CC members joined with doc lengths; the keep-longest window partitions " +
+          "by cluster_id — near-dup-cluster-bounded partitions (upstream " +
+          "hot-bucket cap), never a global window.",
+        fmt(graft.ops.DocOps.dedupCanonical(spark, sf))))
 
     val md = new StringBuilder
     md.append("# PLANS — captured .explain(\"formatted\") evidence (sf0.001, local[8])\n\n")

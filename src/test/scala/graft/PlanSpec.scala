@@ -195,6 +195,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"pack plan degraded to a global window:\n$pp")
   }
 
+  test("new curation ops: broadcast dims, no cartesians, no global windows") {
+    // decontaminate: the benchmark gram set must broadcast (eval-set-
+    // scale), never a shuffle join keyed by gram
+    val pd = plan(graft.ops.CorpusOps.corpusDecontaminate(spark, sf))
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    assert(!pd.contains("CartesianProduct"), pd)
+    // sampling plan: source counts + max broadcast onto a map-only
+    // decision — no SortMergeJoin anywhere
+    val ps = plan(graft.ops.CorpusOps.corpusSamplingPlan(spark, sf))
+    assert(ps.contains("BroadcastHashJoin") || ps.contains("BroadcastNestedLoopJoin"), ps)
+    assert(!ps.contains("SortMergeJoin"), ps)
+    // canonical: keep-longest window partitions by cluster_id, never global
+    val pc = plan(graft.ops.DocOps.dedupCanonical(spark, sf))
+    assert(pc.contains("hashpartitioning(cluster_id"), pc)
+    assert(!pc.contains("SinglePartition"), s"canonical degraded to a global window:\n$pc")
+  }
+
   test("hybrid search: fusion windows read bounded top-N lists, not the corpus") {
     // each retrieval side must pass through TakeOrderedAndProject(limit=N)
     // BEFORE its rank window: per-partition partial top-N + bounded merge,
