@@ -364,4 +364,23 @@ class OptionsSpec extends AnyFunSuite {
     val b = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
     assert(a == b)
   }
+
+  test("kg_option_profiles: cross-mode count relations hold") {
+    // pins the gate entry's RELATIONSHIPS, which survive corpus growth:
+    // cascade prunes beyond bare restrict; exclude+cascade == exclude
+    // (the no-op); wsd and sldi each strictly below default; blanklines
+    // noop on blank-free pages; restrict modes strictly below default
+    val s = SparkTestBase.session
+    val rows = graft.KgQueries.kgOptionProfiles(s, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("cascade") <= rows("restrict_dsyn"))
+    assert(rows("cascade_exclude_noop") == rows("exclude_sosy"))
+    assert(rows("wsd") < rows("default"))
+    assert(rows("sldi") < rows("default"))
+    assert(rows("blanklines_2") == rows("default"))
+    assert(rows("restrict_src_rxnorm") < rows("exclude_src_msh"))
+    assert(rows("exclude_src_msh") < rows("default"))
+    assert(rows("threshold_900") < rows("default"))
+    assert(rows("all_mappings") >= rows("default"))
+  }
 }
