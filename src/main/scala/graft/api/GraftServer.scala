@@ -38,7 +38,13 @@ object GraftServer {
       private[api] val counter: java.util.concurrent.atomic.AtomicLong) {
     def port: Int = server.getAddress.getPort
     def requestCount: Long = counter.get()
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = {
+      server.stop(0)
+      server.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdown()
+        case _ =>
+      }
+    }
   }
 
   private def jsonStr(s: String): String =
@@ -155,7 +161,12 @@ object GraftServer {
         respond(ex, 200, s"""{"status":"ok","requests":${counter.get()}}""")
     })
 
-    server.setExecutor(null) // same-thread: the kernel is CPU-bound, tiny
+    // a small fixed pool: the kernel is a pure function over the broadcast
+    // tables so concurrent handling is safe, and a slow /annotate must not
+    // serialize /health and every other client behind the dispatcher thread
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, Runtime.getRuntime.availableProcessors()),
+      r => { val t = new Thread(r, "graft-server"); t.setDaemon(true); t }))
     server.start()
     new Handle(server, counter)
   }

@@ -101,12 +101,20 @@ object Negex {
     mentions.map { m =>
       val mStartW = wordIdxOfChar(m.start)
       val mEndW = wordIdxOfChar(m.start + m.len - 1)
+      // distance basis differs by mode: the pinned default counts the
+      // word GAP between trigger and concept (excludes the trigger),
+      // while reference mode uses abs(ConceptTokenPos -
+      // TriggerLastTokenPos) over the token list (negex.pl:925-933) —
+      // i.e. measured from the trigger's LAST word, one larger on the
+      // pre side than the gap.
       val negByPre = preHits.exists { case (wIdx, lastW) =>
-        mStartW >= wIdx && inWindow(lastW, mStartW - wIdx) &&
+        val dist = if (refMode) mStartW - lastW else mStartW - wIdx
+        mStartW >= wIdx && inWindow(lastW, dist) &&
           !terminatorBetween(wIdx, mStartW)
       }
       val negByPost = postHits.exists { case (wIdx, lastW) =>
-        mEndW < wIdx && inWindow(lastW, wIdx - mEndW) &&
+        val dist = if (refMode) lastW - mEndW else wIdx - mEndW
+        mEndW < wIdx && inWindow(lastW, dist) &&
           !terminatorBetween(mEndW + 1, wIdx)
       }
       if (negByPre || negByPost) m.copy(negated = true) else m

@@ -231,7 +231,7 @@ object CorpusOps {
     */
   val DecontamN = 5
 
-  def corpusDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def decontaminateCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(col("text"))
     // short-doc guard: Spark sequence(1, stop) COUNTS DOWN for stop < 1
     val grams = when(size(t) >= DecontamN,
@@ -248,8 +248,16 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(count(col("bg")).as("n_contaminated_grams"))
       .withColumn("contaminated", col("n_contaminated_grams") >= 1)
-      .orderBy(col("doc_id"))
   }
+
+  def corpusDecontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    SnapshotCache.materialize(spark, sfDir, "decontaminate")(
+      decontaminateCompute(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  private def decontaminateTable(spark: SparkSession, sfDir: String): DataFrame =
+    SnapshotCache.ensure(spark, sfDir, "decontaminate")(
+      decontaminateCompute(spark, sfDir))
 
   val corpusDecontaminateSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
@@ -282,7 +290,7 @@ object CorpusOps {
     * Scale shape: source counts are a tiny keyed agg (map-side
     * combined), broadcast back; the decision column is map-only.
     */
-  def corpusSamplingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def samplingPlanCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"))
     val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_source_docs"))
@@ -294,8 +302,16 @@ object CorpusOps {
     d.join(broadcast(withMax), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_source_docs"),
         round(w, 6).as("weight"), (h < w).as("sampled"))
-      .orderBy(col("doc_id"))
   }
+
+  def corpusSamplingPlan(spark: SparkSession, sfDir: String): DataFrame =
+    SnapshotCache.materialize(spark, sfDir, "sampling_plan")(
+      samplingPlanCompute(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  private def samplingPlanTable(spark: SparkSession, sfDir: String): DataFrame =
+    SnapshotCache.ensure(spark, sfDir, "sampling_plan")(
+      samplingPlanCompute(spark, sfDir))
 
   val corpusSamplingPlanSql: String =
     """WITH c AS (SELECT source, COUNT(*) n FROM documents GROUP BY source),
@@ -319,15 +335,18 @@ object CorpusOps {
     * decision cannot drift from the parts.
     *
     * Scale shape: four already-bounded pipelines joined on doc_id — the
-    * joins are co-keyed 1:1 on the id, nothing new shuffles beyond what
-    * the parts already did.
+    * joins are co-keyed 1:1 on the id, and the three expensive signals
+    * (near-dup clusters incl. connected components, decontamination,
+    * sampling plan) are read from the per-snapshot materialization
+    * (SnapshotCache), not recomputed per consumer: at 100 TB the CC job
+    * is the dominant curation cost and must run once per snapshot.
     */
   def corpusCurationDecision(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = docQualityFilter(spark, sfDir)
       .select(col("doc_id"), col("keep").as("quality_keep"))
-    val decontam = corpusDecontaminate(spark, sfDir)
+    val decontam = decontaminateTable(spark, sfDir)
       .select(col("doc_id"), col("contaminated"))
-    val sampling = corpusSamplingPlan(spark, sfDir)
+    val sampling = samplingPlanTable(spark, sfDir)
       .select(col("doc_id"), col("sampled"))
     val canonical = graft.ops.DocOps.dedupCanonical(spark, sfDir)
       .select(col("doc_id"), col("keep").as("dedup_keep"))

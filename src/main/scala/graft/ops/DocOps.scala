@@ -408,7 +408,7 @@ object DocOps {
     * graph; per-node neighbor arrays are bounded by the banded generator
     * (HotBucketCap) exactly like the pair queries.
     */
-  def dedupCcClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ccClustersCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val members = graft.graph.GraphOps.connectedComponents(
       minhashCandidatePairs(spark, sfDir)
@@ -417,22 +417,36 @@ object DocOps {
     docs.join(members, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** The materialized cluster table for this corpus snapshot (run once
+    * per JVM per snapshot; consumers read it — see SnapshotCache).
+    */
+  def clusterTable(spark: SparkSession, sfDir: String): DataFrame =
+    SnapshotCache.ensure(spark, sfDir, "neardup_clusters")(
+      ccClustersCompute(spark, sfDir))
+
+  def dedupCcClusters(spark: SparkSession, sfDir: String): DataFrame =
+    SnapshotCache.materialize(spark, sfDir, "neardup_clusters")(
+      ccClustersCompute(spark, sfDir))
+      .orderBy(col("doc_id"))
 
   /** Canonical-document selection per near-dup cluster — the step after
     * clustering that a dedup pipeline actually ships: keep ONE
     * representative per cluster (longest document, doc_id tie-break) and
     * drop the rest. The per-cluster window is keyed by cluster_id;
     * clusters are near-dup groups whose size the upstream hot-bucket cap
-    * bounds, so no window partition is corpus-scale.
+    * bounds, so no window partition is corpus-scale. Reads the
+    * per-snapshot materialized cluster table (SnapshotCache) instead of
+    * re-running connected components — the CC job runs once per corpus
+    * snapshot, every consumer reads its output.
     */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    dedupCcClusters(spark, sfDir)
+    clusterTable(spark, sfDir)
       .join(docs, Seq("doc_id"))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))

@@ -106,7 +106,10 @@ object MedlineReader {
     * followed by a separator char and, after skipping whitespace, by a
     * NON-SPACE separator in `-|:.` (the FirstChar2 re-check) — so
     * `PMID- 123` and `PMID : 123` are citation heads but a bare
-    * space-separated `PMID 123` is not.
+    * space-separated `PMID 123` is not. Case-SENSITIVE on the raw dense
+    * token: the reference's lower_chars call is commented out
+    * (skr_text_processing.pl:302), so a lowercase `pmid- 1` head is NOT
+    * a citation start and the block dummy-wraps as TX.
     */
   private[graft] def citationFieldName(line: String): Option[String] = {
     val t = line.dropWhile(_.isWhitespace)
@@ -116,7 +119,7 @@ object MedlineReader {
     else {
       val afterWs = rest.dropWhile(_.isWhitespace)
       if (afterWs.nonEmpty && afterWs.head != ' ' && separators.contains(afterWs.head))
-        Some(dense.toUpperCase)
+        Some(dense)
       else None
     }
   }

@@ -166,8 +166,14 @@ object UmlsIngest {
 
     val lexRows = collectRows(lexicon, "word", "cat")
       .map(r => (r.getString(0), r.getString(1)))
-    val lexiconForms = lexRows.map(_._1).filter(_.contains(" ")).toSet
-    val lexCats = lexRows.filterNot(_._1.contains(" "))
+    // forms (is_a_form) = multi-word entries PLUS anything tagged with
+    // the sentinel cat `form` — dump() writes single-word forms that way,
+    // so the round trip must route them back to lexiconForms rather than
+    // into lexCats with a bogus category
+    val lexiconForms = lexRows.collect {
+      case (w, cat) if w.contains(" ") || cat == "form" => w
+    }.toSet
+    val lexCats = lexRows.filter { case (w, cat) => !w.contains(" ") && cat != "form" }
       .groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).toSet }
     val stopWords = lexCats.collect {
       case (w, cs) if cs.exists(UmlsTables.closedCats) => w

@@ -80,6 +80,11 @@ class MedlineSpec extends AnyFunSuite {
     // ...but a space-only separator does not (the FirstChar2 re-check
     // requires a real `-|:.` after whitespace)
     assert(!MedlineReader.isCitation(Seq("PMID 1", "TI  - T.")))
+    // detection is case-SENSITIVE (lower_chars is commented out,
+    // skr_text_processing.pl:302): a lowercase head dummy-wraps as TX
+    assert(!MedlineReader.isCitation(Seq("pmid- 1", "TI  - T.")))
+    val lower = MedlineReader.parseBlocks("pmid- 1\nTI  - T.")
+    assert(lower.head.id == "00000000" && lower.head.fields.head.name == "TX")
   }
 
   test("S1 ris: TY-headed record with T1 title and ER terminator") {

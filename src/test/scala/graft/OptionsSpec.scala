@@ -228,12 +228,14 @@ class OptionsSpec extends AnyFunSuite {
     // utterance end, so the window is WAIVED entirely (negex.pl:893-901)
     assert(negated(LinkOptions(negexUtteranceMaxDist = Some(20),
       negexConceptMaxDist = Some(10))))
-    // far from the end (utteranceMaxDist 0) the concept distance binds:
-    // 7 > 3 rules it out, 7 <= 7 keeps it
+    // far from the end (utteranceMaxDist 0) the concept distance binds.
+    // Reference basis (negex.pl:925-933): dist = ConceptTokenPos -
+    // TriggerLastTokenPos = 10 - 2 = 8 (NOT the 7-word gap): 8 > 7 rules
+    // it out, 8 <= 8 keeps it
     assert(!negated(LinkOptions(negexUtteranceMaxDist = Some(0),
-      negexConceptMaxDist = Some(3))))
-    assert(negated(LinkOptions(negexUtteranceMaxDist = Some(0),
       negexConceptMaxDist = Some(7))))
+    assert(negated(LinkOptions(negexUtteranceMaxDist = Some(0),
+      negexConceptMaxDist = Some(8))))
     // flag surface
     val o = graft.api.Graft.parseFlags(
       Seq("--negex_utterance_max_dist", "20", "--negex_concept_max_dist", "10"))

@@ -196,20 +196,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("new curation ops: broadcast dims, no cartesians, no global windows") {
-    // decontaminate: the benchmark gram set must broadcast (eval-set-
-    // scale), never a shuffle join keyed by gram
-    val pd = plan(graft.ops.CorpusOps.corpusDecontaminate(spark, sf))
+    // decontaminate COMPUTE: the benchmark gram set must broadcast
+    // (eval-set-scale), never a shuffle join keyed by gram (the public
+    // query entry serves the per-snapshot parquet materialization, so
+    // the shape assertions target the compute plan)
+    val pd = plan(graft.ops.CorpusOps.decontaminateCompute(spark, sf))
     assert(pd.contains("BroadcastHashJoin"), pd)
     assert(!pd.contains("CartesianProduct"), pd)
-    // sampling plan: source counts + max broadcast onto a map-only
-    // decision — no SortMergeJoin anywhere
-    val ps = plan(graft.ops.CorpusOps.corpusSamplingPlan(spark, sf))
+    // sampling plan compute: source counts + max broadcast onto a
+    // map-only decision — no SortMergeJoin anywhere
+    val ps = plan(graft.ops.CorpusOps.samplingPlanCompute(spark, sf))
     assert(ps.contains("BroadcastHashJoin") || ps.contains("BroadcastNestedLoopJoin"), ps)
     assert(!ps.contains("SortMergeJoin"), ps)
-    // canonical: keep-longest window partitions by cluster_id, never global
+    // canonical: keep-longest window partitions by cluster_id, never
+    // global — and its input is the materialized cluster table, NOT a
+    // re-run of connected components (no iterative-join subtree)
     val pc = plan(graft.ops.DocOps.dedupCanonical(spark, sf))
     assert(pc.contains("hashpartitioning(cluster_id"), pc)
     assert(!pc.contains("SinglePartition"), s"canonical degraded to a global window:\n$pc")
+    assert(pc.contains("graft_snapshot"),
+      s"canonical should read the per-snapshot cluster table:\n$pc")
   }
 
   test("hybrid search: fusion windows read bounded top-N lists, not the corpus") {

@@ -52,6 +52,21 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(loaded.variantsAllDeriv == t.variantsAllDeriv)
   }
 
+  test("single-word lexicon forms survive the dump -> load round trip") {
+    // dump() writes forms with the sentinel cat `form`; fromDataFrames
+    // must route a SINGLE-word form back into lexiconForms, not into
+    // lexCats under the bogus category `form`
+    implicit val s = spark
+    val dir = tmpDir("umls_ingest_form")
+    val t = MiniUmls.tables
+    val withForm = t.copy(lexiconForms = t.lexiconForms + "standalone")
+    UmlsIngest.dump(withForm, dir)
+    val loaded = UmlsIngest.load(dir)
+    assert(loaded.lexiconForms == withForm.lexiconForms)
+    assert(loaded.lexCats == withForm.lexCats)
+    assert(!loaded.lexCats.get("standalone").exists(_.contains("form")))
+  }
+
   test("loaded tables produce identical mentions on the golden corpus") {
     implicit val s = spark
     import s.implicits._
