@@ -218,7 +218,17 @@ object KgQueries {
       // --sldi: each page line becomes its own record — document-local
       // AA reuse across lines is lost, so the count genuinely differs
       "sldi" -> LinkOptions(sldi = true),
-      "blanklines_2" -> LinkOptions(blankLines = Some(2)))
+      "blanklines_2" -> LinkOptions(blankLines = Some(2)),
+      // -d removes the derivation edge class -> never more mentions
+      "no_deriv" -> LinkOptions(noDerivationalVariants = true),
+      // -K disables the stop_analysis phrase skip -> never fewer
+      "ignore_stop_phrases" -> LinkOptions(ignoreStopPhrases = true),
+      // -Q 0 disables composite gluing entirely
+      "composite_0" -> LinkOptions(compositePhrases = 0),
+      // NegEx gate profiles count NEGATED mentions (see emission below):
+      // an engaged gate can only shrink the negated subset
+      "negex_negated_default" -> LinkOptions.default,
+      "negex_negated_gated" -> LinkOptions(negexStDel = Set("sosy")))
     val umls = Pipeline.broadcastUmls(spark)
     // ONE kernel pass: each document is extracted once and linked under
     // every profile inside the same task, emitting (mode, count) rows
@@ -232,11 +242,15 @@ object KgQueries {
         else {
           val text = graft.text.Extract.htmlToText(p.html)
           profiles.iterator.map { case (name, o) =>
+            // negex_negated_* profiles pin the semtype GATE: they count
+            // negated mentions, every other profile counts mentions
+            def count(ms: Vector[graft.link.Mention]): Int =
+              if (name.startsWith("negex_negated")) ms.count(_.negated) else ms.size
             val n = sources.MedlineReader.segModeOf(o) match {
-              case None => pipeline.DocKernel.mentions(p.url, text, t, o).size
+              case None => count(pipeline.DocKernel.mentions(p.url, text, t, o))
               case Some(m) => sources.MedlineReader.segment(text, m)
                 .iterator.map { case (rid, rt) =>
-                  pipeline.DocKernel.mentions(s"${p.url}.$rid", rt, t, o).size
+                  count(pipeline.DocKernel.mentions(s"${p.url}.$rid", rt, t, o))
                 }.sum
             }
             (name, n.toLong)

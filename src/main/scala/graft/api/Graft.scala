@@ -71,6 +71,13 @@ object Graft {
         case "--cascade" => o = o.copy(cascade = true)
         case "--all_derivational_variants" =>
           o = o.copy(allDerivationalVariants = true)
+        case "-d" | "--no_derivational_variants" =>
+          o = o.copy(noDerivationalVariants = true)
+        case "-K" | "--ignore_stop_phrases" => o = o.copy(ignoreStopPhrases = true)
+        case "-Q" | "--composite_phrases" => o = o.copy(compositePhrases = arg().toInt)
+        case "--negex_st_add" => o = o.copy(negexStAdd = arg().split(',').toSet)
+        case "--negex_st_del" => o = o.copy(negexStDel = arg().split(',').toSet)
+        case "--negex_st_set" => o = o.copy(negexStSet = arg().split(',').toSet)
         // env-var analogues NEGEX_UTTERANCE_MAX_DIST / NEGEX_CONCEPT_MAX_DIST
         // (negex.pl:152-157); setting either engages the reference's
         // two-distance window rule (documented values 20/10)

@@ -101,7 +101,29 @@ final case class LinkOptions(
     // candidate are discarded too ("logistic regression" restricted to
     // disorders should not leave "Regression" behind;
     // discard_overlapping_evaluations, skr.pl:1284-1309)
-    cascade: Boolean = false)
+    cascade: Boolean = false,
+    // -Q N composite_phrases (nls_system.pl:177-179, reference default 4):
+    // max number of "of"-linked prepositional phrases glommed onto the
+    // initial NP by composite gluing; 0 disables gluing entirely
+    compositePhrases: Int = 4,
+    // -K ignore_stop_phrases (nls_system.pl:167): disable the default-mode
+    // phrase-level stop_analysis skip (skr.pl:1158-1166) — a phrase whose
+    // full text is a stop phrase with overlapping category normally
+    // produces NO evaluations at all
+    ignoreStopPhrases: Boolean = false,
+    // -d no_derivational_variants (nls_system.pl:202): variant generation
+    // never follows derivation edges (wins over -D if both are set)
+    noDerivationalVariants: Boolean = false,
+    // --negex_st_add/del/set (nls_system.pl:259-264): NegEx semtype
+    // gating. Setting ANY of the three engages the reference's gate
+    // (negex_semtypes, negex.pl:679-701): a mention is negatable only if
+    // its semtypes intersect default+add-del; `set` containing all/ALL
+    // disables the gate (and is otherwise IGNORED, replicating the
+    // reference's quirk where NegExSemTypes4 is discarded unless it
+    // contains 'all'). All three empty = the pinned ungated default.
+    negexStAdd: Set[String] = Set.empty,
+    negexStDel: Set[String] = Set.empty,
+    negexStSet: Set[String] = Set.empty)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

@@ -36,6 +36,16 @@ object PhraseChunker {
     else "noun"
   }
 
+  /** Syntactic tags of a phrase's words (extract_syntactic_tags
+    * analogue, used by the stop_analysis phrase skip): the tagger's
+    * category where tagged, else tagless resolution — exactly the
+    * categories chunking itself ran under.
+    */
+  def phraseTags(p: Phrase, umls: UmlsTables,
+      tagsByStart: Map[Int, String] = Map.empty): Set[String] =
+    p.words.iterator
+      .map(w => tagsByStart.getOrElse(w.start, resolveCat(w.word, umls))).toSet
+
   /** Lexical form of a word token for matching: mm-normalized lowercase,
     * first sub-word if normalization splits (shared by document chunking
     * and -z term processing so the two paths cannot diverge).
@@ -54,7 +64,8 @@ object PhraseChunker {
     * noun/verb-ambiguous word breaks the phrase instead of joining it.
     */
   def chunk(toks: Vector[Tok], umls: UmlsTables,
-      tagsByStart: Map[Int, String] = Map.empty): Vector[Phrase] = {
+      tagsByStart: Map[Int, String] = Map.empty,
+      maxComposite: Int = 4): Vector[Phrase] = {
     val words = Tokenizer.wordToks(toks)
     // content runs: adj/noun sequences
     val phrases = scala.collection.mutable.ArrayBuffer[Phrase]()
@@ -122,9 +133,13 @@ object PhraseChunker {
     while (i < phrases.length) {
       var p = phrases(i)
       var j = i + 1
-      // cap like the merged-phrase guard: an "of"-chained tag-soup page
-      // must not re-form the giant phrase MaxPhraseWords just split
-      while (j < phrases.length && onlyOfBetween(p, phrases(j)) &&
+      // caps: the -Q N composite_phrases limit (max N prep phrases
+      // glommed onto the initial NP, reference default 4, 0 = no gluing
+      // at all — skr.pl:4621-4622) AND the merged-phrase word guard (an
+      // "of"-chained tag-soup page must not re-form the giant phrase
+      // MaxPhraseWords just split)
+      while (j < phrases.length && (j - i) <= maxComposite &&
+        onlyOfBetween(p, phrases(j)) &&
         p.words.length + phrases(j).words.length <= 20) {
         p = Phrase(p.words ++ phrases(j).words, p.headIdx)
         j += 1

@@ -26,9 +26,13 @@ object VariantGather {
   def gather(phrase: Phrase, umls: UmlsTables, aas: AaDict,
       tagsByStart: Map[Int, String] = Map.empty,
       opts: LinkOptions = LinkOptions.default): Map[String, Vector[VInfo]] = {
+    // -d swaps in the deriv-free table (wins over -D);
     // --all_derivational_variants swaps in the full-dm.rul table
     val mainTable =
-      if (opts.allDerivationalVariants && umls.variantsAllDeriv.nonEmpty)
+      if (opts.noDerivationalVariants && umls.variantsNoDeriv.nonEmpty)
+        umls.variantsNoDeriv
+      else if (opts.allDerivationalVariants && !opts.noDerivationalVariants &&
+        umls.variantsAllDeriv.nonEmpty)
         umls.variantsAllDeriv
       else umls.variants
     val words = phrase.words.map(_.word)
@@ -103,7 +107,8 @@ object VariantGather {
           else if (isSingle && opts.dynamicVariants &&
             gen.length >= 3 && gen.forall(_.isLetter))
             graft.umls.DynamicVariants.closure(gen, umls,
-              allDeriv = opts.allDerivationalVariants)
+              allDeriv = opts.allDerivationalVariants,
+              noDeriv = opts.noDerivationalVariants)
           else Vector.empty
         }
         val untaggedVars =
@@ -126,7 +131,12 @@ object VariantGather {
             val tableVars =
               if (noVariants) Vector.empty
               else catTable match {
-                case Some(ct) => ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+                case Some(ct) =>
+                  val vs = ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+                  // -d in tagged mode: the per-category tables are built
+                  // with deriv edges, so drop deriv-path variants here
+                  if (opts.noDerivationalVariants) vs.filterNot(_.history.contains('d'))
+                  else vs
                 case None => lookupVars(mainTable)
               }
             base ++ tableVars ++ aaVars ++ splitVars

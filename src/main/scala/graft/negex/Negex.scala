@@ -29,6 +29,31 @@ object Negex {
 
   private val window = 6
 
+  /** The reference's default NegEx semantic-type group
+    * (default_negex_semtypes, negex.pl:700-701).
+    */
+  val defaultSemTypes: Set[String] = Set(
+    "acab", "anab", "biof", "cgab", "comd", "dsyn", "emod", "fndg",
+    "inpo", "lbtr", "menp", "mobd", "neop", "patf", "phsf", "sosy")
+
+  /** Resolve the semtype gate from the three --negex_st_* options
+    * (negex_semtypes, negex.pl:679-698). None = ungated (the pinned
+    * default when no option is set, and the reference's `all`/`ALL`
+    * escape). Replicates the reference quirk exactly: `set` only
+    * matters through the all/ALL check — a set list WITHOUT all is
+    * discarded and the add/del result applies instead
+    * (NegExSemTypes = NegExSemTypes3 in both branches).
+    */
+  private[graft] def semTypeGate(opts: LinkOptions): Option[Set[String]] = {
+    val any = opts.negexStAdd.nonEmpty || opts.negexStDel.nonEmpty ||
+      opts.negexStSet.nonEmpty
+    if (!any) return None
+    val afterDel = (defaultSemTypes ++ opts.negexStAdd) -- opts.negexStDel
+    val set4 = if (opts.negexStSet.nonEmpty) opts.negexStSet else afterDel
+    if (set4.contains("all") || set4.contains("ALL")) None
+    else Some(afterDel)
+  }
+
   /** Mark negated mentions for one sentence.
     * @param sentToks full token stream of the sentence
     * @param mentions mentions located in this sentence (char offsets)
@@ -98,7 +123,14 @@ object Negex {
       if (!refMode) dist <= window
       else (lcs.length - 1 - triggerLastW) <= uttMax || dist <= conceptMax
 
+    // semtype gating (negex.pl:667-676): a mention whose semtypes are
+    // disjoint from the gate set is never negated; engaged only when a
+    // --negex_st_* option is given (the pinned default is ungated)
+    val stGate = semTypeGate(opts)
+
     mentions.map { m =>
+      if (stGate.exists(g => !m.semTypes.exists(g))) m
+      else {
       val mStartW = wordIdxOfChar(m.start)
       val mEndW = wordIdxOfChar(m.start + m.len - 1)
       // distance basis differs by mode: the pinned default counts the
@@ -118,6 +150,7 @@ object Negex {
           !terminatorBetween(mEndW + 1, wIdx)
       }
       if (negByPre || negByPost) m.copy(negated = true) else m
+      }
     }
   }
 }

@@ -43,7 +43,8 @@ object DocKernel {
           val tags = Tagger.tag(ws.map(PhraseChunker.mmWord), umls)
           ws.map(_.start).zip(tags).toMap
         }
-      val phrases0 = PhraseChunker.chunk(sent.toks, umls, tagsByStart)
+      val phrases0 = PhraseChunker.chunk(sent.toks, umls, tagsByStart,
+        opts.compositePhrases)
       // optional phrase merges (P7 --conj, P8 AA-span; off in pinned mode)
       val phrases1 =
         if (opts.aaSpanMerge) PhraseChunker.aaSpanGlue(phrases0, sent.toks, aas)
@@ -51,10 +52,23 @@ object DocKernel {
       val phrases =
         if (opts.conjMerge) PhraseChunker.conjGlue(phrases1, sent.toks, umls)
         else phrases1
+      // stop_analysis (skr.pl:1158-1166): in the default mode (none of
+      // -o/-g/-K/-D in force — check_generate_initial_evaluations_
+      // control_options_1, skr.pl:4853-4859), a phrase whose full text is
+      // a stop phrase under a category overlapping the phrase's tags
+      // produces NO evaluations; -K ignore_stop_phrases disables the skip
+      val stopAnalysisOn = !opts.allowOvermatches && !opts.allowConceptGaps &&
+        !opts.ignoreStopPhrases && !opts.allDerivationalVariants
+      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn && {
+        val phraseText = phrase.words.map(_.word).mkString(" ")
+        umls.stopPhrases.get(phraseText).exists(stopTags =>
+          stopTags.exists(PhraseChunker.phraseTags(phrase, umls, tagsByStart)))
+      }
       val sentMentions = phrases.flatMap { phrase =>
         // stop-phrase analogue: single closed-class or 1-char phrases skip
         if (phrase.words.isEmpty ||
-          (phrase.words.length == 1 && phrase.words.head.word.length <= 1)) Vector.empty
+          (phrase.words.length == 1 && phrase.words.head.word.length <= 1) ||
+          stopAnalysis(phrase)) Vector.empty
         else {
           val varIndex = VariantGather.gather(phrase, umls, aas, tagsByStart, opts)
           val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
@@ -96,7 +110,18 @@ object DocKernel {
     val toks = Tokenizer.tokenize(text)
     val aas = AaDetector.findAas(toks) ++ opts.udas
     Sentences.split(toks).flatMap { sent =>
-      val phrases = PhraseChunker.chunk(sent.toks, umls, Map.empty)
+      val phrases = PhraseChunker.chunk(sent.toks, umls, Map.empty,
+        opts.compositePhrases)
+      // stop_analysis applies here exactly as in [[mentions]] — the
+      // reference skip lives in generate_initial_evaluations, upstream
+      // of BOTH output paths, so MMO shows the phrase with 0 candidates
+      val stopAnalysisOn = !opts.allowOvermatches && !opts.allowConceptGaps &&
+        !opts.ignoreStopPhrases && !opts.allDerivationalVariants
+      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn && {
+        val phraseText = phrase.words.map(_.word).mkString(" ")
+        umls.stopPhrases.get(phraseText).exists(stopTags =>
+          stopTags.exists(PhraseChunker.phraseTags(phrase, umls)))
+      }
       // a sentence that chunks to ZERO phrases (punctuation-only) still
       // owns an utterance(...)/'EOU'. block in the reference's term
       // stream — emit an empty-phrase sentinel so the writer prints it
@@ -104,7 +129,8 @@ object DocKernel {
         Vector(PhraseMmo(sent, Phrase(Vector.empty, 0), 0, 0, 0, 0, Vector.empty))
       else phrases.map { phrase =>
         if (phrase.words.isEmpty ||
-          (phrase.words.length == 1 && phrase.words.head.word.length <= 1))
+          (phrase.words.length == 1 && phrase.words.head.word.length <= 1) ||
+          stopAnalysis(phrase))
           PhraseMmo(sent, phrase, 0, 0, 0, 0, Vector.empty)
         else {
           val varIndex = VariantGather.gather(phrase, umls, aas, Map.empty, opts)

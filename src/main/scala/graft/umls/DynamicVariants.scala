@@ -33,21 +33,32 @@ object DynamicVariants {
     * from the all-deriv static table, so an OOV form reaches exactly the
     * variants an in-table word would under the same flag.
     */
+  /** noDeriv mirrors -d no_derivational_variants: derivation rules are
+    * never walked and table merges draw from the deriv-free closure
+    * table (wins over allDeriv when both are set, like the static path).
+    */
   def closure(word: String, umls: UmlsTables,
-      allDeriv: Boolean = false): Vector[Variant] = {
+      allDeriv: Boolean = false, noDeriv: Boolean = false): Vector[Variant] = {
     val memo = umls.dynVariantMemo
-    val key = if (allDeriv) "D:" + word else word
+    val key =
+      if (noDeriv) "d:" + word else if (allDeriv) "D:" + word else word
     val cached = memo.get(key)
     if (cached != null) return cached
-    val result = compute(word, umls, allDeriv)
+    val result = compute(word, umls, allDeriv && !noDeriv, noDeriv)
     if (memo.size < MemoCap) memo.put(key, result)
     result
   }
 
   private def compute(word: String, umls: UmlsTables,
-      allDeriv: Boolean): Vector[Variant] = {
+      allDeriv: Boolean, noDeriv: Boolean): Vector[Variant] = {
     val table =
-      if (allDeriv && umls.variantsAllDeriv.nonEmpty) umls.variantsAllDeriv
+      if (noDeriv) {
+        // deriv-free closure table; if an ingested table set lacks it,
+        // filter the default table by history as the safe approximation
+        if (umls.variantsNoDeriv.nonEmpty) umls.variantsNoDeriv
+        else umls.variants.view.mapValues(_.filterNot(_.history.contains('d'))).toMap
+      }
+      else if (allDeriv && umls.variantsAllDeriv.nonEmpty) umls.variantsAllDeriv
       else umls.variants
     val best = scala.collection.mutable.Map[String, (Int, String)](word -> (0, ""))
     var frontier = List((word, 0, ""))
@@ -74,12 +85,15 @@ object DynamicVariants {
           Morphology.deinflections(w).foreach(add(_, 1, 'i'))
         }
         // rule derivations (same category-pair filter as static mode:
-        // default adj<->noun, or the full dm.rul inventory under the flag)
-        Morphology.derivations(w, "noun", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
-        Morphology.derivations(w, "adj", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
-        if (allDeriv) {
-          Morphology.derivations(w, "verb", all = true).foreach(p => add(p._1, 3, 'd'))
-          Morphology.derivations(w, "adv", all = true).foreach(p => add(p._1, 3, 'd'))
+        // default adj<->noun, or the full dm.rul inventory under the
+        // flag; none at all under -d)
+        if (!noDeriv) {
+          Morphology.derivations(w, "noun", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
+          Morphology.derivations(w, "adj", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
+          if (allDeriv) {
+            Morphology.derivations(w, "verb", all = true).foreach(p => add(p._1, 3, 'd'))
+            Morphology.derivations(w, "adv", all = true).foreach(p => add(p._1, 3, 'd'))
+          }
         }
       }
       frontier = next.toList

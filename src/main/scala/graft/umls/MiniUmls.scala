@@ -72,7 +72,12 @@ final case class UmlsTables(
     // --all_derivational_variants: the variant table rebuilt with the
     // FULL dm.rul category-pair inventory (noun<->verb, adj<->verb,
     // adv->adj, noun->noun) instead of the default adj<->noun filter
-    variantsAllDeriv: Map[String, Vector[Variant]] = Map.empty
+    variantsAllDeriv: Map[String, Vector[Variant]] = Map.empty,
+    // -d no_derivational_variants: the variant table rebuilt with NO
+    // derivation edges at all (an exact deriv-free closure, not a
+    // history filter — a variant reachable both ways at equal level
+    // keeps its deriv-free path)
+    variantsNoDeriv: Map[String, Vector[Variant]] = Map.empty
 ) extends Serializable {
 
   /** Per-instance memo for the OOV runtime variant closure
@@ -505,7 +510,8 @@ object MiniUmls {
     * category-crossing by nature and stay.
     */
   private def buildVariantTable(catRestrict: Option[String] = None,
-      allDeriv: Boolean = false): Map[String, Vector[Variant]] = {
+      allDeriv: Boolean = false,
+      noDeriv: Boolean = false): Map[String, Vector[Variant]] = {
     // fact tables + rule-generated morphology (Morphology scaladoc): the
     // reference builds its static variant tables the same way — facts
     // where curated, lm.rules/dm.rul where not. Rule edges come from the
@@ -536,7 +542,8 @@ object MiniUmls {
       spellings = spellings,
       inflections = curatedInfl ++ ruleInfl,
       synonyms = synonyms,
-      derivations = derivations ++ ruleDeriv)
+      // -d: the closure runs with NO derivation edges (curated or rule)
+      derivations = if (noDeriv) Vector.empty else derivations ++ ruleDeriv)
     val allWords = (nouns ++ adjectives ++ verbs).toVector ++
       spellings.map(_._1) ++ inflections.map(_._1) ++ derivations.map(_._1) ++
       ruleInfl.map(_._1) ++ ruleInfl.map(_._2) ++
@@ -624,6 +631,7 @@ object MiniUmls {
       // second build pass and broadcast doubling are noise here) — a
       // production-scale deployment would load the all-deriv table as a
       // separate broadcast only when --all_derivational_variants is on
-      variantsAllDeriv = buildVariantTable(allDeriv = true))
+      variantsAllDeriv = buildVariantTable(allDeriv = true),
+      variantsNoDeriv = buildVariantTable(noDeriv = true))
   }
 }

@@ -50,6 +50,9 @@ object UmlsIngest {
       // full-dm.rul table for --all_derivational_variants: same schema as
       // variants
       variantsAllDeriv: Option[DataFrame] = None,
+      // deriv-free table for -d no_derivational_variants: same schema as
+      // variants
+      variantsNoDeriv: Option[DataFrame] = None,
       // rel, inv — semnet inverse pairs; absent → empty (triples then only
       // use forward relations)
       relationInverse: Option[DataFrame] = None,
@@ -244,7 +247,8 @@ object UmlsIngest {
         collectRows(df, "word", "first", "second")
           .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap)
         .getOrElse(Map.empty),
-      variantsAllDeriv = aux.variantsAllDeriv.map(variantMap).getOrElse(Map.empty))
+      variantsAllDeriv = aux.variantsAllDeriv.map(variantMap).getOrElse(Map.empty),
+      variantsNoDeriv = aux.variantsNoDeriv.map(variantMap).getOrElse(Map.empty))
   }
 
   // ---------------------------------------------------------------------
@@ -388,6 +392,8 @@ object UmlsIngest {
       }.reduce(_ unionByName _), "variants_by_cat")
     if (t.variantsAllDeriv.nonEmpty)
       write(variantDf(spark, t.variantsAllDeriv), "variants_all_deriv")
+    if (t.variantsNoDeriv.nonEmpty)
+      write(variantDf(spark, t.variantsNoDeriv), "variants_no_deriv")
     write(t.semnet.toVector.sortBy(_._1).flatMap { case ((s1, s2), rels) =>
       rels.map(r => (s1, r, s2))
     }.toDF("st1", "rel", "st2"), "semnet")
@@ -436,6 +442,7 @@ object UmlsIngest {
         cuiSourceInfo = read("cuisourceinfo"),
         variantsByCat = read("variants_by_cat"),
         variantsAllDeriv = read("variants_all_deriv"),
+        variantsNoDeriv = read("variants_no_deriv"),
         relationInverse = read("relation_inverse"),
         treecodes = read("treecodes"),
         semTypePriority = read("semtype_priority"),

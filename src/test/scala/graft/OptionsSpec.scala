@@ -367,6 +367,81 @@ class OptionsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("-d no_derivational_variants: derivation paths never link") {
+    // 'asthmatic' links Asthma (C0004096) only through the adj->noun
+    // derivation; -d removes the edge class from the static closure
+    val t = "The asthmatic patient arrived."
+    assert(mentions(t).exists(_.cui == "C0004096"))
+    assert(!mentions(t, LinkOptions(noDerivationalVariants = true))
+      .exists(_.cui == "C0004096"))
+    // ...and from the OOV dynamic closure ('asthmatics' de-inflects to
+    // 'asthmatic', which must then NOT derive to asthma)
+    val t2 = "Patient denies asthmatics."
+    assert(mentions(t2).exists(_.cui == "C0004096"))
+    assert(!mentions(t2, LinkOptions(noDerivationalVariants = true))
+      .exists(_.cui == "C0004096"))
+    // -d wins over -D when both are set
+    assert(!mentions(t, LinkOptions(noDerivationalVariants = true,
+      allDerivationalVariants = true)).exists(_.cui == "C0004096"))
+    // non-derivational linking is untouched
+    val t3 = "Aspirin treats heart attack."
+    assert(mentions(t3, LinkOptions(noDerivationalVariants = true)).map(_.cui).toSet ==
+      mentions(t3).map(_.cui).toSet)
+    assert(graft.api.Graft.parseFlags(Seq("-d")).noDerivationalVariants)
+  }
+
+  test("-K ignore_stop_phrases: default-mode stop_analysis phrase skip") {
+    // 'stage' alone is a stop phrase under noun (stop_analysis,
+    // skr.pl:1158-1166): the whole phrase produces NO evaluations in the
+    // default mode; -K restores them
+    val t = "The stage was confirmed."
+    assert(!mentions(t).exists(_.cui == "C4000008"))
+    assert(mentions(t, LinkOptions(ignoreStopPhrases = true))
+      .exists(_.cui == "C4000008"))
+    // a LONGER phrase whose text is not itself a stop phrase still
+    // evaluates (only the full-phrase-text match skips)
+    assert(mentions("The stage results were confirmed.")
+      .exists(_.cui == "C4000008"))
+    assert(graft.api.Graft.parseFlags(Seq("-K")).ignoreStopPhrases)
+  }
+
+  test("-Q composite_phrases: the prep-phrase glom cap") {
+    import graft.text.Tokenizer
+    def phrases(maxQ: Int) = PhraseChunker.chunk(
+      Tokenizer.tokenize("alpha of beta of gamma of delta of epsilon of zeta"),
+      umls, Map.empty, maxQ)
+    // default 4: five NPs glue (the initial + 4 glommed), the sixth opens
+    // a new phrase — nls_system.pl:177-179's MaxPrepPhraseCount
+    assert(phrases(4).map(_.words.length) == Vector(5, 1))
+    assert(phrases(2).map(_.words.length) == Vector(3, 3))
+    assert(phrases(0).map(_.words.length) == Vector(1, 1, 1, 1, 1, 1))
+    assert(graft.api.Graft.parseFlags(Seq("-Q", "2")).compositePhrases == 2)
+  }
+
+  test("--negex_st_add/del/set: the NegEx semtype gate") {
+    def negated(t: String, cui: String, o: LinkOptions = LinkOptions.default) =
+      mentions(t, o).find(_.cui == cui).exists(_.negated)
+    val pneu = "No pneumonia was found." // dsyn: IN the default gate
+    val asp = "No aspirin was given." // phsu: NOT in the default gate
+    // pinned default: ungated — both negate
+    assert(negated(pneu, "C0032285") && negated(asp, "C0004057"))
+    // any --negex_st_* option engages the gate (default+add-del)
+    assert(!negated(asp, "C0004057", LinkOptions(negexStAdd = Set("inpo"))))
+    assert(negated(asp, "C0004057", LinkOptions(negexStAdd = Set("phsu"))))
+    assert(!negated(pneu, "C0032285", LinkOptions(negexStDel = Set("dsyn"))))
+    assert(negated(pneu, "C0032285", LinkOptions(negexStDel = Set("sosy"))))
+    // the reference quirk (negex.pl:691-698): a set list WITHOUT
+    // all/ALL is discarded — add/del result applies instead
+    assert(negated(pneu, "C0032285", LinkOptions(negexStSet = Set("phsu"))))
+    // ...but all/ALL anywhere in the surviving set disables the gate
+    assert(negated(asp, "C0004057", LinkOptions(negexStSet = Set("ALL"))))
+    assert(negated(pneu, "C0032285",
+      LinkOptions(negexStDel = Set("dsyn"), negexStSet = Set("all"))))
+    val o = graft.api.Graft.parseFlags(
+      Seq("--negex_st_add", "phsu,inpo", "--negex_st_del", "dsyn"))
+    assert(o.negexStAdd == Set("phsu", "inpo") && o.negexStDel == Set("dsyn"))
+  }
+
   test("kg_option_profiles: cross-mode count relations hold") {
     // pins the gate entry's RELATIONSHIPS, which survive corpus growth:
     // cascade prunes beyond bare restrict; exclude+cascade == exclude
@@ -384,5 +459,16 @@ class OptionsSpec extends AnyFunSuite {
     assert(rows("exclude_src_msh") < rows("default"))
     assert(rows("threshold_900") < rows("default"))
     assert(rows("all_mappings") >= rows("default"))
+    // round-5 option residue: -d can only remove deriv-path mentions,
+    // -K can only restore stop-phrase-skipped ones, -Q 0 diverges from
+    // glued defaults, and an engaged NegEx gate only shrinks negations
+    assert(rows("no_deriv") <= rows("default"))
+    assert(rows("ignore_stop_phrases") >= rows("default"))
+    // (composite gluing can both add and remove mentions, so only the
+    // row's presence — and thus its pinned count in the gate hash — is
+    // asserted here; -Q semantics are pinned in the chunker test)
+    assert(rows.contains("composite_0"))
+    assert(rows("negex_negated_gated") <= rows("negex_negated_default"))
+    assert(rows("negex_negated_default") <= rows("default"))
   }
 }

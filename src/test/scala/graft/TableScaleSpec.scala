@@ -55,18 +55,24 @@ class TableScaleSpec extends AnyFunSuite {
     assert(m2.contains("C0015967") && !m2.contains("C0008031"))
   }
 
-  test("stop phrases: reference-scale table, consulted only in -o mode") {
+  test("stop phrases: reference-scale table, both consultation paths") {
     // scale: reference metamap_stop_phrase.pl holds 1,825 rows
     assert(MiniUmls.stopPhrases.size >= 1000, MiniUmls.stopPhrases.size.toString)
     assert(MiniUmls.stopPhrases.contains("of the"))
-    // mechanism: a generator that is a stop phrase under its lexcat stops
-    // producing candidates in overmatch mode, and ONLY in overmatch mode
+    // mechanism 1 — overmatch token guard (add_candidates,
+    // metamap_candidates.pl:138-143): a generator that is a stop phrase
+    // under its lexcat stops producing candidates in -o mode
     val blocked = t.copy(stopPhrases = Map("heart" -> Set("noun")))
     val withO = DocKernel.mentions("u", "The heart was examined.",
       blocked, LinkOptions(allowOvermatches = true))
     assert(!withO.exists(_.cui == "C0018787"), withO.map(_.cui).toString)
+    // mechanism 2 — default-mode phrase-level stop_analysis
+    // (skr.pl:1158-1166): a phrase whose FULL text is a stop phrase
+    // produces no evaluations either; -K ignore_stop_phrases restores
     val withoutO = DocKernel.mentions("u", "The heart was examined.", blocked)
-    assert(withoutO.exists(_.cui == "C0018787"))
+    assert(!withoutO.exists(_.cui == "C0018787"))
+    assert(DocKernel.mentions("u", "The heart was examined.", blocked,
+      LinkOptions(ignoreStopPhrases = true)).exists(_.cui == "C0018787"))
     // non-intersecting lexcats do not block ("heart" is not an adj)
     val wrongCat = t.copy(stopPhrases = Map("heart" -> Set("adj")))
     assert(DocKernel.mentions("u", "The heart was examined.",

@@ -50,6 +50,7 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(loaded.stopPhrases == t.stopPhrases)
     assert(loaded.splitWords == t.splitWords)
     assert(loaded.variantsAllDeriv == t.variantsAllDeriv)
+    assert(loaded.variantsNoDeriv == t.variantsNoDeriv)
   }
 
   test("single-word lexicon forms survive the dump -> load round trip") {
