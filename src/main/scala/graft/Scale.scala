@@ -46,14 +46,13 @@ object Scale {
     ((System.nanoTime() - t0) / 1e9, triples)
   }
 
-  /** Best-of-2 measured run at a given level (fresh session). */
-  private def measure(cores: Int, nPages: Long): (Double, Long) = {
+  /** One measured run at a given level (fresh session, small re-warm). */
+  private def runLevel(cores: Int, nPages: Long): (Double, Long) = {
     val s = sessionWith(cores)
     run(s, 5000, 128)
-    val (ta, n) = run(s, nPages, 128)
-    val (tb, _) = run(s, nPages, 128)
+    val r = run(s, nPages, 128)
     s.stop()
-    (math.min(ta, tb), n)
+    r
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,12 +66,21 @@ object Scale {
     run(sWarm, 100000, 128)
     sWarm.stop()
 
-    val (t2, n2) = measure(2, nPages)
-    val (t8, n8) = measure(8, nPages)
-    val (t32, n32) = measure(32, nPages)
-
-    require(n2 == n8 && n8 == n32,
-      s"triple counts differ across parallelism: $n2 / $n8 / $n32")
+    // INTERLEAVED best-of-2 (one SparkContext at a time, so levels run
+    // in rounds 2,8,32,2,8,32): this container's effective CPU speed
+    // swings ±40% minute to minute with thermal/frequency state, and a
+    // sequential best-of-2 per level lets one slow phase land entirely
+    // on one level, biasing the ratio in either direction. Interleaving
+    // samples the box state equally per level.
+    val rounds = Vector(2, 8, 32, 2, 8, 32).map(c => c -> runLevel(c, nPages))
+    def bestOf(c: Int): Double = rounds.collect { case (`c`, (t, _)) => t }.min
+    val (t2, t8, t32) = (bestOf(2), bestOf(8), bestOf(32))
+    val counts = rounds.map(_._2._2).distinct
+    require(counts.size == 1,
+      s"triple counts differ across parallelism: $counts")
+    val n2 = counts.head
+    val n8 = n2
+    val n32 = n2
     val eff = (t2 / t8) / 4.0
     val eff832 = (t8 / t32) / 4.0
     def row(lvl: Int, t: Double, n: Long): String =
@@ -83,7 +91,8 @@ object Scale {
          |Job: full KG pipeline (generate -> extract -> link -> WSD -> pair
          |join -> semnet join -> triples count) on the identical synthetic
          |corpus (seeded, 128 input partitions) at two parallelism levels,
-         |JIT-warmed, best of 2 runs per level.
+         |JIT-warmed, INTERLEAVED best-of-2 per level (rounds 2,8,32,
+         |2,8,32 — so the box's thermal state is sampled equally).
          |Determinism: triple counts identical at all levels ($n2).
          |
          || level | wall (s) | pages/sec | triples/sec |

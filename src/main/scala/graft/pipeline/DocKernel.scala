@@ -59,11 +59,13 @@ object DocKernel {
       // produces NO evaluations; -K ignore_stop_phrases disables the skip
       val stopAnalysisOn = !opts.allowOvermatches && !opts.allowConceptGaps &&
         !opts.ignoreStopPhrases && !opts.allDerivationalVariants
-      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn && {
-        val phraseText = phrase.words.map(_.word).mkString(" ")
-        umls.stopPhrases.get(phraseText).exists(stopTags =>
-          stopTags.exists(PhraseChunker.phraseTags(phrase, umls, tagsByStart)))
-      }
+      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn &&
+        phrase.words.nonEmpty &&
+        umls.stopPhraseFirstWords.contains(phrase.words.head.word) && {
+          val phraseText = phrase.words.map(_.word).mkString(" ")
+          umls.stopPhrases.get(phraseText).exists(stopTags =>
+            stopTags.exists(PhraseChunker.phraseTags(phrase, umls, tagsByStart)))
+        }
       val sentMentions = phrases.flatMap { phrase =>
         // stop-phrase analogue: single closed-class or 1-char phrases skip
         if (phrase.words.isEmpty ||
@@ -117,11 +119,13 @@ object DocKernel {
       // of BOTH output paths, so MMO shows the phrase with 0 candidates
       val stopAnalysisOn = !opts.allowOvermatches && !opts.allowConceptGaps &&
         !opts.ignoreStopPhrases && !opts.allDerivationalVariants
-      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn && {
-        val phraseText = phrase.words.map(_.word).mkString(" ")
-        umls.stopPhrases.get(phraseText).exists(stopTags =>
-          stopTags.exists(PhraseChunker.phraseTags(phrase, umls)))
-      }
+      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn &&
+        phrase.words.nonEmpty &&
+        umls.stopPhraseFirstWords.contains(phrase.words.head.word) && {
+          val phraseText = phrase.words.map(_.word).mkString(" ")
+          umls.stopPhrases.get(phraseText).exists(stopTags =>
+            stopTags.exists(PhraseChunker.phraseTags(phrase, umls)))
+        }
       // a sentence that chunks to ZERO phrases (punctuation-only) still
       // owns an utterance(...)/'EOU'. block in the reference's term
       // stream — emit an empty-phrase sentinel so the writer prints it

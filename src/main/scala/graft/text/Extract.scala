@@ -70,21 +70,28 @@ object Extract {
     '\u200b' -> "")
 
   /** Fold one non-ASCII codepoint to its ASCII replacement — the
-    * utf8_to_ascii analogue (text/utf8_to_ascii.pl:36-1512, 1,462 rows)
-    * re-expressed in three layers: the special table above, Greek names,
-    * then Unicode NFD decomposition with combining marks stripped (one
-    * principled rule covering the reference's hundreds of accented-Latin
-    * rows); anything still non-ASCII becomes a space, the reference's
-    * catch-all. FoldSpec pins per-layer samples.
+    * utf8_to_ascii analogue (text/utf8_to_ascii.pl:36-1512, 1,461 rows).
+    *
+    * Layer 0 is the COMPLETE reference table ([[Utf8AsciiTable]],
+    * exhaustively diffed row-by-row in TableScaleSpec), so every
+    * codepoint the reference maps folds identically here. Codepoints
+    * OUTSIDE the table fall through to the principled layers — the
+    * typography map above, Greek names, then Unicode NFD decomposition
+    * with combining marks stripped — which extend coverage to common web
+    * text the reference would warn-and-'?' on (curly double quotes,
+    * exotic accented Latin); anything still non-ASCII becomes a single
+    * space (graft's catch-all; the reference emits '?' with a warning —
+    * a space composes better with whitespace tokenization).
     */
   def foldChar(c: Char): String = {
     if (c < 128) c.toString
-    else special.get(c).orElse(greekNames.get(c)).getOrElse {
-      val d = java.text.Normalizer.normalize(c.toString, java.text.Normalizer.Form.NFD)
-      val stripped = d.filter(ch =>
-        java.lang.Character.getType(ch) != java.lang.Character.NON_SPACING_MARK.toInt)
-      if (stripped.nonEmpty && stripped.forall(_ < 128)) stripped else " "
-    }
+    else Utf8AsciiTable.table.get(c)
+      .orElse(special.get(c)).orElse(greekNames.get(c)).getOrElse {
+        val d = java.text.Normalizer.normalize(c.toString, java.text.Normalizer.Form.NFD)
+        val stripped = d.filter(ch =>
+          java.lang.Character.getType(ch) != java.lang.Character.NON_SPACING_MARK.toInt)
+        if (stripped.nonEmpty && stripped.forall(_ < 128)) stripped else " "
+      }
   }
 
   def asciiFold(s: String): String = {

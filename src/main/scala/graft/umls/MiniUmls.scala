@@ -80,6 +80,18 @@ final case class UmlsTables(
     variantsNoDeriv: Map[String, Vector[Variant]] = Map.empty
 ) extends Serializable {
 
+  /** First words of all stop phrases — the O(1) gate the kernel checks
+    * before building a phrase-text key for the stop_analysis lookup
+    * (almost no phrase starts a stop phrase, so the common case must
+    * cost one hash probe of an EXISTING string, zero allocation).
+    * Lazy + transient: recomputed per deserialized broadcast copy.
+    */
+  @transient lazy val stopPhraseFirstWords: Set[String] =
+    stopPhrases.keysIterator.map { k =>
+      val i = k.indexOf(' ')
+      if (i < 0) k else k.substring(0, i)
+    }.toSet
+
   /** Per-instance memo for the OOV runtime variant closure
     * (DynamicVariants): the closure's results depend on THIS table's
     * contents, so the cache must live with the table — a JVM-wide map

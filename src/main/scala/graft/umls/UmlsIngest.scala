@@ -1,6 +1,6 @@
 package graft.umls
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Real-UMLS ingestion: build a broadcastable [[UmlsTables]] from
@@ -124,45 +124,65 @@ object UmlsIngest {
       semnet: DataFrame,
       aux: UmlsAuxSources = UmlsAuxSources()): UmlsTables = {
 
-    val consoCols =
-      if (mrconso.columns.contains("suppress"))
-        collectRows(mrconso, "cui", "str", "sab", "ispref", "suppress")
-          .map(r => (r.getString(0), r.getString(1), r.getString(2),
-            r.getString(3) == "Y", r.getString(4) == "Y"))
-      else
-        collectRows(mrconso, "cui", "str", "sab", "ispref")
-          .map(r => (r.getString(0), r.getString(1), r.getString(2),
-            r.getString(3) == "Y", false))
+    // ---- distributed index construction (the variantTableJob shape:
+    // the per-string work — normalizeString over ~15M Metathesaurus
+    // strings — and the grouping both run as Spark jobs; the driver only
+    // collects the grouped, dictionary-scale results) ----
+    val spark = mrconso.sparkSession
+    import spark.implicits._
+    val base = mrconso.select(col("cui").cast("string"),
+      col("str").cast("string"), col("sab").cast("string"),
+      col("ispref").cast("string"),
+      (if (mrconso.columns.contains("suppress")) col("suppress").cast("string")
+       else lit("N")).as("suppress"))
 
     // preferred concept name: the ispref row; deterministic fallback =
-    // lexicographically first unsuppressed string
-    val cuiPreferred: Map[String, String] = consoCols.groupBy(_._1).map {
-      case (cui, rows) =>
-        // every fallback tier is a MIN, never a head: collect() row order
-        // varies run to run, and the concept name must not vary with it
-        cui -> rows.filter(_._4).map(_._2).minOption
-          .orElse(rows.filterNot(_._5).map(_._2).minOption)
-          .getOrElse(rows.map(_._2).min)
-    }
+    // lexicographically first unsuppressed string, then first string.
+    // Every tier is a MIN, never a head — row order must not leak into
+    // the concept name.
+    val prefDf = base.groupBy(col("cui")).agg(
+      min(when(col("ispref") === "Y", col("str"))).as("p1"),
+      min(when(col("suppress") =!= "Y", col("str"))).as("p2"),
+      min(col("str")).as("p3"))
+      .select(col("cui"), coalesce(col("p1"), col("p2"), col("p3")).as("pref"))
+    val cuiPreferred: Map[String, String] =
+      prefDf.as[(String, String)].collect().toMap
 
     // index entries from unsuppressed strings: normalize exactly like the
-    // fixture build (uninversion + NOS strip + mm tokenization)
-    val entries = consoCols.filterNot(_._5)
-      .map(r => (r._1, r._2)).distinct
-      .flatMap { case (cui, str) =>
-        val nm = MiniUmls.normalizeString(str)
-        if (nm.isEmpty) None
-        else Some(IndexEntry(nm, str, cui, cuiPreferred(cui)))
-      }
-    val firstWordIndex = entries.groupBy(_.nmWords.head).map { case (k, v) =>
-      k -> v.distinctBy(e => (e.cui, e.str))
-        .sortBy(e => (e.nmWords.length, e.cui, e.str))
-    }
+    // fixture build (uninversion + NOS strip + mm tokenization), executed
+    // on executors; first-word grouping is a distributed groupByKey with
+    // the per-group canonical sort applied before collect
+    val firstWordIndex: Map[String, Vector[IndexEntry]] =
+      base.filter(col("suppress") =!= "Y").select(col("cui"), col("str"))
+        .distinct()
+        .join(prefDf, "cui")
+        .as[(String, String, String)]
+        .mapPartitions(_.flatMap { case (cui, str, pref) =>
+          val nm = MiniUmls.normalizeString(str)
+          if (nm.isEmpty) None else Some((nm.head, nm, str, cui, pref))
+        })
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val es = it.map { case (_, nm, str, cui, pref) =>
+            (nm, str, cui, pref)
+          }.toVector.distinctBy(e => (e._3, e._2))
+            .sortBy(e => (e._1.length, e._3, e._2))
+          (k, es)
+        }
+        .collect()
+        .iterator.map { case (k, es) =>
+          k -> es.map { case (nm, str, cui, pref) => IndexEntry(nm, str, cui, pref) }
+        }.toMap
 
     val cuiSources: Map[String, Vector[String]] = aux.cuiSourceInfo match {
       case Some(df) => orderedList(withOptPos(df, "cui", "sab"))
-      case None => consoCols.map(r => (r._1, r._3.toUpperCase(java.util.Locale.ROOT)))
-        .distinct.groupBy(_._1).map { case (c, ss) => c -> ss.map(_._2).sorted }
+      case None =>
+        // sorted distinct root SABs per CUI — collect_set is bounded by
+        // the vocabulary count (~200), sorted on the executor
+        base.groupBy(col("cui"))
+          .agg(sort_array(collect_set(upper(col("sab")))).as("sabs"))
+          .as[(String, Seq[String])].collect()
+          .iterator.map { case (c, ss) => c -> ss.toVector }.toMap
     }
 
     val cuiSemTypes = orderedList(withOptPos(mrsty, "cui", "st"))
@@ -249,6 +269,132 @@ object UmlsIngest {
         .getOrElse(Map.empty),
       variantsAllDeriv = aux.variantsAllDeriv.map(variantMap).getOrElse(Map.empty),
       variantsNoDeriv = aux.variantsNoDeriv.map(variantMap).getOrElse(Map.empty))
+  }
+
+  // ---------------------------------------------------------------------
+  // Native-format readers: the pipe-delimited UMLS release files + the
+  // SPECIALIST lexicon — the formats the reference's own data build
+  // consumes (db loader surface db_access.pl:316-809; lexical records
+  // lexicon/lexicon/qp_fm_lexrec.pl:66-78).
+  // ---------------------------------------------------------------------
+
+  /** Ingest directly from a directory of UMLS release files:
+    *
+    *  - `MRCONSO.RRF` (18 pipe-delimited columns): CUI(0), LAT(1),
+    *    TS(2), STT(4), ISPREF(6), SAB(11), STR(14), SUPPRESS(16).
+    *    English rows only (the reference builds from mrconso.eng);
+    *    the preferred-name row is TS=P & STT=PF & ISPREF=Y, suppression
+    *    is any SUPPRESS other than N.
+    *  - `MRSTY.RRF`: CUI(0), TUI(1), STY(3) — mapped to the abbreviated
+    *    semtypes the engine speaks via [[SemTypeRegistry]] (TUI first,
+    *    full name as fallback).
+    *  - `SRSTRE2` (three full names st|rel|st) or `SRSTRE1` (three TUIs,
+    *    requires `SRDEF` for relation names) — the Semantic Network
+    *    relation triples, types abbreviated through the registry.
+    *  - `LEXICON` (optional, SPECIALIST lexical-record syntax, parsed by
+    *    [[LexicalRecords]]): every record word enters the lexicon table
+    *    under its entry cat; spelling variants, irregular inflections
+    *    and nominalization pairs feed [[variantTableJob]], which builds
+    *    the static variant table distributed. Absent -> empty lexicon +
+    *    variants (index lookup still works, variant generation is
+    *    dynamic-only).
+    *
+    * Everything lands on [[fromDataFrames]], so RRF-path and
+    * shaped-DataFrame-path tables are identical by construction.
+    */
+  def fromRrf(spark: SparkSession, dir: String,
+      aux: UmlsAuxSources = UmlsAuxSources()): UmlsTables = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def readLines(name: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (p.getFileSystem(hconf).exists(p)) Some(spark.read.text(s"$dir/$name"))
+      else None
+    }
+    // RRF rows are pipe-delimited with a trailing pipe and NO quoting
+    // (a CSV reader would mis-parse quotes inside STR), so split raw
+    // text lines; fields(i) names a 0-based column
+    def field(i: Int): Column = split(col("value"), "\\|", -1).getItem(i)
+
+    val mrconso = readLines("MRCONSO.RRF")
+      .getOrElse(throw new IllegalArgumentException(s"missing $dir/MRCONSO.RRF"))
+      .select(field(0).as("cui"), field(1).as("lat"), field(2).as("ts"),
+        field(4).as("stt"), field(6).as("isp"), field(11).as("sab"),
+        field(14).as("str"), field(16).as("sup"))
+      .filter(col("lat") === "ENG")
+      .select(col("cui"), col("str"), col("sab"),
+        when(col("ts") === "P" && col("stt") === "PF" && col("isp") === "Y", "Y")
+          .otherwise("N").as("ispref"),
+        when(col("sup") =!= "N", "Y").otherwise("N").as("suppress"))
+
+    // abbreviation registry as join dims (tui -> st, name -> st)
+    val byTui = SemTypeRegistry.entries.map(e => (e._1, e._2)).toDF("r_tui", "st_t")
+    val byName = SemTypeRegistry.entries.map(e => (e._3, e._2)).toDF("r_name", "st_n")
+
+    val mrsty = readLines("MRSTY.RRF")
+      .getOrElse(throw new IllegalArgumentException(s"missing $dir/MRSTY.RRF"))
+      .select(field(0).as("cui"), field(1).as("tui"), field(3).as("sty"))
+      .join(broadcast(byTui), col("tui") === col("r_tui"), "left")
+      .join(broadcast(byName), col("sty") === col("r_name"), "left")
+      .select(col("cui"), coalesce(col("st_t"), col("st_n")).as("st"))
+      .filter(col("st").isNotNull)
+
+    val semnet = readLines("SRSTRE2") match {
+      case Some(df) =>
+        // full-name triples: map both type columns through the registry,
+        // keep the relation name verbatim (the reference's semnet tables
+        // key relations by name: isa, affects, location_of, …)
+        df.select(field(0).as("n1"), field(1).as("rel"), field(2).as("n2"))
+          .join(broadcast(byName.withColumnRenamed("st_n", "st1")),
+            col("n1") === col("r_name"), "left").drop("r_name")
+          .join(broadcast(byName.withColumnRenamed("st_n", "st2")
+            .withColumnRenamed("r_name", "r_name2")),
+            col("n2") === col("r_name2"), "left")
+          .select(col("st1"), col("rel"), col("st2"))
+          .filter(col("st1").isNotNull && col("st2").isNotNull)
+      case None =>
+        val sr1 = readLines("SRSTRE1").getOrElse(throw new IllegalArgumentException(
+          s"missing $dir/SRSTRE2 (or SRSTRE1)"))
+        // TUI triples: SRDEF's RL rows name the relation TUIs
+        val srdef = readLines("SRDEF").getOrElse(throw new IllegalArgumentException(
+          s"$dir/SRSTRE1 needs SRDEF for relation names"))
+          .select(field(0).as("rt"), field(1).as("ui"), field(2).as("rl_name"))
+          .filter(col("rt") === "RL")
+          .select(col("ui"), col("rl_name"))
+        sr1.select(field(0).as("t1"), field(1).as("trel"), field(2).as("t2"))
+          .join(broadcast(byTui.withColumnRenamed("st_t", "st1")),
+            col("t1") === col("r_tui"), "left").drop("r_tui")
+          .join(broadcast(byTui.withColumnRenamed("st_t", "st2")
+            .withColumnRenamed("r_tui", "r_tui2")),
+            col("t2") === col("r_tui2"), "left")
+          .join(broadcast(srdef), col("trel") === col("ui"), "left")
+          .select(col("st1"), col("rl_name").as("rel"), col("st2"))
+          .filter(col("st1").isNotNull && col("st2").isNotNull && col("rel").isNotNull)
+    }
+
+    val (lexicon, variants) = readLines("LEXICON") match {
+      case Some(df) =>
+        // lexical records are multi-line: collect the (dictionary-scale)
+        // file and parse on the driver; the EXPENSIVE step — the variant
+        // closure — runs distributed in variantTableJob
+        val records = LexicalRecords.parse(
+          df.as[String].collect().mkString("\n"))
+        val lexDf = records.flatMap(r => r.words.map(w => (w, r.entry.cat)))
+          .distinct.toDF("word", "cat")
+        def pairsDf(ps: Vector[(String, String)]) = ps.toDF("word", "variant")
+        val varDf = variantTableJob(spark, lexDf,
+          spellings = pairsDf(records.flatMap(_.spellingPairs)),
+          inflections = pairsDf(records.flatMap(_.irregularForms)),
+          synonyms = pairsDf(Vector.empty),
+          derivations = pairsDf(records.flatMap(_.nominalizationPairs)))
+        (lexDf, varDf)
+      case None =>
+        (Vector.empty[(String, String)].toDF("word", "cat"),
+          Vector.empty[(String, String, Int, String)]
+            .toDF("word", "variant", "var_level", "history"))
+    }
+
+    fromDataFrames(mrconso, mrsty, lexicon, variants, semnet, aux)
   }
 
   // ---------------------------------------------------------------------
@@ -356,10 +502,21 @@ object UmlsIngest {
     * the schemas [[fromDataFrames]] consumes — both the round-trip proof
     * and the recommended deployment shape (build once, load per job).
     */
-  def dump(t: UmlsTables, dir: String)(implicit spark: SparkSession): Unit = {
+  /** @param variantPartitions parallelism for the VARIANT table writes —
+    *   the only tables that can reach ~10⁷ rows at full-Metathesaurus
+    *   scale (a real vars table). 1 (the default) keeps the single-file
+    *   layout for dictionary-scale dumps; pass more to parallelize the
+    *   big writes. Every other side table is small and stays one file.
+    */
+  def dump(t: UmlsTables, dir: String, variantPartitions: Int = 1)(
+      implicit spark: SparkSession): Unit = {
     import spark.implicits._
     def write(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    def writeBig(df: DataFrame, name: String): Unit =
+      (if (variantPartitions <= 1) df.coalesce(1)
+       else df.repartition(variantPartitions))
+        .write.mode("overwrite").parquet(s"$dir/$name")
 
     val indexed: Set[(String, String)] =
       t.firstWordIndex.valuesIterator.flatten.map(e => (e.cui, e.str)).toSet
@@ -385,15 +542,15 @@ object UmlsIngest {
       cs.toVector.sorted.map(w -> _)
     } ++ t.lexiconForms.toVector.sorted.map(_ -> "form"))
       .toDF("word", "cat"), "lexicon")
-    write(variantDf(spark, t.variants), "variants")
+    writeBig(variantDf(spark, t.variants), "variants")
     if (t.variantsByCat.nonEmpty)
-      write(t.variantsByCat.toVector.sortBy(_._1).map { case (c, m) =>
+      writeBig(t.variantsByCat.toVector.sortBy(_._1).map { case (c, m) =>
         variantDf(spark, m).withColumn("cat", lit(c))
       }.reduce(_ unionByName _), "variants_by_cat")
     if (t.variantsAllDeriv.nonEmpty)
-      write(variantDf(spark, t.variantsAllDeriv), "variants_all_deriv")
+      writeBig(variantDf(spark, t.variantsAllDeriv), "variants_all_deriv")
     if (t.variantsNoDeriv.nonEmpty)
-      write(variantDf(spark, t.variantsNoDeriv), "variants_no_deriv")
+      writeBig(variantDf(spark, t.variantsNoDeriv), "variants_no_deriv")
     write(t.semnet.toVector.sortBy(_._1).flatMap { case ((s1, s2), rels) =>
       rels.map(r => (s1, r, s2))
     }.toDF("st1", "rel", "st2"), "semnet")

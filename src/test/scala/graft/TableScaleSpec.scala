@@ -86,6 +86,22 @@ class TableScaleSpec extends AnyFunSuite {
       .exists(_.cui == "C4000008"))
   }
 
+  test("ascii fold: EXHAUSTIVE diff against all 1,461 reference table rows") {
+    // every utf8_to_ascii_1/3 fact (text/utf8_to_ascii.pl:52-1512),
+    // extracted verbatim into the fixture: foldChar must agree on all of
+    // them (ASCII rows are identity; non-ASCII rows hit the authoritative
+    // table layer)
+    val mismatches = Utf8AsciiTableFixture.rows.collect {
+      case (cp, rep) if Extract.foldChar(cp.toChar) != rep =>
+        f"U+$cp%04x: table='$rep' fold='${Extract.foldChar(cp.toChar)}'"
+    }
+    assert(Utf8AsciiTableFixture.rows.length == 1461)
+    assert(mismatches.isEmpty, mismatches.take(20).mkString("\n"))
+    // layers still extend PAST the table: curly double quotes are absent
+    // from the reference table (it would warn-and-'?') but fold usefully
+    assert(Extract.foldChar('“') == "\"" && Extract.foldChar('”') == "\"")
+  }
+
   test("ascii fold: greek names, ligatures, NFD accents, typography") {
     assert(Extract.asciiFold("α-blocker") == "alpha-blocker")
     assert(Extract.asciiFold("TNF-β and IFN-γ") == "TNF-beta and IFN-gamma")

@@ -68,6 +68,121 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(!loaded.lexCats.get("standalone").exists(_.contains("form")))
   }
 
+  test("fromRrf: native release files build the same tables as shaped DataFrames") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tmpDir("umls_rrf")
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name), content)
+    // MRCONSO.RRF: 18 pipe-delimited columns (CUI 0, LAT 1, TS 2, STT 4,
+    // ISPREF 6, SAB 11, STR 14, SUPPRESS 16), trailing pipe, one
+    // suppressed row, one German row that must be dropped, one
+    // non-preferred synonym
+    def conso(cui: String, lat: String, ts: String, stt: String, isp: String,
+        sab: String, str: String, sup: String) =
+      s"$cui|$lat|$ts|L0|$stt|S0|$isp|A0||||$sab|PT|X|$str||$sup||"
+    put("MRCONSO.RRF", Seq(
+      conso("C0027051", "ENG", "P", "PF", "Y", "MSH", "Myocardial Infarction", "N"),
+      conso("C0027051", "ENG", "S", "VO", "N", "SNOMEDCT_US", "Heart attack", "N"),
+      conso("C0027051", "GER", "P", "PF", "Y", "MSH", "Herzinfarkt", "N"),
+      conso("C0027051", "ENG", "S", "VO", "N", "MTH", "MI (suppressed)", "O"),
+      conso("C0015967", "ENG", "P", "PF", "Y", "MSH", "Fever", "N")).mkString("\n"))
+    // MRSTY.RRF: CUI|TUI|STN|STY|… — one by-TUI row, one TUI unknown to
+    // the registry that must fall back to the full name
+    put("MRSTY.RRF", Seq(
+      "C0027051|T047|B2|Disease or Syndrome|AT1||",
+      "C0015967|TXXX|A1|Sign or Symptom|AT2||").mkString("\n"))
+    // SRSTRE2: full-name triples
+    put("SRSTRE2",
+      "Disease or Syndrome|co-occurs_with|Sign or Symptom|\n")
+    // LEXICON: SPECIALIST lexical records
+    put("LEXICON",
+      """{base=fever
+        |entry=E0023456
+        |	cat=noun
+        |	variants=irreg|fever|febres|
+        |}
+        |{base=myocardial
+        |entry=E0040001
+        |	cat=adj
+        |	variants=reg
+        |	nominalization=myocardium|noun|E0040002
+        |}
+        |""".stripMargin)
+    val viaRrf = UmlsIngest.fromRrf(spark, dir)
+    // the shaped-DataFrame equivalents of the SAME content
+    val mrconso = Seq(
+      ("C0027051", "Myocardial Infarction", "MSH", "Y", "N"),
+      ("C0027051", "Heart attack", "SNOMEDCT_US", "N", "N"),
+      ("C0027051", "MI (suppressed)", "MTH", "N", "Y"),
+      ("C0015967", "Fever", "MSH", "Y", "N"))
+      .toDF("cui", "str", "sab", "ispref", "suppress")
+    val mrsty = Seq(("C0027051", "dsyn"), ("C0015967", "sosy")).toDF("cui", "st")
+    val semnet = Seq(("dsyn", "co-occurs_with", "sosy")).toDF("st1", "rel", "st2")
+    val lexicon = Seq(("fever", "noun"), ("myocardial", "adj")).toDF("word", "cat")
+    val variants = UmlsIngest.variantTableJob(spark, lexicon,
+      spellings = Seq.empty[(String, String)].toDF("word", "variant"),
+      inflections = Seq(("fever", "febres")).toDF("word", "variant"),
+      synonyms = Seq.empty[(String, String)].toDF("word", "variant"),
+      derivations = Seq(("myocardial", "myocardium")).toDF("word", "variant"))
+    val shaped = UmlsIngest.fromDataFrames(mrconso, mrsty, lexicon, variants, semnet)
+    assert(viaRrf.firstWordIndex == shaped.firstWordIndex)
+    assert(viaRrf.cuiPreferred == shaped.cuiPreferred)
+    assert(viaRrf.cuiSemTypes == shaped.cuiSemTypes)
+    assert(viaRrf.cuiSources == shaped.cuiSources)
+    assert(viaRrf.semnet == shaped.semnet)
+    assert(viaRrf.lexCats == shaped.lexCats)
+    assert(viaRrf.variants == shaped.variants)
+    // spot checks of the RRF semantics themselves
+    assert(viaRrf.cuiPreferred("C0027051") == "Myocardial Infarction")
+    assert(viaRrf.cuiSemTypes("C0015967") == Vector("sosy")) // name fallback
+    assert(!viaRrf.firstWordIndex.values.flatten.exists(_.str.contains("suppressed")))
+    assert(!viaRrf.firstWordIndex.values.flatten.exists(_.str == "Herzinfarkt"))
+    assert(viaRrf.variants("myocardial").exists(_.word == "myocardium"))
+  }
+
+  test("lexical records: lcheck-style parse -> render round trip over 100+ records") {
+    import graft.umls.LexicalRecords
+    // synthetic records across every structural axis: all cats, 0-2
+    // spelling variants, reg/irreg variants, nominalizations,
+    // annotations, signature
+    val cats = Vector("adj", "adv", "aux", "compl", "conj", "det",
+      "modal", "noun", "prep", "pron", "verb")
+    val text = (0 until 120).map { i =>
+      val cat = cats(i % cats.length)
+      val base = s"word$i"
+      val sv = i % 3 match {
+        case 0 => ""
+        case 1 => s"spelling_variant=${base}x\n"
+        case _ => s"spelling_variant=${base}x\nspelling_variant=${base}y\n"
+      }
+      val vars = if (i % 4 == 0) s"\tvariants=irreg|$base|${base}s|\n"
+        else "\tvariants=reg\n"
+      val nom = if (cat == "verb" && i % 2 == 0)
+        s"\tnominalization=${base}tion|noun|E${1000000 + i}\n" else ""
+      val ann = if (i % 5 == 0) "annotation=checked\n" else ""
+      val sig = if (i % 7 == 0) "signature=rev1\n" else ""
+      s"{base=$base\n${sv}entry=E${"%07d".format(i)}\n\tcat=$cat\n$vars$nom$ann$sig}\n"
+    }.mkString
+    val parsed = LexicalRecords.parse(text)
+    assert(parsed.length == 120)
+    assert(LexicalRecords.render(parsed) == text) // byte-identical
+    assert(LexicalRecords.parse(LexicalRecords.render(parsed)) == parsed)
+    // typed accessors decode what the engine consumes
+    val r0 = parsed(0)
+    assert(r0.entry.cat == "adj" && r0.irregularForms == Vector("word0" -> "word0s"))
+    val verb = parsed.find(r => r.entry.cat == "verb" &&
+      r.nominalizationPairs.nonEmpty).get
+    assert(verb.nominalizationPairs.head._2.endsWith("tion"))
+    // malformed input is fatal, like lcheck's report
+    intercept[IllegalArgumentException] {
+      LexicalRecords.parse("{base=x\nentry=E0000001\n\tcat=nope\n}\n")
+    }
+    intercept[IllegalArgumentException] {
+      LexicalRecords.parse("{base=x\n\tcat=noun\n}\n")
+    }
+  }
+
   test("loaded tables produce identical mentions on the golden corpus") {
     implicit val s = spark
     import s.implicits._
@@ -212,6 +327,52 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     val seq = graft.umls.VariantClosure.table(allWords.toVector, e)
     assert(job.size == seq.size)
     assert(job == seq)
+  }
+
+  test("fromDataFrames at 1M-row MRCONSO scale: distributed build, deterministic") {
+    // the index build (normalizeString + first-word grouping) runs as a
+    // Spark job — 1M strings must build inside the test budget, and two
+    // builds over differently-partitioned input must be byte-identical
+    // (compared via an order-canonical signature so both tables need not
+    // be held on the test heap at once)
+    implicit val s = spark
+    val conso = spark.range(1000000L).selectExpr(
+      "concat('C8', lpad(cast(id % 300000 as string), 6, '0')) as cui",
+      "concat('wq', cast((id * 7) % 90000 as string), " +
+        "case when id % 3 = 1 then concat(' wq', cast((id * 131) % 90000 as string)) " +
+        "when id % 3 = 2 then concat(' wq', cast((id * 131) % 90000 as string), " +
+        "' wq', cast((id * 17) % 90000 as string)) else '' end) as str",
+      "case when id % 2 = 0 then 'MSH' else 'SNOMEDCT_US' end as sab",
+      "case when id < 300000 then 'Y' else 'N' end as ispref")
+    import s.implicits._
+    val mrsty = spark.range(300000L).selectExpr(
+      "concat('C8', lpad(cast(id as string), 6, '0')) as cui", "'dsyn' as st")
+    val lexicon = Seq(("wq1", "noun")).toDF("word", "cat")
+    val variants = Seq(("wq1", "wq1", 0, "")).toDF("word", "variant", "var_level", "history")
+    val semnet = Seq(("dsyn", "co-occurs_with", "dsyn")).toDF("st1", "rel", "st2")
+    def build(parts: Int) = UmlsIngest.fromDataFrames(
+      conso.repartition(parts), mrsty, lexicon, variants, semnet)
+    def sig(t: UmlsTables): (Int, Int, Int, Int) = (
+      t.firstWordIndex.size,
+      t.firstWordIndex.valuesIterator.map(_.size).sum,
+      scala.util.hashing.MurmurHash3.orderedHash(
+        t.firstWordIndex.toVector.sortBy(_._1).iterator.map { case (k, es) =>
+          (k, es.map(e => (e.nmWords, e.str, e.cui, e.concept)))
+        }),
+      scala.util.hashing.MurmurHash3.orderedHash(
+        t.cuiPreferred.toVector.sorted.iterator))
+    var t1 = build(32)
+    val s1 = sig(t1)
+    assert(t1.cuiPreferred.size == 300000)
+    assert(s1._2 == 900000, s1.toString) // distinct (cui, str) of the 1M rows
+    // every per-word list canonically sorted
+    t1.firstWordIndex.valuesIterator.take(500).foreach { es =>
+      val key = es.map(e => (e.nmWords.length, e.cui, e.str))
+      assert(key == key.sorted)
+    }
+    t1 = null
+    val s2 = sig(build(7))
+    assert(s2 == s1)
   }
 
   test("fromDataFrames at 50k-string index scale: deterministic, probe-correct") {
