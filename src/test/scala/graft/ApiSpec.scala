@@ -177,6 +177,21 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
       val (c5, r5) = post("/annotate?id=again", "Fever persisted.")
       assert(c5 == 200 && r5.contains("C0015967"))
       assert(handle.requestCount == 6L)
+      // CONCURRENT requests: the server runs on a small fixed pool (the
+      // kernel is a pure function over the broadcast tables), so parallel
+      // /annotate calls must all succeed — and /health must answer while
+      // they are in flight rather than queue behind them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val parallel = (1 to 4).map { i =>
+        Future(post(s"/annotate?id=par$i", "The patient had pneumonia."))
+      }
+      val health = Future(post("/health", ""))
+      val results = Await.result(Future.sequence(parallel :+ health), 30.seconds)
+      assert(results.forall(_._1 == 200), results.map(_._1))
+      assert(results.init.forall(_._2.contains("C0032285")))
     } finally handle.stop()
   }
 }
