@@ -240,7 +240,7 @@ object DocOps {
     * recomputed that lineage for BOTH sides: 20.9 s vs ~3 s for one
     * signature pass at sf0.1.)
     */
-  private def minhashCandidatePairs(spark: SparkSession, sfDir: String,
+  private[graft] def minhashCandidatePairs(spark: SparkSession, sfDir: String,
       unigram: Boolean = false,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
     // blockCols join the bucket key: when the downstream verify measure
@@ -268,9 +268,21 @@ object DocOps {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup candidate pairs: docs sharing >= 1 band bucket. */
+  /** MinHash+LSH near-dup candidate pairs: docs sharing >= 1 band bucket.
+    * This query IS the pair-materialization job for the corpus snapshot
+    * (write-through, like the cluster table): at 100 TB the signature +
+    * banding pass runs ONCE and every pair consumer — the CC clustering
+    * here, dedup audits, blocking joins — reads the materialized table.
+    */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    minhashCandidatePairs(spark, sfDir).orderBy(col("a"), col("b"))
+    SnapshotCache.materialize(spark, sfDir, "neardup_pairs")(
+      minhashCandidatePairs(spark, sfDir))
+      .orderBy(col("a"), col("b"))
+
+  /** The per-snapshot trigram candidate-pair table (reuse or build). */
+  private def pairsTable(spark: SparkSession, sfDir: String): DataFrame =
+    SnapshotCache.ensure(spark, sfDir, "neardup_pairs")(
+      minhashCandidatePairs(spark, sfDir))
 
   /** The trigram-minhash candidate-pair CTE chain — the SQL mirror of
     * [[minhashCandidatePairs]]. BOTH pair-consuming oracles (the pair
@@ -411,7 +423,7 @@ object DocOps {
   private[graft] def ccClustersCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val members = graft.graph.GraphOps.connectedComponents(
-      minhashCandidatePairs(spark, sfDir)
+      pairsTable(spark, sfDir)
         .select(col("b").as("u"), col("a").as("v")))
       .select(col("node").as("doc_id"), col("rep").as("cluster_id"))
     docs.join(members, Seq("doc_id"), "left")

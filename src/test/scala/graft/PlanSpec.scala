@@ -65,13 +65,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("dedup LSH: single signature pass, bucket-grouped pairs, no self-join") {
-    val p = plan(DocOps.dedupMinhashLsh(spark, sf))
+    // the COMPUTE plan (the public query entry serves the per-snapshot
+    // materialization, write-through)
+    val p = plan(DocOps.minhashCandidatePairs(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     // pairs come from groupBy(band, sig) bucket enumeration: there must be
     // NO join (a self-join would recompute the shingle->minhash lineage
     // twice — round-1's 20.9 s entry) and only ONE scan of documents
     assert(!p.contains("Join"), s"minhash acquired a join:\n$p")
     assert("Scan parquet".r.findAllIn(p).size == 1, s"documents scanned twice:\n$p")
+    // ...and the consumers read the snapshot instead of re-running it
+    val pc = plan(DocOps.dedupMinhashLsh(spark, sf))
+    assert(pc.contains("graft_snapshot"), pc)
   }
 
   test("token-jaccard: exact verify on LSH candidates, no quadratic self-join") {
