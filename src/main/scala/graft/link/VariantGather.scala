@@ -26,13 +26,12 @@ object VariantGather {
   def gather(phrase: Phrase, umls: UmlsTables, aas: AaDict,
       tagsByStart: Map[Int, String] = Map.empty,
       opts: LinkOptions = LinkOptions.default): Map[String, Vector[VInfo]] = {
-    // -d swaps in the deriv-free table (wins over -D);
-    // --all_derivational_variants swaps in the full-dm.rul table
+    // -d swaps in the deriv-free table (exact closure when present, the
+    // history-filtered view otherwise — never a silent no-op; wins over
+    // -D); --all_derivational_variants swaps in the full-dm.rul table
     val mainTable =
-      if (opts.noDerivationalVariants && umls.variantsNoDeriv.nonEmpty)
-        umls.variantsNoDeriv
-      else if (opts.allDerivationalVariants && !opts.noDerivationalVariants &&
-        umls.variantsAllDeriv.nonEmpty)
+      if (opts.noDerivationalVariants) umls.variantsNoDerivEffective
+      else if (opts.allDerivationalVariants && umls.variantsAllDeriv.nonEmpty)
         umls.variantsAllDeriv
       else umls.variants
     val words = phrase.words.map(_.word)

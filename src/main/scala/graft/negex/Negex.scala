@@ -145,7 +145,11 @@ object Negex {
           !terminatorBetween(wIdx, mStartW)
       }
       val negByPost = postHits.exists { case (wIdx, lastW) =>
-        val dist = if (refMode) lastW - mEndW else wIdx - mEndW
+        // reference basis: ConceptTokenPos comes from the concept's
+        // START char (charpos_to_tokenindex over CharStart,
+        // negex.pl:901-902,931-932), so the post distance runs from the
+        // mention's FIRST word to the trigger's last word
+        val dist = if (refMode) lastW - mStartW else wIdx - mEndW
         mEndW < wIdx && inWindow(lastW, dist) &&
           !terminatorBetween(mEndW + 1, wIdx)
       }

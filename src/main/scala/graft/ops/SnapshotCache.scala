@@ -27,27 +27,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotCache {
 
-  private val written = scala.collection.mutable.Set[String]()
+  // latest written VERSION per snapshot base path. Re-materializations
+  // write to a NEW versioned directory (v1, v2, …) instead of
+  // overwriting in place: a DataFrame returned earlier captured its
+  // parquet file listing at read time, and deleting those files under
+  // it would make any later evaluation of that (still valid) plan throw
+  // FileNotFoundException. Old versions are bounded by the number of
+  // materialize() calls in the JVM (a handful) and live under target/.
+  private val versions = scala.collection.mutable.Map[String, Int]()
 
-  private def pathFor(sfDir: String, name: String): String = {
+  private def baseFor(sfDir: String, name: String): String = {
     val base = new java.io.File(sfDir).getName
     new java.io.File(s"target/graft_snapshot/$base/$name").getAbsolutePath
   }
 
-  /** Recompute + rewrite the snapshot, return the parquet-backed table. */
+  /** Recompute + write the snapshot (to a fresh version), return the
+    * parquet-backed table. NOTE: the write job runs EAGERLY, at call
+    * time — a query entry built on this is the materialization job, and
+    * constructing its DataFrame executes it.
+    */
   def materialize(spark: SparkSession, sfDir: String, name: String)(
       compute: => DataFrame): DataFrame = synchronized {
-    val p = pathFor(sfDir, name)
+    val base = baseFor(sfDir, name)
+    val v = versions.getOrElse(base, 0) + 1
+    val p = s"$base/v$v"
     compute.write.mode("overwrite").parquet(p)
-    written += p
+    versions(base) = v
     spark.read.parquet(p)
   }
 
-  /** Reuse this JVM's snapshot if present, else materialize it. */
+  /** Reuse this JVM's latest snapshot if present, else materialize it. */
   def ensure(spark: SparkSession, sfDir: String, name: String)(
       compute: => DataFrame): DataFrame = synchronized {
-    val p = pathFor(sfDir, name)
-    if (!written.contains(p)) return materialize(spark, sfDir, name)(compute)
-    spark.read.parquet(p)
+    val base = baseFor(sfDir, name)
+    versions.get(base) match {
+      case Some(v) => spark.read.parquet(s"$base/v$v")
+      case None => materialize(spark, sfDir, name)(compute)
+    }
   }
 }

@@ -15,6 +15,26 @@ import graft.umls.UmlsTables
   */
 object DocKernel {
 
+  /** stop_analysis (skr.pl:1158-1166): in the default mode (none of
+    * -o/-g/-K/-D in force — check_generate_initial_evaluations_
+    * control_options_1, skr.pl:4853-4859), a phrase whose full text is a
+    * stop phrase under a category overlapping the phrase's tags produces
+    * NO evaluations; -K ignore_stop_phrases disables the skip. ONE
+    * implementation — the mentions and MMO paths must never disagree on
+    * when this fires (the reference's skip sits upstream of both).
+    */
+  private def stopAnalysisSkip(phrase: Phrase, umls: UmlsTables,
+      tagsByStart: Map[Int, String], opts: LinkOptions): Boolean = {
+    val active = !opts.allowOvermatches && !opts.allowConceptGaps &&
+      !opts.ignoreStopPhrases && !opts.allDerivationalVariants
+    active && phrase.words.nonEmpty &&
+      umls.stopPhraseFirstWords.contains(phrase.words.head.word) && {
+        val phraseText = phrase.words.map(_.word).mkString(" ")
+        umls.stopPhrases.get(phraseText).exists(stopTags =>
+          stopTags.exists(PhraseChunker.phraseTags(phrase, umls, tagsByStart)))
+      }
+  }
+
   /** -y WSD applied document-locally: one concept per span, ranked
     * exactly like the corpus-level Pipeline.wsdDedup window. ONE
     * implementation of the ranking exists — DocTriples.wsdLocal (the
@@ -52,20 +72,8 @@ object DocKernel {
       val phrases =
         if (opts.conjMerge) PhraseChunker.conjGlue(phrases1, sent.toks, umls)
         else phrases1
-      // stop_analysis (skr.pl:1158-1166): in the default mode (none of
-      // -o/-g/-K/-D in force — check_generate_initial_evaluations_
-      // control_options_1, skr.pl:4853-4859), a phrase whose full text is
-      // a stop phrase under a category overlapping the phrase's tags
-      // produces NO evaluations; -K ignore_stop_phrases disables the skip
-      val stopAnalysisOn = !opts.allowOvermatches && !opts.allowConceptGaps &&
-        !opts.ignoreStopPhrases && !opts.allDerivationalVariants
-      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn &&
-        phrase.words.nonEmpty &&
-        umls.stopPhraseFirstWords.contains(phrase.words.head.word) && {
-          val phraseText = phrase.words.map(_.word).mkString(" ")
-          umls.stopPhrases.get(phraseText).exists(stopTags =>
-            stopTags.exists(PhraseChunker.phraseTags(phrase, umls, tagsByStart)))
-        }
+      def stopAnalysis(phrase: Phrase): Boolean =
+        stopAnalysisSkip(phrase, umls, tagsByStart, opts)
       val sentMentions = phrases.flatMap { phrase =>
         // stop-phrase analogue: single closed-class or 1-char phrases skip
         if (phrase.words.isEmpty ||
@@ -114,18 +122,10 @@ object DocKernel {
     Sentences.split(toks).flatMap { sent =>
       val phrases = PhraseChunker.chunk(sent.toks, umls, Map.empty,
         opts.compositePhrases)
-      // stop_analysis applies here exactly as in [[mentions]] — the
-      // reference skip lives in generate_initial_evaluations, upstream
-      // of BOTH output paths, so MMO shows the phrase with 0 candidates
-      val stopAnalysisOn = !opts.allowOvermatches && !opts.allowConceptGaps &&
-        !opts.ignoreStopPhrases && !opts.allDerivationalVariants
-      def stopAnalysis(phrase: Phrase): Boolean = stopAnalysisOn &&
-        phrase.words.nonEmpty &&
-        umls.stopPhraseFirstWords.contains(phrase.words.head.word) && {
-          val phraseText = phrase.words.map(_.word).mkString(" ")
-          umls.stopPhrases.get(phraseText).exists(stopTags =>
-            stopTags.exists(PhraseChunker.phraseTags(phrase, umls)))
-        }
+      // stop_analysis applies here exactly as in [[mentions]]: MMO shows
+      // a skipped phrase with 0 candidates
+      def stopAnalysis(phrase: Phrase): Boolean =
+        stopAnalysisSkip(phrase, umls, Map.empty, opts)
       // a sentence that chunks to ZERO phrases (punctuation-only) still
       // owns an utterance(...)/'EOU'. block in the reference's term
       // stream — emit an empty-phrase sentinel so the writer prints it

@@ -52,12 +52,9 @@ object DynamicVariants {
   private def compute(word: String, umls: UmlsTables,
       allDeriv: Boolean, noDeriv: Boolean): Vector[Variant] = {
     val table =
-      if (noDeriv) {
-        // deriv-free closure table; if an ingested table set lacks it,
-        // filter the default table by history as the safe approximation
-        if (umls.variantsNoDeriv.nonEmpty) umls.variantsNoDeriv
-        else umls.variants.view.mapValues(_.filterNot(_.history.contains('d'))).toMap
-      }
+      // deriv-free closure table (exact when present, the once-per-table
+      // history-filtered view otherwise — never rebuilt per word)
+      if (noDeriv) umls.variantsNoDerivEffective
       else if (allDeriv && umls.variantsAllDeriv.nonEmpty) umls.variantsAllDeriv
       else umls.variants
     val best = scala.collection.mutable.Map[String, (Int, String)](word -> (0, ""))

@@ -62,9 +62,11 @@ final case class UmlsTables(
     // pnegb: suppress a post trigger ("should be ruled out" is a
     // recommendation, not an assertion)
     negexPseudoPost: Vector[Vector[String]] = Vector.empty,
-    // stop phrases (metamap_stop_phrase.pl:70+): generator token ->
-    // lexical categories for which candidate retrieval is skipped in
-    // overmatch mode (add_candidates, metamap_candidates.pl:138-143)
+    // stop phrases (metamap_stop_phrase.pl:70+): phrase/generator text ->
+    // lexical categories. Consulted on BOTH reference paths: the
+    // default-mode phrase-level stop_analysis skip (skr.pl:1158-1166,
+    // disabled by -K) and the overmatch token guard (add_candidates,
+    // metamap_candidates.pl:138-143)
     stopPhrases: Map[String, Set[String]] = Map.empty,
     // fused word -> its two parts ("breastfeeding" -> breast feeding;
     // split_word/3, metamap_variants.pl:1421-1454)
@@ -79,6 +81,18 @@ final case class UmlsTables(
     // keeps its deriv-free path)
     variantsNoDeriv: Map[String, Vector[Variant]] = Map.empty
 ) extends Serializable {
+
+  /** The deriv-free variant table -d actually uses: the EXACT deriv-free
+    * closure when the table set carries one, else the history-filtered
+    * default table (a documented approximation: a variant reachable both
+    * with and without derivation at EQUAL level whose surviving history
+    * went through 'd' is dropped — the exact closure keeps it). Built
+    * once per table instance, so neither the gather hot path nor the
+    * dynamic closure ever rebuilds the filtered map per word.
+    */
+  @transient lazy val variantsNoDerivEffective: Map[String, Vector[Variant]] =
+    if (variantsNoDeriv.nonEmpty) variantsNoDeriv
+    else variants.view.mapValues(_.filterNot(_.history.contains('d'))).toMap
 
   /** First words of all stop phrases — the O(1) gate the kernel checks
     * before building a phrase-text key for the stop_analysis lookup
@@ -640,9 +654,11 @@ object MiniUmls {
         "breastfeeding" -> ("breast", "feeding"),
         "healthcare" -> ("health", "care")),
       // eager at FIXTURE scale only (tables is built once per JVM; the
-      // second build pass and broadcast doubling are noise here) — a
-      // production-scale deployment would load the all-deriv table as a
-      // separate broadcast only when --all_derivational_variants is on
+      // extra build passes and broadcast growth are noise here) — a
+      // production-scale deployment would load the all-deriv/no-deriv
+      // tables as separate broadcasts only when -D/-d is on (a table set
+      // WITHOUT variantsNoDeriv still honors -d through the
+      // history-filtered variantsNoDerivEffective view)
       variantsAllDeriv = buildVariantTable(allDeriv = true),
       variantsNoDeriv = buildVariantTable(noDeriv = true))
   }

@@ -133,7 +133,11 @@ object UmlsIngest {
     val base = mrconso.select(col("cui").cast("string"),
       col("str").cast("string"), col("sab").cast("string"),
       col("ispref").cast("string"),
-      (if (mrconso.columns.contains("suppress")) col("suppress").cast("string")
+      // null suppress = unsuppressed (the collected implementation's
+      // getString(4) == "Y" was false for null; a bare =!= "Y" filter
+      // would evaluate to null and silently DROP the row)
+      (if (mrconso.columns.contains("suppress"))
+        coalesce(col("suppress").cast("string"), lit("N"))
        else lit("N")).as("suppress"))
 
     // preferred concept name: the ispref row; deterministic fallback =

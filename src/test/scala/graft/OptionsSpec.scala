@@ -240,6 +240,30 @@ class OptionsSpec extends AnyFunSuite {
     val o = graft.api.Graft.parseFlags(
       Seq("--negex_utterance_max_dist", "20", "--negex_concept_max_dist", "10"))
     assert(o.negexUtteranceMaxDist == Some(20) && o.negexConceptMaxDist == Some(10))
+    // POST-trigger reference basis: ConceptTokenPos is derived from the
+    // concept's START char (negex.pl:901-902,931-932), so the distance
+    // for "myocardial infarction was ruled out" runs from word 0 (the
+    // mention's FIRST word) to the trigger's last word (4) = 4 — NOT
+    // from the mention's last word (which would read 3)
+    // trailing words keep the trigger away from the utterance end, so
+    // the waiver can't mask the concept-distance basis
+    val post = "Myocardial infarction was ruled out today by the doctors."
+    def postNeg(o: LinkOptions) =
+      mentions(post, o).find(_.cui == "C0027051").exists(_.negated)
+    assert(!postNeg(LinkOptions(negexUtteranceMaxDist = Some(0),
+      negexConceptMaxDist = Some(3))))
+    assert(postNeg(LinkOptions(negexUtteranceMaxDist = Some(0),
+      negexConceptMaxDist = Some(4))))
+  }
+
+  test("-d without a no-deriv table: history-filtered view, never a no-op") {
+    // a table set lacking variantsNoDeriv (e.g. loaded from an older
+    // dump) must still honor -d via the once-per-table filtered view
+    val stripped = umls.copy(variantsNoDeriv = Map.empty)
+    val t = "The asthmatic patient arrived."
+    assert(DocKernel.mentions("u", t, stripped).exists(_.cui == "C0004096"))
+    assert(!DocKernel.mentions("u", t, stripped,
+      LinkOptions(noDerivationalVariants = true)).exists(_.cui == "C0004096"))
   }
 
   test("--nomap user exclusions, with either side as a wildcard") {

@@ -375,6 +375,28 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(s2 == s1)
   }
 
+  test("fromDataFrames: null suppress means unsuppressed, not dropped") {
+    implicit val s = spark
+    import s.implicits._
+    // the collected implementation treated null suppress as "N"; the
+    // distributed filter must coalesce, or the null row silently
+    // vanishes from the index
+    val conso = Seq(
+      ("C0000001", "alpha term", "MSH", "Y", null.asInstanceOf[String]),
+      ("C0000002", "beta term", "MSH", "Y", "N"),
+      ("C0000003", "gamma term", "MSH", "Y", "Y"))
+      .toDF("cui", "str", "sab", "ispref", "suppress")
+    val t = UmlsIngest.fromDataFrames(conso,
+      Seq(("C0000001", "dsyn")).toDF("cui", "st"),
+      Seq.empty[(String, String)].toDF("word", "cat"),
+      Seq.empty[(String, String, Int, String)]
+        .toDF("word", "variant", "var_level", "history"),
+      Seq.empty[(String, String, String)].toDF("st1", "rel", "st2"))
+    val indexed = t.firstWordIndex.values.flatten.map(_.str).toSet
+    assert(indexed == Set("alpha term", "beta term")) // null kept, Y dropped
+    assert(t.cuiPreferred("C0000001") == "alpha term")
+  }
+
   test("fromDataFrames at 50k-string index scale: deterministic, probe-correct") {
     implicit val s = spark
     import s.implicits._
