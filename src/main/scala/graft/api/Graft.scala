@@ -54,7 +54,13 @@ object Graft {
         case "--tagged" => o = o.copy(tagged = true)
         case "--no_tagging" => o = o.copy(tagged = false) // the pinned default
         case "--min_length" => o = o.copy(minLength = arg().toInt)
-        case "--no_nums" => o = o.copy(noNums = true)
+        case "--no_nums" =>
+          // the reference takes a mandatory semtype list ('all' included);
+          // a following non-flag token is that list, a bare --no_nums
+          // means all (back-compatible shorthand)
+          if (i + 1 < flags.length && !flags(i + 1).startsWith("-"))
+            o = o.copy(noNums = true, noNumsSemTypes = arg().split(',').toSet)
+          else o = o.copy(noNums = true)
         case "-J" | "--restrict_to_sts" =>
           o = o.copy(restrictSemTypes = arg().split(',').toSet)
         case "-k" | "--exclude_sts" =>

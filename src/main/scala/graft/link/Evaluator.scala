@@ -60,11 +60,21 @@ object Evaluator {
       opts.allowOvermatches && umls.stopPhrases.get(gen).exists(cats =>
         cats.exists(umls.lexCats.getOrElse(gen, Set.empty)))
 
+    // the FIRST generator of a phrase is exempt from the stop-variant
+    // frequency skip ("If it's the first candidate, don't check for stop
+    // words" — extract_simple_variants_aux CandidateCount=:=1 branch,
+    // metamap_candidates.pl:180-186): a phrase STARTING with a frequent
+    // short token (e.g. "ca 125") must still probe it, or strings keyed
+    // under that first word are unreachable
+    val firstGen: String = probeWords.headOption.map(_._3.genWord).getOrElse("")
+
     // probe once per (word, table): narrower tables are retrieval
     // optimizations — the union of per-variant retrievals is evaluated,
     // exactly as the reference's per-variant get_meta_uscs with its USC
     // cache keyed on (word, table)
-    for ((_, w, vi) <- probeWords if probeOk(w) && !stopPhraseBlocked(vi.genWord)) {
+    for ((_, w, vi) <- probeWords
+         if (vi.genWord == firstGen || probeOk(w)) &&
+           !stopPhraseBlocked(vi.genWord)) {
       val (tableName, index) = indexFor(vi, nPhrase, lastVariantWords, umls, opts)
       if (probed.add((w, tableName))) {
         val entries = index.getOrElse(w, Vector.empty)
@@ -74,17 +84,30 @@ object Evaluator {
       }
     }
 
-    // sort candidates by (negscore, cui, str) — skr.pl:1407
-    val sorted = out.toVector.sortBy(c => (-c.score, c.cui, c.str))
-    // F2 redundancy filter: same CUI + same phrase components -> keep best.
-    // NOTE: G2 pruning does NOT happen here — the reference filters first
-    // (filter_evaluations, skr.pl:913,1408) and prunes inside mapping
-    // construction (skr.pl:3452-3459); DocKernel applies Pruning.prune
-    // AFTER the option filters.
-    val seenKey = scala.collection.mutable.Set[(String, Vector[(Int, Int)])]()
-    sorted.filter { c =>
-      seenKey.add((c.cui, c.matchMap.map(e => (e.pBegin, e.pEnd))))
-    }
+    // F2 redundancy filter (filter_out_redundant_evaluations,
+    // skr.pl:4461-4516): the list is re-sorted CUI-PosScore-Candidate
+    // (CUI groups, ASCENDING positive score within a group), and an
+    // entry is dropped when a LATER same-CUI entry has an EQUIVALENT
+    // CONSOLIDATED phrase-component set (matchmaps_are_equivalent ->
+    // linearize + sort, skr.pl:4590-4601) — so the survivor of each
+    // equivalence class is the best-scoring member (largest term on
+    // score ties), and the key is covered POSITIONS, not the raw
+    // matchmap row list ([1,2] and [1,1],[2,2] are equivalent).
+    // NOTE: G2 pruning does NOT happen here — the reference filters
+    // first (filter_evaluations, skr.pl:913,1408) and prunes inside
+    // mapping construction (skr.pl:3452-3459); DocKernel applies
+    // Pruning.prune AFTER the option filters.
+    val byCui = out.toVector.sortBy(c => (c.cui, c.score, c.str))
+    val comps = byCui.map(c =>
+      c.matchMap.flatMap(e => e.pBegin to e.pEnd).distinct.sorted)
+    val kept = byCui.indices.filter { i =>
+      !(i + 1 until byCui.length).exists { j =>
+        byCui(j).cui == byCui(i).cui && comps(j) == comps(i)
+      }
+    }.map(byCui)
+    // final order: the reference re-sorts to standard ev-term order =
+    // (negscore, cui, metaterm) — skr.pl:4479 + :1407
+    kept.toVector.sortBy(c => (-c.score, c.cui, c.str))
   }
 
   /** C2 full index selection (determine_table + get_meta_uscs_2,
@@ -158,14 +181,34 @@ object Evaluator {
     }
   }
 
-  /** Candidates interact iff their phrase components intersect or their
-    * char spans overlap (skr.pl:3720-3750).
+  /** Candidates interact per aevaluations_interact (skr.pl:3719-3731),
+    * entirely in PHRASE-position space: (1) components intersect; (2)
+    * component spans overlap STAGGERED-only (spans_overlap,
+    * skr.pl:3791-3800 — pure containment is NOT an overlap there); (3)
+    * one span properly inside the other AND the outer candidate's
+    * components intersect the inner span (is_proper_subspan +
+    * component_intersects_components, skr.pl:3815-3822) — so a
+    * discontiguous candidate whose char extent covers another but whose
+    * matched words are disjoint from it does NOT interact, and both can
+    * join one mapping (the gap-filling case).
     */
   def interacts(a: Candidate, b: Candidate): Boolean = {
     val aPos = a.matchMap.map(e => (e.pBegin, e.pEnd))
     val bPos = b.matchMap.map(e => (e.pBegin, e.pEnd))
     val posInter = aPos.exists(p => bPos.exists(q => p._1 <= q._2 && q._1 <= p._2))
-    posInter || (a.start <= b.end && b.start <= a.end)
+    posInter || {
+      // component span = first low .. last high (compute_component_span)
+      val (aL, aH) = (aPos.map(_._1).min, aPos.map(_._2).max)
+      val (bL, bH) = (bPos.map(_._1).min, bPos.map(_._2).max)
+      def staggered = (aL <= bL && bL <= aH && aH <= bH) ||
+        (bL <= aL && aL <= bH && bH <= aH)
+      def properSub(l1: Int, h1: Int, l2: Int, h2: Int) = l2 < l1 && h1 < h2
+      def compHits(pos: Vector[(Int, Int)], l: Int, h: Int) =
+        pos.exists(p => p._1 <= h && l <= p._2)
+      staggered ||
+        (properSub(bL, bH, aL, aH) && compHits(aPos, bL, bH)) ||
+        (properSub(aL, aH, bL, bH) && compHits(bPos, aL, aH))
+    }
   }
 
   /** F3 subsumed-evaluation filter (filter_out_subsumed_evaluations,
@@ -206,8 +249,9 @@ object Evaluator {
     * exact search at 16).
     */
   def bestMappingCandidates(cands: Vector[Candidate], nPhrase: Int,
-      opts: LinkOptions = LinkOptions.default): Vector[Candidate] =
-    bestMappings(cands, nPhrase, opts).flatMap(_._2)
+      opts: LinkOptions = LinkOptions.default,
+      varIndexWords: Set[String] = Set.empty): Vector[Candidate] =
+    bestMappings(cands, nPhrase, opts, varIndexWords).flatMap(_._2)
       .distinctBy(c => (c.cui, c.start, c.end))
 
   /** The kept mappings themselves, (score, candidates) per mapping —
@@ -216,7 +260,8 @@ object Evaluator {
     * is the flattened union of these.
     */
   def bestMappings(cands: Vector[Candidate], nPhrase: Int,
-      opts: LinkOptions = LinkOptions.default): Vector[(Int, Vector[Candidate])] = {
+      opts: LinkOptions = LinkOptions.default,
+      varIndexWords: Set[String] = Set.empty): Vector[(Int, Vector[Candidate])] = {
     if (cands.isEmpty) return Vector.empty
     if (cands.length == 1) return Vector((cands.head.score, cands))
 
@@ -249,9 +294,25 @@ object Evaluator {
       val termLengths = ordered.map(_.metaWords.length)
       val cen = Scorer.centrality(involves)
       val vr = Scorer.variation(sorted)
-      val cov = Scorer.coverage(sorted, nPhrase, nMeta)
-      val coh = Scorer.cohesivenessFromCCs(pCCs, termLengths, nPhrase, nMeta)
-      Scorer.combine(cen, vr, cov, coh)
+      // the mapping rescore reuses compute_match_value (compute_conf_val
+      // _aux(0,...) -> skr.pl:4320-4322), so the SAME option substitutions
+      // apply as per-candidate: -i replaces coverage with involvement
+      // (over the mapping's gleaned relevant extra meta words,
+      // skr.pl:4390-4392), -Y inverts cohesiveness
+      // (metamap_evaluation.pl:945-951, 1085-1100)
+      val covOrInv =
+        if (!opts.ignoreWordOrder) Scorer.coverage(sorted, nPhrase, nMeta)
+        else {
+          val extra = ordered.iterator.map { c =>
+            val covered = c.matchMap.flatMap(e => e.mBegin to e.mEnd).toSet
+            (1 to c.metaWords.length).count(k =>
+              !covered(k) && varIndexWords.contains(c.metaWords(k - 1)))
+          }.sum
+          Scorer.involvement(sorted, nPhrase, nMeta, extra)
+        }
+      val coh0 = Scorer.cohesivenessFromCCs(pCCs, termLengths, nPhrase, nMeta)
+      val coh = if (opts.preferMultiple) 1.0 - coh0 else coh0
+      Scorer.combine(cen, vr, covOrInv, coh)
     }
 
     // expansion runs on duplicate-set REPRESENTATIVES: candidates with the

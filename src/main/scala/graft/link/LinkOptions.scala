@@ -36,6 +36,11 @@ final case class LinkOptions(
     restrictSources: Set[String] = Set.empty,
     excludeSources: Set[String] = Set.empty,
     noNums: Boolean = false,
+    // --no_nums semtype gating (filter_numerical_evaluations,
+    // skr.pl:1990-2008): only candidates whose semtypes intersect this
+    // list are eligible for the numeric drop; empty or all/ALL = every
+    // candidate (the reference's 'all' argument)
+    noNumsSemTypes: Set[String] = Set.empty,
     udas: Map[String, Vector[String]] = Map.empty,
     ignoreWordOrder: Boolean = false,
     allowOvermatches: Boolean = false,

@@ -29,6 +29,12 @@ object PhraseChunker {
     else if (cats.contains("conj")) "conj"
     else if (cats.contains("pron")) "pron"
     else if (cats.contains("aux")) "aux"
+    // modal/compl are boundary categories in the reference's set
+    // (mark_boundaries: [aux,compl,conj,modal,prep,verb]) — a real
+    // SPECIALIST lexicon (fromRrf) carries these cats, and letting a
+    // modal-only word default to noun would glue two NPs
+    else if (cats.contains("modal")) "modal"
+    else if (cats.contains("compl")) "compl"
     else if (cats.contains("noun")) "noun" // N/V ambiguity -> noun
     else if (cats.contains("adj")) "adj"
     else if (cats.contains("verb")) "verb"

@@ -75,6 +75,7 @@ object Negex {
     val preHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     val postHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     val termStarts = scala.collection.mutable.ArrayBuffer[Int]() // conj word idx
+    val trigStarts = scala.collection.mutable.ArrayBuffer[Int]() // any pre/post trigger start
     var i = 0
     while (i < lcs.length) {
       // one set-membership test gates the five trie probes: almost no
@@ -93,9 +94,11 @@ object Negex {
         else if (conjLen == best) { termStarts += i; i += conjLen }
         else if (postLen == best) {
           postHits += ((i, i + postLen - 1))
+          trigStarts += i
           i += postLen
         } else {
           preHits += ((i + preLen, i + preLen - 1))
+          trigStarts += i
           i += preLen
         }
       }
@@ -108,6 +111,15 @@ object Negex {
 
     def terminatorBetween(a: Int, b: Int): Boolean =
       termStarts.exists(k => k >= a && k < b)
+
+    // intervening_negation_trigger (negex.pl:936-951, the second
+    // disjunct of spurious_negterm): in reference mode a negation is
+    // ALSO spurious when ANOTHER negation trigger phrase starts strictly
+    // between this trigger and the concept — applies to the env-tunable
+    // spurious-removal path only (the pinned window mode has no such
+    // rule)
+    def interveningTrigger(a: Int, b: Int): Boolean =
+      trigStarts.exists(k => k > a && k < b)
 
     // reference two-distance rule (negex.pl:893-918): within
     // utteranceMaxDist of the utterance end the window is waived; beyond
@@ -142,7 +154,8 @@ object Negex {
       val negByPre = preHits.exists { case (wIdx, lastW) =>
         val dist = if (refMode) mStartW - lastW else mStartW - wIdx
         mStartW >= wIdx && inWindow(lastW, dist) &&
-          !terminatorBetween(wIdx, mStartW)
+          !terminatorBetween(wIdx, mStartW) &&
+          !(refMode && interveningTrigger(lastW, mStartW))
       }
       val negByPost = postHits.exists { case (wIdx, lastW) =>
         // reference basis: ConceptTokenPos comes from the concept's
@@ -151,7 +164,8 @@ object Negex {
         // mention's FIRST word to the trigger's last word
         val dist = if (refMode) lastW - mStartW else wIdx - mEndW
         mEndW < wIdx && inWindow(lastW, dist) &&
-          !terminatorBetween(mEndW + 1, wIdx)
+          !terminatorBetween(mEndW + 1, wIdx) &&
+          !(refMode && interveningTrigger(mStartW, wIdx))
       }
       if (negByPre || negByPost) m.copy(negated = true) else m
       }

@@ -35,6 +35,16 @@ object DocKernel {
       }
   }
 
+  /** mostly_digits (skr.pl:2010-2015): NO alphabetic char at all AND
+    * >49% of the non-whitespace chars are digits — "1 2 mg" is NOT
+    * mostly digits ('mg' is alphabetic), "1 2" and "12%" are.
+    */
+  private[graft] def mostlyDigits(s: String): Boolean =
+    !s.exists(_.isLetter) && {
+      val noWs = s.filterNot(_.isWhitespace)
+      noWs.nonEmpty && noWs.count(_.isDigit).toDouble / noWs.length > 0.49
+    }
+
   /** -y WSD applied document-locally: one concept per span, ranked
     * exactly like the corpus-level Pipeline.wsdDedup window. ONE
     * implementation of the ranking exists — DocTriples.wsdLocal (the
@@ -89,7 +99,8 @@ object DocKernel {
           val cands = graft.link.Pruning.adaptivePrune(
             Evaluator.filterSubsumed(optionFilters(cands0, opts), opts),
             phrase.words.length, opts)
-          val best = Evaluator.bestMappingCandidates(cands, phrase.words.length, opts)
+          val best = Evaluator.bestMappingCandidates(cands, phrase.words.length,
+            opts, varIndex.keySet)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
               c.semTypes, negated = false,
@@ -146,7 +157,8 @@ object DocKernel {
           val unsubsumed = Evaluator.filterSubsumed(filtered, opts)
           val cands = graft.link.Pruning.adaptivePrune(
             unsubsumed, phrase.words.length, opts)
-          val maps = Evaluator.bestMappings(cands, phrase.words.length, opts)
+          val maps = Evaluator.bestMappings(cands, phrase.words.length,
+            opts, varIndex.keySet)
           PhraseMmo(sent, phrase, filtered.length,
             filtered.length - unsubsumed.length, unsubsumed.length - cands.length,
             cands.length, maps)
@@ -214,8 +226,16 @@ object DocKernel {
     // numerical filter LAST among the option filters
     // (filter_numerical_evaluations runs after semtypes, skr.pl:1231)
     if (!opts.noNums) afterCascade
-    else afterCascade.filter(c =>
-      c.metaWords.count(_.forall(_.isDigit)) * 2 <= c.metaWords.length)
+    else afterCascade.filter { c =>
+      // mostly_digits (skr.pl:2010-2015): the candidate's META string
+      // must contain NO alphabetic character at all, and >49% of its
+      // non-whitespace chars must be digits ("1 2 mg" is KEPT — 'mg'
+      // is alphabetic); gated by the option's semtype list
+      val gated = opts.noNumsSemTypes.isEmpty ||
+        opts.noNumsSemTypes.contains("all") || opts.noNumsSemTypes.contains("ALL") ||
+        c.semTypes.exists(opts.noNumsSemTypes)
+      !(gated && mostlyDigits(c.str))
+    }
   }
 
   /** Term processing (-z, skr/skr_fe.pl options; SURVEY §2.8 F6): the

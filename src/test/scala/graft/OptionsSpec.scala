@@ -466,6 +466,72 @@ class OptionsSpec extends AnyFunSuite {
     assert(o.negexStAdd == Set("phsu", "inpo") && o.negexStDel == Set("dsyn"))
   }
 
+  test("first-generator stop-variant exemption (metamap_candidates.pl:180-186)") {
+    // make 'mi' a very frequent short word: the stop-variant rule would
+    // normally skip its probe (len 2, count > 4000) — but the FIRST
+    // generator of a phrase is exempt, so a phrase STARTING with it
+    // still links C0027051 via the index string "MI"
+    val freq = umls.copy(wordCounts = umls.wordCounts + ("mi" -> 99999))
+    assert(DocKernel.mentions("u", "Mi was elevated.", freq)
+      .exists(_.cui == "C0027051"))
+    // mid-phrase the skip applies as before: 'mi' is the SECOND
+    // generator of [severe, mi] and its probe is suppressed
+    assert(!DocKernel.mentions("u", "Severe mi today.", freq)
+      .exists(_.cui == "C0027051"))
+  }
+
+  test("--no_nums reference semantics: mostly_digits + semtype gating") {
+    import graft.pipeline.DocKernel.mostlyDigits
+    // no alphabetic char at all AND >49% digits among non-whitespace
+    assert(!mostlyDigits("1 2 mg")) // 'mg' is alphabetic -> kept
+    assert(mostlyDigits("1 2"))
+    assert(mostlyDigits("12%"))
+    assert(!mostlyDigits("--")) // no digits
+    assert(!mostlyDigits(""))
+    // flag surface: bare --no_nums = all; a following list gates it
+    val all = graft.api.Graft.parseFlags(Seq("--no_nums"))
+    assert(all.noNums && all.noNumsSemTypes.isEmpty)
+    val gated = graft.api.Graft.parseFlags(Seq("--no_nums", "qnco,inpr"))
+    assert(gated.noNums && gated.noNumsSemTypes == Set("qnco", "inpr"))
+  }
+
+  test("mapping interaction: reference staggered/subspan basis (skr.pl:3719-3731)") {
+    def cand(rows: Vector[(Int, Int)], start: Int, end: Int) =
+      Candidate(900, "C1", "s", "c", Vector("w"), Vector("dsyn"),
+        rows.map { case (b, e) => MatchEntry(b, e, 1, 1, 0) },
+        involvesHead = false, start = start, end = end)
+    // gap-filling: discontiguous A over words 1+3, B on word 2 — A's
+    // char extent CONTAINS B but components are disjoint and the spans
+    // are not staggered -> NON-interacting (both can join one mapping)
+    val a = cand(Vector((1, 1), (3, 3)), 0, 20)
+    val b = cand(Vector((2, 2)), 8, 12)
+    assert(!Evaluator.interacts(a, b) && !Evaluator.interacts(b, a))
+    // staggered spans DO interact even with disjoint components
+    val c = cand(Vector((2, 2), (4, 4)), 5, 30)
+    assert(Evaluator.interacts(a, c))
+    // component intersection always interacts
+    assert(Evaluator.interacts(a, cand(Vector((3, 3)), 15, 20)))
+    // proper subspan + outer components hitting the inner span
+    val outer = cand(Vector((1, 2), (5, 5)), 0, 40)
+    val inner = cand(Vector((2, 3)), 10, 20) // intersects outer's (1,2)
+    assert(Evaluator.interacts(outer, inner))
+  }
+
+  test("refMode NegEx: intervening negation trigger spuriates (negex.pl:936-951)") {
+    // pre-trigger 'no', then the post-trigger phrase 'was ruled out'
+    // intervenes before the concept: reference mode kills the pre pair
+    val t = "No cough was ruled out before pneumonia appeared today."
+    val ref = LinkOptions(negexUtteranceMaxDist = Some(0),
+      negexConceptMaxDist = Some(20))
+    val ms = mentions(t, ref)
+    assert(!ms.find(_.cui == "C0032285").exists(_.negated), ms.toString)
+    // the pinned default window mode has no such rule (6-word window
+    // rules it out anyway here; assert the near concept still negates
+    // under default to show the trigger itself is live)
+    assert(mentions("No pneumonia found.").find(_.cui == "C0032285")
+      .exists(_.negated))
+  }
+
   test("kg_option_profiles: cross-mode count relations hold") {
     // pins the gate entry's RELATIONSHIPS, which survive corpus growth:
     // cascade prunes beyond bare restrict; exclude+cascade == exclude
