@@ -162,4 +162,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     // multi-member clusters exist on the synthetic corpus (near-dups seeded)
     assert(rows.groupBy(_._2).exists(_._2.length > 1))
   }
+
+  test("snapshot versioning: held DataFrames survive a re-materialization") {
+    // a consumer's plan captures the snapshot's parquet file listing at
+    // read time; re-materializing the same snapshot must write a NEW
+    // versioned directory so the old plan stays evaluable (an in-place
+    // overwrite would delete the files under it -> FileNotFoundException)
+    val held = graft.ops.CorpusOps.corpusCurationDecision(spark, sf)
+    val before = held.count()
+    // the owning query entries re-materialize their snapshots
+    graft.ops.DocOps.dedupCcClusters(spark, sf).count()
+    graft.ops.CorpusOps.corpusDecontaminate(spark, sf).count()
+    // the held plan still evaluates, and to the same rows
+    assert(held.count() == before)
+  }
 }

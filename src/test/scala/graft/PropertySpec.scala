@@ -255,4 +255,18 @@ class PropertySpec extends AnyFunSuite {
       assert(v >= 0.0 && v <= 2.0 + 1e-9)
     }
   }
+
+  test("ascii fold: total over the entire BMP, always pure ASCII output") {
+    // every char (all 65,536 codepoints incl. unpaired surrogates) must
+    // fold without throwing, and the result must be pure ASCII — the
+    // downstream tokenizer/kernel contract (a non-ASCII leak would make
+    // extraction non-byte-stable)
+    var c = 0
+    while (c < 0x10000) {
+      val r = graft.text.Extract.foldChar(c.toChar)
+      if (!r.forall(_ < 128))
+        fail(f"foldChar(U+$c%04x) emitted non-ASCII: '$r'")
+      c += 1
+    }
+  }
 }
