@@ -38,8 +38,14 @@ object IcebergLite {
   def latestSnapshot(root: String): Option[Snapshot] = {
     val dir = manifestDir(root)
     if (!Files.isDirectory(dir)) return None
-    val snaps = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("snapshot-")).toVector
+    val stream = Files.list(dir)
+    // close the directory stream: a long-running streaming driver calls
+    // this once per micro-batch and leaked handles eventually exhaust
+    // the fd ulimit
+    val snaps =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("snapshot-")).toVector
+      finally stream.close()
     if (snaps.isEmpty) None
     else {
       val latest = snaps.maxBy(p =>
@@ -81,14 +87,48 @@ object IcebergLite {
       val snap = Snapshot(prev.map(_.snapshotId).getOrElse(0) + 1,
         (prev.map(_.partitions).getOrElse(Vector.empty) ++ metrics).sortBy(_.bucket))
       Files.createDirectories(manifestDir(root))
-      Files.write(manifestDir(root).resolve(s"snapshot-${snap.snapshotId}.json"),
-        renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
+      // write-temp + ATOMIC_MOVE: a crash mid-write must never leave a
+      // truncated-but-regex-parseable manifest (it would under-list the
+      // committed buckets and defeat the orphan cleanup on replay)
+      val target = manifestDir(root).resolve(s"snapshot-${snap.snapshotId}.json")
+      val tmp = manifestDir(root).resolve(s".snapshot-${snap.snapshotId}.json.tmp")
+      Files.write(tmp, renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       snap
     }
 
     // every possible bucket already committed: resume is a metadata-only
     // no-op — the input is never scanned
     if (committed.size >= nBuckets) return commit(Vector.empty)
+
+    // self-heal orphaned buckets: a crash between a successful append
+    // job and the manifest write leaves data for buckets the manifest
+    // never committed; retrying without cleanup would append a SECOND
+    // copy of those rows (metrics then scan both). Before writing,
+    // delete any bucket directory on disk that is not committed — all
+    // legitimately-present data is, by construction.
+    {
+      val dp = Paths.get(dataDir)
+      if (Files.isDirectory(dp)) {
+        val stream = Files.list(dp)
+        val orphans =
+          try stream.iterator().asScala.filter { d =>
+            val n = d.getFileName.toString
+            n.startsWith("part_bucket=") &&
+              scala.util.Try(n.stripPrefix("part_bucket=").toInt).toOption
+                .exists(b => !committed.contains(b))
+          }.toVector
+          finally stream.close()
+        orphans.foreach { d =>
+          val walk = Files.walk(d)
+          try walk.iterator().asScala.toVector.reverseIterator
+            .foreach(Files.deleteIfExists(_))
+          finally walk.close()
+        }
+      }
+    }
 
     val bucketed = triples.withColumn("part_bucket",
       pmod(xxhash64(col("subj_cui")), lit(nBuckets)).cast("int"))
@@ -142,7 +182,7 @@ object IcebergLite {
   def readAll(spark: SparkSession, root: String): DataFrame = {
     val dirs = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .filter(f => f.isDirectory && f.getName.matches("batch-\\d+"))
       .sortBy(_.getName.stripPrefix("batch-").toLong) // numeric: batch-10 > batch-2
       // an all-non-English micro-batch commits an EMPTY snapshot whose data
       // dir has no parquet to infer a schema from — skip, don't poison
@@ -175,9 +215,36 @@ object IcebergLite {
         throw new IllegalArgumentException(s"no snapshot $id at $root"))
       case None => latestSnapshot(root).getOrElse(Snapshot(0, Vector.empty))
     }
-    val df = spark.read.parquet(Paths.get(root, "data").toString)
     val ok = snap.partitions.map(_.bucket)
-    if (ok.isEmpty) df.limit(0)
-    else df.filter(col("part_bucket").isin(ok: _*))
+    val dataDir = Paths.get(root, "data")
+    // the empty-snapshot guard must run BEFORE the parquet read: an
+    // empty committed table's data dir holds no parquet to infer a
+    // schema from (or may not exist at all), and the eager read would
+    // throw instead of returning the documented empty view
+    def hasParquet: Boolean = Files.isDirectory(dataDir) && {
+      val walk = Files.walk(dataDir, 2)
+      try walk.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    if (ok.isEmpty) {
+      if (hasParquet) spark.read.parquet(dataDir.toString).limit(0)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("subj_cui",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pred",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("obj_cui",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("sentNo",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("part_bucket",
+            org.apache.spark.sql.types.IntegerType))))
+    }
+    else spark.read.parquet(dataDir.toString)
+      .filter(col("part_bucket").isin(ok: _*))
   }
 }

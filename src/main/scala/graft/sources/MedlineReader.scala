@@ -84,17 +84,21 @@ object MedlineReader {
     */
   private[graft] def beginsField(line: String): Option[(String, String)] = {
     val dense = line.takeWhile(c => !separators.contains(c))
-    if (dense.isEmpty || !knownFields.contains(dense.toUpperCase)) None
+    // case-SENSITIVE: the reference's medline_field/ris_field atoms are
+    // exact upper-case ('An' is not a field) — an upcasing match would
+    // shear an abstract continuation line starting "An increase ..."
+    // into a bogus AN field and silently drop the rest of the abstract
+    if (dense.isEmpty || !knownFields.contains(dense)) None
     else {
       val after = line.drop(dense.length)
       val blanks = after.takeWhile(_ == ' ')
       val rest = after.drop(blanks.length)
       if (rest.nonEmpty && separators.contains(rest.head))
-        Some((dense.toUpperCase, rest.drop(1).dropWhile(_ == ' ')))
+        Some((dense, rest.drop(1).dropWhile(_ == ' ')))
       else if (blanks.nonEmpty)
         // the first blank is itself the separator (f_separator's
         // space-char clause); remaining text is the field body
-        Some((dense.toUpperCase, rest))
+        Some((dense, rest))
       else None
     }
   }
@@ -268,17 +272,27 @@ object MedlineReader {
     * it annotates it.
     */
   def parseBlocks(body: String): Vector[Citation] = {
-    def dummyOf(block: String): Option[Citation] = {
+    def dummyOf(block: String, ord: Int): Option[Citation] = {
       val text = block.split("\n", -1).iterator.map(_.trim)
         .filter(_.nonEmpty).mkString(" ")
       if (text.isEmpty) None
-      else Some(Citation("00000000", Vector(Field("TX", text))))
+      // the reference disambiguates dummy ids per input FILE (its
+      // form_dummy_citation stamps the file basename; the TextID =
+      // '00000000' line is commented out) — an input row can hold
+      // several non-citation blocks, so beyond the first they take an
+      // ordinal suffix, or unrelated documents would merge under one
+      // url key in every downstream groupBy
+      else Some(Citation(if (ord == 0) "00000000" else s"00000000-$ord",
+        Vector(Field("TX", text))))
     }
-    // PER-BLOCK fallback: every record that fails citation parse (plain
-    // text before the first head, a title-less PMID block, a UI-headed
-    // block) dummy-wraps independently — not only when the whole body
-    // has zero citations
-    splitCitations(body).flatMap(b => parseCitation(b).orElse(dummyOf(b)))
+    var nDummies = 0
+    splitCitations(body).flatMap { b =>
+      parseCitation(b).orElse {
+        val d = dummyOf(b, nDummies)
+        if (d.isDefined) nDummies += 1
+        d
+      }
+    }
   }
 
   /** Split a raw file body into citation blocks: a new block starts at
@@ -325,14 +339,19 @@ object MedlineReader {
     * Non-text fields are dropped here (the reference carries them to
     * output formatting only).
     */
+  /** THE text-field row shaper — (id, lowercased field, text) — shared
+    * by [[textFields]] and [[mentions]] so the url/label convention and
+    * the text-field filter cannot desynchronize between the two tables.
+    */
+  private def textFieldRows(body: String): Vector[(String, String, String)] =
+    parseBlocks(body).flatMap { c =>
+      c.fields.filter(f => textFieldNames(f.name) && f.value.nonEmpty)
+        .map(f => (c.id, f.name.toLowerCase, f.value))
+    }
+
   def textFields(raw: Dataset[String])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    raw.flatMap { body =>
-      parseBlocks(body).flatMap { c =>
-        c.fields.filter(f => textFieldNames(f.name) && f.value.nonEmpty)
-          .map(f => (c.id, f.name.toLowerCase, f.value))
-      }
-    }.toDF("pmid", "field", "text")
+    raw.flatMap(textFieldRows).toDF("pmid", "field", "text")
   }
 
   /** Run the per-document kernel over each text field: mentions carry
@@ -343,12 +362,11 @@ object MedlineReader {
       implicit spark: SparkSession): Dataset[Mention] = {
     import spark.implicits._
     raw.mapPartitions { it =>
+      val t = umls.value
       it.flatMap { body =>
-        parseBlocks(body).flatMap { c =>
-          val t = umls.value
-          c.fields.filter(f => textFieldNames(f.name) && f.value.nonEmpty)
-            .flatMap(f => DocKernel.mentions(s"${c.id}.${f.name.toLowerCase}", f.value, t))
-        }.iterator
+        textFieldRows(body).iterator.flatMap { case (id, fn, v) =>
+          DocKernel.mentions(s"$id.$fn", v, t)
+        }
       }
     }
   }

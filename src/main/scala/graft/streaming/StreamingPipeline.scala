@@ -123,9 +123,20 @@ object StreamingPipeline {
   /** Custom keyed state (flatMapGroupsWithState): emit each distinct
     * (subj, pred, obj) the FIRST time it is observed across the stream's
     * lifetime — the incremental "new knowledge" feed of the graph. State
-    * per key is one boolean; at 10^12-doc scale the state store shards by
-    * the triple key across executors, and hot triples cost one lookup per
-    * micro-batch partition, not per row (rows for a key arrive grouped).
+    * per key is one boolean and the store shards by the triple key
+    * across executors; hot triples cost one lookup per micro-batch
+    * partition, not per row (rows for a key arrive grouped).
+    *
+    * DEPLOYMENT NOTE (state growth): lifetime first-seen state grows
+    * with the DISTINCT-triple count and is never evicted
+    * (GroupStateTimeout.NoTimeout — eviction would re-emit a triple as
+    * "new"). The default HDFS-backed state store keeps each partition's
+    * key map on the executor heap, so a long-running stream over a
+    * billions-of-distinct-triples corpus must run with the RocksDB
+    * state store (spark.sql.streaming.stateStore.providerClass =
+    * RocksDBStateStoreProvider) — spilling state to local disk — and
+    * enough shuffle partitions to shard it; with the heap-backed store
+    * this operator is bounded-corpus only.
     */
   def firstSeenTriples(triples: DataFrame)(
       implicit spark: SparkSession): Dataset[(String, String, String)] = {

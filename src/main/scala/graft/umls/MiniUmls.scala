@@ -570,11 +570,16 @@ object MiniUmls {
       synonyms = synonyms,
       // -d: the closure runs with NO derivation edges (curated or rule)
       derivations = if (noDeriv) Vector.empty else derivations ++ ruleDeriv)
+    // both endpoints of every pair get a row (the job's rule; the
+    // fixture pairs are pre-symmetrized so this is a no-op here, but the
+    // two builders must share the word-list contract byte-for-byte)
     val allWords = (nouns ++ adjectives ++ verbs).toVector ++
-      spellings.map(_._1) ++ inflections.map(_._1) ++ derivations.map(_._1) ++
+      spellings.flatMap(p => Vector(p._1, p._2)) ++
+      inflections.flatMap(p => Vector(p._1, p._2)) ++
+      derivations.flatMap(p => Vector(p._1, p._2)) ++
       ruleInfl.map(_._1) ++ ruleInfl.map(_._2) ++
       ruleDeriv.map(_._1) ++ ruleDeriv.map(_._2) ++
-      synonyms.map(_._1)
+      synonyms.flatMap(p => Vector(p._1, p._2))
     VariantClosure.table(allWords, e)
   }
 

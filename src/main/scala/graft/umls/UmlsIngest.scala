@@ -474,12 +474,19 @@ object UmlsIngest {
       derivations = derivPairs ++ ruleDeriv)
     val bcEdges = spark.sparkContext.broadcast(e)
 
-    // stage 3: per-word closure, distributed over the full word list
+    // stage 3: per-word closure, distributed over the full word list.
+    // BOTH endpoints of every fact pair get a table row: curated pairs
+    // may arrive one-directional (a LEXICON irregular like mouse|mice
+    // emits only (mouse, mice)), and without a "mice" key the surface
+    // form would have no static variants — and the dynamic fallback's
+    // rule deinflection cannot reverse an irregular
     val allWords = (lexWords.toVector ++
-      spellPairs.map(_._1) ++ inflPairs.map(_._1) ++ derivPairs.map(_._1) ++
+      spellPairs.flatMap(p => Vector(p._1, p._2)) ++
+      inflPairs.flatMap(p => Vector(p._1, p._2)) ++
+      derivPairs.flatMap(p => Vector(p._1, p._2)) ++
       ruleInfl.flatMap(p => Vector(p._1, p._2)) ++
       ruleDeriv.flatMap(p => Vector(p._1, p._2)) ++
-      synPairs.map(_._1)).distinct.sorted
+      synPairs.flatMap(p => Vector(p._1, p._2))).distinct.sorted
 
     allWords.toDF("word")
       .repartition(math.max(1, math.min(64, allWords.size / 1000 + 1)))

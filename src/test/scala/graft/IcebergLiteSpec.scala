@@ -102,4 +102,46 @@ class IcebergLiteSpec extends AnyFunSuite with SparkTestBase {
     triples.unpersist()
     rm(java.nio.file.Paths.get(root))
   }
+
+  test("crash between append and manifest: orphaned buckets self-heal, no duplicates") {
+    implicit val s = spark
+    val root = tmpDir().toString
+    val triples = Pipeline.run(CorpusGen.pages(spark, 150)).cache()
+    val total = triples.count()
+    // simulate the crash: the append job committed its parquet but the
+    // manifest write never happened (no _manifest at all)
+    IcebergLite.write(triples, root)
+    rm(java.nio.file.Paths.get(root, "_manifest"))
+    // the retry must DELETE the orphaned bucket data before appending,
+    // or every row would be counted twice by the metrics scan
+    val retried = IcebergLite.write(triples, root)
+    assert(retried.partitions.map(_.rows).sum == total)
+    assert(IcebergLite.read(spark, root).count() == total)
+    triples.unpersist()
+    rm(java.nio.file.Paths.get(root))
+  }
+
+  test("empty committed table reads as an empty view, never throws") {
+    implicit val s = spark
+    import s.implicits._
+    val root = tmpDir().toString
+    val empty = Seq.empty[(String, String, String, String, Int)]
+      .toDF("subj_cui", "pred", "obj_cui", "url", "sentNo")
+    val snap = IcebergLite.write(empty, root)
+    assert(snap.partitions.isEmpty)
+    assert(IcebergLite.read(spark, root).count() == 0L)
+    assert(IcebergLite.readAsOf(spark, root, Some(snap.snapshotId)).count() == 0L)
+    rm(java.nio.file.Paths.get(root))
+  }
+
+  test("readAll tolerates stray non-numeric batch-* directories") {
+    implicit val s = spark
+    val root = tmpDir()
+    val triples = Pipeline.run(CorpusGen.pages(spark, 100))
+    val n = triples.count()
+    IcebergLite.write(triples, root.resolve("batch-0").toString)
+    Files.createDirectories(root.resolve("batch-tmp")) // operator residue
+    assert(IcebergLite.readAll(spark, root.toString).count() == n)
+    rm(root)
+  }
 }

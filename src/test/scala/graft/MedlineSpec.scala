@@ -85,6 +85,18 @@ class MedlineSpec extends AnyFunSuite {
     assert(!MedlineReader.isCitation(Seq("pmid- 1", "TI  - T.")))
     val lower = MedlineReader.parseBlocks("pmid- 1\nTI  - T.")
     assert(lower.head.id == "00000000" && lower.head.fields.head.name == "TX")
+    // the PARSE grammar is case-sensitive too (medline_field/ris_field
+    // atoms are exact): an unindented abstract continuation starting
+    // "An increase ..." must NOT shear AB into a bogus AN field
+    val sheared = "PMID- 7\nTI  - T.\nAB  - line one.\nAn increase was seen."
+    val c7 = MedlineReader.parseCitation(sheared).get
+    assert(c7.fields.map(_.name) == Vector("PMID", "TI", "AB"))
+    assert(c7.fields.last.value == "line one. An increase was seen.")
+    // multiple non-citation blocks in one row get DISTINCT dummy ids —
+    // unrelated documents must not merge under one url key
+    val two = MedlineReader.parseBlocks(
+      "Plain text block one.\nPMID- 9\nAB  - no title here.")
+    assert(two.map(_.id) == Vector("00000000", "00000000-1"))
   }
 
   test("S1 ris: TY-headed record with T1 title and ER terminator") {

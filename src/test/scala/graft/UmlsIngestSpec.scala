@@ -139,6 +139,12 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(!viaRrf.firstWordIndex.values.flatten.exists(_.str.contains("suppressed")))
     assert(!viaRrf.firstWordIndex.values.flatten.exists(_.str == "Herzinfarkt"))
     assert(viaRrf.variants("myocardial").exists(_.word == "myocardium"))
+    // BOTH endpoints of a one-directional irregular pair get table rows:
+    // the surface form "febres" (emitted only as (fever, febres)) must
+    // have its own key reaching back to "fever", or corpus occurrences
+    // of the irregular could never retrieve fever-keyed index strings
+    assert(viaRrf.variants.contains("febres"))
+    assert(viaRrf.variants("febres").exists(_.word == "fever"))
   }
 
   test("lexical records: lcheck-style parse -> render round trip over 100+ records") {
@@ -319,11 +325,14 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
       inflections = (inflections ++ ruleEdges.flatMap(_._1)).toVector,
       synonyms = synonyms.toVector,
       derivations = (derivations ++ ruleEdges.flatMap(_._2)).toVector)
-    val allWords = (lexWords.toVector ++ spellings.map(_._1) ++
-      inflections.map(_._1) ++ derivations.map(_._1) ++
+    // both endpoints of every pair, matching the job's word-list rule
+    val allWords = (lexWords.toVector ++
+      spellings.flatMap(p => Vector(p._1, p._2)) ++
+      inflections.flatMap(p => Vector(p._1, p._2)) ++
+      derivations.flatMap(p => Vector(p._1, p._2)) ++
       ruleEdges.flatMap(_._1).flatMap(p => Vector(p._1, p._2)) ++
       ruleEdges.flatMap(_._2).flatMap(p => Vector(p._1, p._2)) ++
-      synonyms.map(_._1)).distinct
+      synonyms.flatMap(p => Vector(p._1, p._2))).distinct
     val seq = graft.umls.VariantClosure.table(allWords.toVector, e)
     assert(job.size == seq.size)
     assert(job == seq)
