@@ -31,6 +31,17 @@ object AaDetector {
   def findAas(toks: Vector[Tok]): Map[String, Vector[String]] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     val words = toks.zipWithIndex.filter(_._1.isWord)
+    // sentence floor per char offset: the expansion scope must not cross
+    // a sentence boundary (the documented `expansion ( AA )` pattern is
+    // INSIDE one sentence; an unbounded lookback could assemble a bogus
+    // expansion from the previous sentence's words). Uses THE sentence
+    // splitter, so abbreviation-aware boundaries match the kernel's.
+    val sentStarts: Vector[Int] =
+      graft.text.Sentences.split(toks).map(_.start)
+    def sentFloor(charPos: Int): Int = {
+      val idx = sentStarts.lastIndexWhere(_ <= charPos)
+      if (idx < 0) 0 else sentStarts(idx)
+    }
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
@@ -47,7 +58,8 @@ object AaDetector {
             aaTok.typ != "nu") {
             // scope: word tokens before '(' in the same sentence, up to
             // min(|AA|+5, 2*|AA|+2) words back (Schwartz–Hearst-style bound)
-            val before = words.filter(_._2 < i).map(_._1)
+            val floor = sentFloor(t.start)
+            val before = words.filter(w => w._2 < i && w._1.start >= floor).map(_._1)
             val bound = math.min(aaTok.text.length + 5, 2 * aaTok.text.length + 2)
             val scopeAll = before.takeRight(bound)
             findExpansion(aaTok.lc, scopeAll).foreach { exp =>
@@ -91,22 +103,32 @@ object AaDetector {
     */
   def score(aa: String, exp: Vector[Tok]): Double = {
     val expWords = exp.map(_.lc)
-    // greedy: each AA char should match the initial of the next unconsumed
-    // expansion word; a char may also continue inside the current word
+    // greedy, initials-FIRST: each AA char prefers the initial of the
+    // next unconsumed expansion word; when the next initial does not
+    // match, the char may continue INSIDE the current word (in order) —
+    // the match class standard acronyms like DNA fall into ('n','a'
+    // drawn from inside "deoxyribonucleic"). Preferring the next
+    // initial keeps pure-initialisms (HA, CA, BP) matching word-per-char
+    // exactly as before.
     var wi = 0
     var matchedChars = 0
     var matchedWords = 0
     var ci = 0
+    var posInWord = 0 // 0 = current word's initial not yet matched
     while (ci < aa.length && wi < expWords.length) {
       val c = aa.charAt(ci)
-      if (expWords(wi).nonEmpty && expWords(wi).charAt(0) == c) {
-        matchedChars += 1
-        matchedWords += 1
-        wi += 1
-        ci += 1
+      val w = expWords(wi)
+      if (posInWord == 0) {
+        if (w.nonEmpty && w.charAt(0) == c) {
+          matchedChars += 1; matchedWords += 1; ci += 1; posInWord = 1
+        } else wi += 1 // word contributed no initial (stop word etc.)
+      } else if (wi + 1 < expWords.length && expWords(wi + 1).nonEmpty &&
+        expWords(wi + 1).charAt(0) == c) {
+        wi += 1; posInWord = 0 // next word's initial takes priority
       } else {
-        // skip a scope word that contributed no initial (stop word etc.)
-        wi += 1
+        val idx = w.indexOf(c, posInWord)
+        if (idx >= 0) { matchedChars += 1; ci += 1; posInWord = idx + 1 }
+        else { wi += 1; posInWord = 0 }
       }
     }
     val unmatchedAa = aa.length - matchedChars

@@ -254,7 +254,15 @@ object Graft {
         val t = bc.value
         it.flatMap { case (id, term) =>
           if (term == null) Iterator.empty
-          else DocKernel.termMentions(id, term, t, opts).iterator
+          // segmentation applies in term mode too (-z --sldi = one TERM
+          // per line): records() is the single shared dispatch, so ids
+          // and record boundaries cannot drift between annotate,
+          // annotateTerms, and the server (which routes -z through the
+          // same path)
+          else graft.sources.MedlineReader.records(id, term, opts)
+            .iterator.flatMap { case (url, rt) =>
+              DocKernel.termMentions(url, rt, t, opts)
+            }
         }
       }.toDF()
   }

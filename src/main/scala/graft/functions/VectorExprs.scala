@@ -49,10 +49,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"graft_cosine expects array<float|double>, got ${left.dataType}, ${right.dataType}")
   }
 
+  // mismatched dimensionality yields NULL, never a plausible-but-wrong
+  // common-prefix score (DuckDB's list functions error on mismatch; a
+  // schema-drifted 32-dim query against 64-dim corpus vectors must not
+  // silently rank with truncated similarities)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -78,14 +85,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.$gx($i);
-         |  double $yv = (double) $b.$gy($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $a.$gx($i);
+         |    double $yv = (double) $b.$gy($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }
@@ -124,10 +135,14 @@ case class DotProduct(left: Expression, right: Expression)
         s"graft_dot expects array<float|double>, got ${left.dataType}, ${right.dataType}")
   }
 
+  // NULL on dimension mismatch, like CosineSimilarity
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var dot = 0.0
@@ -149,12 +164,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.$gx($i)) * ((double) $b.$gy($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.$gx($i)) * ((double) $b.$gy($i));
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
   }

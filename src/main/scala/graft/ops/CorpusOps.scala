@@ -118,10 +118,20 @@ object CorpusOps {
         SsnRe, "<SSN>"),
       PhoneRe, "<PHONE>")
 
-  def nRedactions(text: Column): Column =
+  /** Count of replacements [[scrubbed]] actually performs: each later
+    * pattern counts over the text AFTER the earlier passes ran (email ->
+    * SSN -> phone, the same order). Counting all three independently on
+    * the original text would double-count overlaps — a phone number
+    * embedded in an email local-part is ONE <EMAIL> replacement, not two
+    * redactions.
+    */
+  def nRedactions(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "<SSN>")
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
-      size(regexp_extract_all(text, lit(SsnRe), lit(0))) +
-      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("int")
+      size(regexp_extract_all(afterEmail, lit(SsnRe), lit(0))) +
+      size(regexp_extract_all(afterSsn, lit(PhoneRe), lit(0)))).cast("int")
+  }
 
   /** PII scrub over the documents table: redaction count + md5 of the
     * scrubbed text per doc (the hash keeps the gate compare exact without
@@ -134,15 +144,19 @@ object CorpusOps {
       .orderBy(col("doc_id"))
 
   val docPiiScrubSql: String =
-    """SELECT doc_id,
+    """WITH p AS (SELECT doc_id, text,
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS after_email FROM documents),
+      |q AS (SELECT doc_id, text, after_email,
+      |    regexp_replace(after_email, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')
+      |      AS after_ssn FROM p)
+      |SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-      |    + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
-      |    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_redactions,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      |    + len(regexp_extract_all(after_email, '\b\d{3}-\d{2}-\d{4}\b'))
+      |    + len(regexp_extract_all(after_ssn, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_redactions,
+      |  md5(regexp_replace(after_ssn,
       |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM q ORDER BY doc_id""".stripMargin
 
   /** Deterministic train/val/test assignment by content-free id hash —
     * the standard leakage-safe split for training corpora: stable under

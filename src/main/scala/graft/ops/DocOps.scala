@@ -153,6 +153,9 @@ object DocOps {
     * shingles (rolling-hash fingerprinting re-expressed with an
     * engine-portable hash).
     */
+  /** One row per document; fingerprint is NULL for sub-3-token docs
+    * (no trigram exists) — the oracle LEFT JOINs so both sides agree.
+    */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), array_min(transform(shingles(toks(col("text"))),
@@ -163,7 +166,9 @@ object DocOps {
     """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |s AS (SELECT doc_id, md5(array_to_string(toks[i:i+2], ' ')) h
       |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) g)
-      |SELECT doc_id, min(h) AS fingerprint FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |SELECT t.doc_id, min(s.h) AS fingerprint
+      |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   // ---------- deduplication ----------
 
@@ -446,22 +451,32 @@ object DocOps {
   /** Canonical-document selection per near-dup cluster — the step after
     * clustering that a dedup pipeline actually ships: keep ONE
     * representative per cluster (longest document, doc_id tie-break) and
-    * drop the rest. The per-cluster window is keyed by cluster_id;
-    * clusters are near-dup groups whose size the upstream hot-bucket cap
-    * bounds, so no window partition is corpus-scale. Reads the
-    * per-snapshot materialized cluster table (SnapshotCache) instead of
-    * re-running connected components — the CC job runs once per corpus
-    * snapshot, every consumer reads its output.
+    * drop the rest. The representative is selected with a per-cluster
+    * MAX-aggregation (map-side combined) + join-back, NOT a window: the
+    * hot-bucket cap bounds individual band buckets, but connected
+    * components chain transitively ACROSS buckets, so a boilerplate/
+    * template component can grow far past any bucket bound at corpus
+    * scale — a window would sort that whole component in one task,
+    * while the agg keeps one (n_chars, doc_id) pair of state per
+    * cluster regardless of its size. Reads the per-snapshot
+    * materialized cluster table (SnapshotCache) instead of re-running
+    * connected components — the CC job runs once per corpus snapshot,
+    * every consumer reads its output.
     */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    clusterTable(spark, sfDir)
-      .join(docs, Seq("doc_id"))
-      .withColumn("keep", row_number().over(w) === 1)
-      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+    val members = clusterTable(spark, sfDir).join(docs, Seq("doc_id"))
+    // winner per cluster: longest doc, LOWEST doc_id tie-break —
+    // max(struct(n_chars, -doc_id)) carries both orderings in one
+    // map-side-combinable aggregate
+    val winners = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars").as("w_chars"), (-col("doc_id")).as("w_negid")))
+        .as("w"))
+      .select(col("cluster_id"), (-col("w.w_negid")).as("winner_id"))
+    members.join(winners, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        (col("doc_id") === col("winner_id")).as("keep"))
       .orderBy(col("doc_id"))
   }
 

@@ -37,8 +37,14 @@ object SnapshotCache {
   private val versions = scala.collection.mutable.Map[String, Int]()
 
   private def baseFor(sfDir: String, name: String): String = {
+    // key by basename + a digest of the FULL path: two corpora whose
+    // directories share a final component (runA/sf0.1 vs runB/sf0.1)
+    // must not silently serve each other's snapshots
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val base = new java.io.File(sfDir).getName
-    new java.io.File(s"target/graft_snapshot/$base/$name").getAbsolutePath
+    new java.io.File(s"target/graft_snapshot/$base-$digest/$name").getAbsolutePath
   }
 
   /** Recompute + write the snapshot (to a fresh version), return the

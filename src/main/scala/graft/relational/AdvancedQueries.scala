@@ -361,7 +361,12 @@ object AdvancedQueries {
   def q27SkewSafeDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
       .groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("value")).cast("decimal(18,2)").as("v"))
+      // cast BEFORE the sum: decimal accumulation is exact and
+      // partitioning-invariant; a raw double sum then cast would carry
+      // accumulation-order FP error past the half-cent boundary on a
+      // billion-event hot key
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("n_rows")).as("n_events"),

@@ -186,7 +186,10 @@ object RelationalQueries {
     e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull
-          .or(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800), 1L)
+          // cast-to-double keeps MICROSECOND fractions, matching the
+          // oracle's epoch(): unix_timestamp truncates to whole seconds
+          // and diverges on gaps within 1s of the threshold
+          .or(col("ts").cast("double") - col("prev_ts").cast("double") > 1800), 1L)
           .otherwise(0L))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))

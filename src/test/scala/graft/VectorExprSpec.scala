@@ -68,13 +68,20 @@ class VectorExprSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got - expect) < 1e-15)
   }
 
-  test("double arrays and mixed sizes") {
+  test("double arrays; dimension mismatch yields NULL, never a prefix score") {
     import spark.implicits._
     GraftFunctions.register(spark)
+    // a schema-drifted 2-dim query against 3-dim vectors must not rank
+    // with a plausible-but-wrong common-prefix cosine (DuckDB's list
+    // functions error on mismatch; the Spark-side contract is NULL)
     val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0, 5.0))).toDF("a", "b")
-    // min-length semantics (zip up to shorter array)
-    val v = df.select(GraftFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
-    assert(math.abs(v - 1.0 / math.sqrt(26.0)) < 1e-12 || v == 1.0)
+    val r = df.select(GraftFunctions.cosine(col("a"), col("b")),
+      GraftFunctions.dot(col("a"), col("b"))).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // equal dims still compute (double element type)
+    val ok = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
   }
 
   test("capped collect set: exact under cap, overflow marker above, sorted") {
