@@ -186,10 +186,12 @@ object RelationalQueries {
     e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull
-          // cast-to-double keeps MICROSECOND fractions, matching the
-          // oracle's epoch(): unix_timestamp truncates to whole seconds
-          // and diverges on gaps within 1s of the threshold
-          .or(col("ts").cast("double") - col("prev_ts").cast("double") > 1800), 1L)
+          // timestamp subtraction keeps MICROSECOND fractions, matching
+          // the oracle's epoch() semantics (unix_timestamp truncates to
+          // whole seconds and diverges on gaps within 1s of the
+          // threshold) — and unlike a cast-to-double it is legal for
+          // both TIMESTAMP and TIMESTAMP_NTZ columns
+          .or(col("ts") - col("prev_ts") > expr("INTERVAL 1800 SECOND")), 1L)
           .otherwise(0L))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
