@@ -71,7 +71,9 @@ object AdvancedQueries {
       .agg(sum(dec(col("o_totalprice"))).as("sum_price"), count(lit(1)).as("cnt"))
     o.join(stats, col("o_custkey") === col("k"))
       .filter(dec(col("o_totalprice")) * col("cnt") > col("sum_price"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // no broadcast hint on customer — it scales with SF (forced broadcast
+      // is a 100× scale-killer); AQE broadcasts from stats when it fits.
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_above_avg"))
       .orderBy(col("c_mktsegment"))

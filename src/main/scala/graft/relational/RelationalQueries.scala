@@ -69,8 +69,12 @@ object RelationalQueries {
     val rev = li.groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
         .cast("double").as("revenue"))
+    // customer carries NO broadcast hint: it scales linearly with SF, so a
+    // forced broadcast OOMs the driver at 100 TB. AQE still picks a broadcast
+    // join at small scale from runtime stats; at large scale it degrades
+    // gracefully to a shuffle join on the rollup-cardinality side.
     rev.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_mktsegment"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
