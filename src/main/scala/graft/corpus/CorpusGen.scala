@@ -184,7 +184,23 @@ object CorpusGen {
       (Vector("No fever aside from chest pain."),
         Vector(m(0, 3, 5, "C0015967", 1000, neg = true),
           m(0, 20, 10, "C0008031", 1000)),
-        Vector.empty))
+        Vector.empty),
+      // P12 (round 6, F2 + gap-filling interaction pins): "Heart lung
+      // disease" retrieves TWO C0018799 candidates — "Heart Diseases"
+      // (heart exact + diseases inflection var, score 897) and "Cardiac
+      // disease" (cardiac synonym var + disease exact) — whose matchmaps
+      // consolidate to the same covered positions {1,3}, so F2
+      // (skr.pl:4471-4518) keeps only the better-scoring one. The
+      // survivor's component span (words 1..3) properly CONTAINS the
+      // disjoint "Lung" candidate on word 2 without staggering or
+      // component intersection, which per is_proper_subspan +
+      // component_intersects_components (skr.pl:3815-3822) is NOT an
+      // interaction — the single best mapping (890) carries BOTH
+      // concepts. If the interaction basis regresses to extent overlap,
+      // the 660 lung mention disappears and this golden flips.
+      (Vector("Heart lung disease was confirmed."),
+        Vector(m(0, 0, 18, "C0018799", 897), m(0, 6, 4, "C0024109", 660)),
+        Vector(("C0024109", "location_of", "C0018799", 0))))
   }
 
   val nSpecial: Int = specialPages.length
@@ -245,7 +261,13 @@ object CorpusGen {
     // text_objects.pl:3053-3058)
     Vector("The Immigration and Nationality Act (Act) was cited."),
     // rejected: single-char AA fails the length guard
-    Vector("Fever (F) subsided."))
+    Vector("Fever (F) subsided."),
+    // accepted via INSIDE-word char matching with next-initial priority
+    // (text_objects.pl:2584-2830): 'd' matches the initial of
+    // "deoxyribonucleic", 'n' continues INSIDE it, 'a' jumps to the
+    // initial of "acid" — V = 0. An initials-only matcher leaves 'n'
+    // unmatched (V = 1/3 > 0.30) and rejects the class.
+    Vector("Deoxyribonucleic acid (DNA) was analyzed."))
 
   def aaPages(spark: SparkSession): Dataset[Page] = {
     import spark.implicits._

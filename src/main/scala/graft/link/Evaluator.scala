@@ -84,20 +84,25 @@ object Evaluator {
       }
     }
 
-    // F2 redundancy filter (filter_out_redundant_evaluations,
-    // skr.pl:4461-4516): the list is re-sorted CUI-PosScore-Candidate
-    // (CUI groups, ASCENDING positive score within a group), and an
-    // entry is dropped when a LATER same-CUI entry has an EQUIVALENT
-    // CONSOLIDATED phrase-component set (matchmaps_are_equivalent ->
-    // linearize + sort, skr.pl:4590-4601) — so the survivor of each
-    // equivalence class is the best-scoring member (largest term on
-    // score ties), and the key is covered POSITIONS, not the raw
-    // matchmap row list ([1,2] and [1,1],[2,2] are equivalent).
-    // NOTE: G2 pruning does NOT happen here — the reference filters
-    // first (filter_evaluations, skr.pl:913,1408) and prunes inside
-    // mapping construction (skr.pl:3452-3459); DocKernel applies
-    // Pruning.prune AFTER the option filters.
-    val byCui = out.toVector.sortBy(c => (c.cui, c.score, c.str))
+    filterRedundant(out.toVector)
+  }
+
+  /** F2 redundancy filter (filter_out_redundant_evaluations,
+    * skr.pl:4461-4516): the list is re-sorted CUI-PosScore-Candidate
+    * (CUI groups, ASCENDING positive score within a group), and an
+    * entry is dropped when a LATER same-CUI entry has an EQUIVALENT
+    * CONSOLIDATED phrase-component set (matchmaps_are_equivalent ->
+    * linearize + sort, skr.pl:4590-4601) — so the survivor of each
+    * equivalence class is the best-scoring member (largest term on
+    * score ties), and the key is covered POSITIONS, not the raw
+    * matchmap row list ([1,2] and [1,1],[2,2] are equivalent).
+    * NOTE: G2 pruning does NOT happen here — the reference filters
+    * first (filter_evaluations, skr.pl:913,1408) and prunes inside
+    * mapping construction (skr.pl:3452-3459); DocKernel applies
+    * Pruning.prune AFTER the option filters.
+    */
+  private[graft] def filterRedundant(cands: Vector[Candidate]): Vector[Candidate] = {
+    val byCui = cands.sortBy(c => (c.cui, c.score, c.str))
     val comps = byCui.map(c =>
       c.matchMap.flatMap(e => e.pBegin to e.pEnd).distinct.sorted)
     val kept = byCui.indices.filter { i =>

@@ -45,6 +45,22 @@ object DocKernel {
       noWs.nonEmpty && noWs.count(_.isDigit).toDouble / noWs.length > 0.49
     }
 
+  /** F6 best-coverage-only discard (term-mode filter_evaluations,
+    * skr.pl:1284-1318): drop evaluations covering fewer phrase words
+    * than the widest one. Shared by -z term processing and the
+    * reference-exact composite-phrase evaluation (whose CompositeOptions
+    * include term_processing).
+    */
+  private def bestCoverageOnly(cands: Vector[graft.link.Candidate])
+      : Vector[graft.link.Candidate] =
+    if (cands.isEmpty) cands
+    else {
+      def coveredWords(c: graft.link.Candidate): Int =
+        c.matchMap.flatMap(e => e.pBegin to e.pEnd).distinct.size
+      val maxCov = cands.map(coveredWords).max
+      cands.filter(coveredWords(_) == maxCov)
+    }
+
   /** -y WSD applied document-locally: one concept per span, ranked
     * exactly like the corpus-level Pipeline.wsdDedup window. ONE
     * implementation of the ranking exists — DocTriples.wsdLocal (the
@@ -73,8 +89,15 @@ object DocKernel {
           val tags = Tagger.tag(ws.map(PhraseChunker.mmWord), umls)
           ws.map(_.start).zip(tags).toMap
         }
-      val phrases0 = PhraseChunker.chunk(sent.toks, umls, tagsByStart,
-        opts.compositePhrases)
+      // --composite_exact replaces the pinned of-gluing with the
+      // reference glom (chunk runs glue-free, then compositeGlomExact)
+      val phrasesR = PhraseChunker.chunk(sent.toks, umls, tagsByStart,
+        if (opts.compositeExact) 0 else opts.compositePhrases, opts.taglessExact)
+      val phrases0 =
+        if (opts.compositeExact)
+          PhraseChunker.compositeGlomExact(phrasesR, sent.toks, umls,
+            opts.compositePhrases)
+        else phrasesR
       // optional phrase merges (P7 --conj, P8 AA-span; off in pinned mode)
       val phrases1 =
         if (opts.aaSpanMerge) PhraseChunker.aaSpanGlue(phrases0, sent.toks, aas)
@@ -90,17 +113,24 @@ object DocKernel {
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1) ||
           stopAnalysis(phrase)) Vector.empty
         else {
-          val varIndex = VariantGather.gather(phrase, umls, aas, tagsByStart, opts)
-          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
+          // a reference-exact composite phrase evaluates under
+          // CompositeOptions = [term_processing, ignore_word_order]
+          // (get_composite_phrases, skr.pl:4629): -i scoring plus the
+          // term-mode best-coverage discard
+          val phOpts =
+            if (phrase.composite) opts.copy(ignoreWordOrder = true) else opts
+          val varIndex = VariantGather.gather(phrase, umls, aas, tagsByStart, phOpts)
+          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, phOpts)
           // reference order: filter first (skr.pl:913,1408), then the F3
           // subsumption filter (skr.pl:1312-1318), THEN prune inside
           // mapping construction (skr.pl:3452-3459) with the adaptive
           // threshold + grid gate (G1/G3)
-          val cands = graft.link.Pruning.adaptivePrune(
-            Evaluator.filterSubsumed(optionFilters(cands0, opts), opts),
-            phrase.words.length, opts)
+          val pruned = graft.link.Pruning.adaptivePrune(
+            Evaluator.filterSubsumed(optionFilters(cands0, phOpts), phOpts),
+            phrase.words.length, phOpts)
+          val cands = if (phrase.composite) bestCoverageOnly(pruned) else pruned
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length,
-            opts, varIndex.keySet)
+            phOpts, varIndex.keySet)
           best.map { c =>
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
               c.semTypes, negated = false,
@@ -131,8 +161,13 @@ object DocKernel {
     val toks = Tokenizer.tokenize(text)
     val aas = AaDetector.findAas(toks) ++ opts.udas
     Sentences.split(toks).flatMap { sent =>
-      val phrases = PhraseChunker.chunk(sent.toks, umls, Map.empty,
-        opts.compositePhrases)
+      val phrasesR = PhraseChunker.chunk(sent.toks, umls, Map.empty,
+        if (opts.compositeExact) 0 else opts.compositePhrases, opts.taglessExact)
+      val phrases =
+        if (opts.compositeExact)
+          PhraseChunker.compositeGlomExact(phrasesR, sent.toks, umls,
+            opts.compositePhrases)
+        else phrasesR
       // stop_analysis applies here exactly as in [[mentions]]: MMO shows
       // a skipped phrase with 0 candidates
       def stopAnalysis(phrase: Phrase): Boolean =
@@ -148,17 +183,20 @@ object DocKernel {
           stopAnalysis(phrase))
           PhraseMmo(sent, phrase, 0, 0, 0, 0, Vector.empty)
         else {
-          val varIndex = VariantGather.gather(phrase, umls, aas, Map.empty, opts)
-          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, opts)
-          val filtered = optionFilters(cands0, opts)
+          val phOpts =
+            if (phrase.composite) opts.copy(ignoreWordOrder = true) else opts
+          val varIndex = VariantGather.gather(phrase, umls, aas, Map.empty, phOpts)
+          val cands0 = Evaluator.evaluatePhrase(phrase, umls, varIndex, phOpts)
+          val filtered = optionFilters(cands0, phOpts)
           // reference count semantics (skr.pl:914-929): Total = after the
           // option filters, Excluded = dropped by F3 subsumption,
           // Pruned = dropped by G1/G2, Remaining = what mappings see
-          val unsubsumed = Evaluator.filterSubsumed(filtered, opts)
-          val cands = graft.link.Pruning.adaptivePrune(
-            unsubsumed, phrase.words.length, opts)
+          val unsubsumed = Evaluator.filterSubsumed(filtered, phOpts)
+          val pruned = graft.link.Pruning.adaptivePrune(
+            unsubsumed, phrase.words.length, phOpts)
+          val cands = if (phrase.composite) bestCoverageOnly(pruned) else pruned
           val maps = Evaluator.bestMappings(cands, phrase.words.length,
-            opts, varIndex.keySet)
+            phOpts, varIndex.keySet)
           PhraseMmo(sent, phrase, filtered.length,
             filtered.length - unsubsumed.length, unsubsumed.length - cands.length,
             cands.length, maps)
@@ -171,7 +209,7 @@ object DocKernel {
     * restrict/exclude (-J/-k) — skr.pl:1239-1318,4451-4458; shared by the
     * document and -z term paths.
     */
-  private def optionFilters(cands: Vector[graft.link.Candidate],
+  private[graft] def optionFilters(cands: Vector[graft.link.Candidate],
       opts: LinkOptions): Vector[graft.link.Candidate] = {
     // -r threshold runs in compute_evaluations (skr.pl:1408,
     // maybe_filter_evaluations_by_threshold) BEFORE filter_evaluations —
@@ -268,10 +306,7 @@ object DocKernel {
     if (cands.isEmpty) return Vector.empty
     // F6: best-coverage-only — discard evaluations covering fewer phrase
     // words than the widest one
-    def coveredWords(c: graft.link.Candidate): Int =
-      c.matchMap.flatMap(e => e.pBegin to e.pEnd).distinct.size
-    val maxCov = cands.map(coveredWords).max
-    val kept = cands.filter(coveredWords(_) == maxCov)
+    val kept = bestCoverageOnly(cands)
     Evaluator.bestMappingCandidates(kept, phrase.words.length, opts).map { c =>
       Mention(url, 0, c.start, c.end - c.start, c.cui, c.score,
         c.semTypes, negated = false, normTerm.substring(c.start, c.end),

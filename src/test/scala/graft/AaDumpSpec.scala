@@ -35,7 +35,11 @@ class AaDumpSpec extends AnyFunSuite with SparkTestBase {
       (u(12), "ct", "computed tomography"),
       (u(13), "si", "small intestine"),
       (u(14), "pe", "pulmonary edema"),
-      (u(15), "hbp", "high blood pressure")).sorted
+      (u(15), "hbp", "high blood pressure"),
+      // inside-word matching with next-initial priority (round-6 pin,
+      // text_objects.pl:2584-2830): initials-only matching leaves the
+      // 'n' of DNA unmatched (V = 1/3 > 0.30) and this row vanishes
+      (u(20), "dna", "deoxyribonucleic acid")).sorted
     assert(got == expected)
     // rejected pages (16-19) contribute nothing
     val rejectedUrls = (16 to 19).map(u).toSet

@@ -532,6 +532,140 @@ class OptionsSpec extends AnyFunSuite {
       .exists(_.negated))
   }
 
+  test("F2 redundancy: consolidated-position keying in CUI groups, keep-best (skr.pl:4471-4518)") {
+    def cand(cui: String, score: Int, str: String, rows: Vector[(Int, Int)]) =
+      Candidate(score, cui, str, "c", Vector("w"), Vector("dsyn"),
+        rows.map { case (b, e) => MatchEntry(b, e, 1, 1, 0) },
+        involvesHead = true, start = 0, end = 10)
+    // same CUI, same CONSOLIDATED positions {1,2} via DIFFERENT row
+    // splits ([1,2] vs [1,1]+[2,2]): equivalent per
+    // matchmaps_are_equivalent — keep-best, input order irrelevant
+    val merged = cand("C1", 900, "a", Vector((1, 2)))
+    val split = cand("C1", 800, "b", Vector((1, 1), (2, 2)))
+    assert(Evaluator.filterRedundant(Vector(split, merged)) == Vector(merged))
+    assert(Evaluator.filterRedundant(Vector(merged, split)) == Vector(merged))
+    // score tie within a class: the largest TERM survives (ASCENDING
+    // CUI-score-term sort keeps the last seen)
+    val tieA = cand("C1", 800, "aa", Vector((1, 2)))
+    val tieB = cand("C1", 800, "bb", Vector((1, 1), (2, 2)))
+    assert(Evaluator.filterRedundant(Vector(tieA, tieB)) == Vector(tieB))
+    // different consolidated positions, and equal positions under a
+    // DIFFERENT CUI, both survive
+    val narrower = cand("C1", 700, "d", Vector((1, 1)))
+    assert(Evaluator.filterRedundant(Vector(merged, narrower)).toSet ==
+      Set(merged, narrower))
+    val otherCui = cand("C2", 800, "e", Vector((1, 2)))
+    assert(Evaluator.filterRedundant(Vector(merged, otherCui)).toSet ==
+      Set(merged, otherCui))
+    // end-to-end: "heart lung disease" retrieves C0018799 through BOTH
+    // "Heart Diseases" (heart exact + diseases inflection) and "Cardiac
+    // disease" (cardiac synonym + disease exact); both consolidate to
+    // {1,3} and exactly the better-scoring string survives (897)
+    val phrase = {
+      var off = 0
+      val pws = Vector("heart", "lung", "disease").map { w =>
+        val pw = PWord(w, off, off + w.length); off += w.length + 1; pw
+      }
+      Phrase(pws, pws.length - 1)
+    }
+    val varIndex = VariantGather.gather(phrase, umls, Map.empty)
+    val cands = Evaluator.evaluatePhrase(phrase, umls, varIndex)
+    val hd = cands.filter(_.cui == "C0018799")
+    assert(hd.map(c => (c.str, c.score)) == Vector(("Heart Diseases", 897)), cands.toString)
+  }
+
+  test("--no_nums filter path: >49% boundary + semtype gating over candidates") {
+    import graft.pipeline.DocKernel.mostlyDigits
+    // the >49% boundary is strict: exactly 49/100 digits is NOT mostly
+    // digits, 50/100 is (NumDigits/NumChars > 0.49, skr.pl:2010-2015)
+    assert(!mostlyDigits("1" * 49 + "-" * 51))
+    assert(mostlyDigits("1" * 50 + "-" * 50))
+    def cand(cui: String, str: String, sts: Vector[String]) =
+      Candidate(800, cui, str, "c", Vector("w"), sts,
+        Vector(MatchEntry(1, 1, 1, 1, 0)), involvesHead = true, start = 0, end = 4)
+    val num = cand("C9", "12%", Vector("qnco"))
+    val alpha = cand("C8", "1 2 mg", Vector("qnco"))
+    // ungated --no_nums drops the mostly-digits META string only
+    assert(DocKernel.optionFilters(Vector(num, alpha),
+      LinkOptions(noNums = true)) == Vector(alpha))
+    // a semtype list gates the drop to candidates carrying a listed type
+    assert(DocKernel.optionFilters(Vector(num, alpha),
+      LinkOptions(noNums = true, noNumsSemTypes = Set("qnco"))) == Vector(alpha))
+    assert(DocKernel.optionFilters(Vector(num, alpha),
+      LinkOptions(noNums = true, noNumsSemTypes = Set("dsyn"))) ==
+      Vector(num, alpha))
+    // all/ALL in the list = ungated
+    assert(DocKernel.optionFilters(Vector(num),
+      LinkOptions(noNums = true, noNumsSemTypes = Set("ALL"))) == Vector.empty)
+  }
+
+  test("--composite_exact: reference composite glom + CompositeOptions evaluation") {
+    // skr.pl:4646-4676: initial NP + a NON-"of" prep phrase + initial
+    // "of" phrases collapse into ONE composite phrase, evaluated under
+    // CompositeOptions = [term_processing, ignore_word_order]
+    // (skr.pl:4629) — which is how the reference links Chest Pain from
+    // "pain on the left side of the chest"
+    val s = "The patient reported pain on the left side of the chest."
+    val toks = graft.text.Sentences.split(s).head.toks
+    val raw = PhraseChunker.chunk(toks, umls, Map.empty, 0)
+    assert(raw.map(_.words.map(_.word)) == Vector(Vector("patient"),
+      Vector("pain"), Vector("left", "side"), Vector("chest")))
+    val glom = PhraseChunker.compositeGlomExact(raw, toks, umls, 4)
+    assert(glom.map(p => (p.words.map(_.word), p.composite)) ==
+      Vector((Vector("patient"), false),
+        (Vector("pain", "left", "side", "chest"), true)))
+    assert(glom(1).headIdx == 0) // composite keeps the FIRST phrase's head
+    // flagged kernel: ONE Chest Pain mention spanning pain..chest (the
+    // F6 best-coverage discard drops the narrower Pain/Chest evals);
+    // the pinned default keeps separate Pain + Chest (P7 golden)
+    val ms = DocKernel.mentions("u:1", s, umls, LinkOptions(compositeExact = true))
+    assert(ms.map(m => (m.cui, m.start, m.len, m.score)) ==
+      Vector(("C0008031", 21, 34, 819)), ms.toString)
+    // -Q 0 disables the exact glom exactly like it disables the default glue
+    val ms0 = DocKernel.mentions("u:1", s, umls,
+      LinkOptions(compositeExact = true, compositePhrases = 0))
+    assert(!ms0.exists(_.cui == "C0008031"))
+  }
+
+  test("--tagless_exact: mincoman boundary parity (adv, not, comma, pastpart)") {
+    def ph(s: String, exact: Boolean, u: graft.umls.UmlsTables = umls) =
+      PhraseChunker.chunk(graft.text.Sentences.split(s).head.toks, u, Map.empty,
+        4, taglessExact = exact).map(_.words.map(_.word))
+    // adverbs are "labelled as such", NOT boundaries: they join the NP
+    // (mark_boundaries, mincoman.pl:288-292 commentary)
+    assert(ph("Severely elevated blood pressure was noted.", exact = false).head ==
+      Vector("elevated", "blood", "pressure"))
+    assert(ph("Severely elevated blood pressure was noted.", exact = true).head ==
+      Vector("severely", "elevated", "blood", "pressure"))
+    // ..."not" is the ONLY boundary adverb (mincoman.pl:326-331)
+    assert(ph("Not severe pain today.", exact = true).head ==
+      Vector("severe", "pain", "today"))
+    // ...and an adv immediately before a verb/aux/modal hoists that
+    // boundary onto itself (adjust_boundaries, mincoman.pl:461-469)
+    assert(ph("The pressure severely showed results.", exact = true) ==
+      Vector(Vector("pressure"), Vector("results")))
+    // comma breaks only when the item before it is not an adjective
+    // (adjust_for_comma, mincoman.pl:428-443); punc_mark1 has no comma
+    assert(ph("Acute, chronic disease persisted.", exact = true).head ==
+      Vector("acute", "chronic", "disease", "persisted"))
+    assert(ph("Pneumonia, asthma persisted.", exact = true) ==
+      Vector(Vector("pneumonia"), Vector("asthma", "persisted")))
+    // a pastpart-featured verb resolves to an adj-labelled item that
+    // OPENS the phrase (convert, mincoman.pl:215-220 + mark_boundaries
+    // :346-349); the pinned mode treats it as a plain verb boundary
+    val tt = umls.copy(lexCats = umls.lexCats + ("treated" -> Set("verb", "pastpart")))
+    assert(ph("The treated patients recovered.", exact = false, tt) ==
+      Vector(Vector("patients", "recovered")))
+    assert(ph("The treated patients recovered.", exact = true, tt).head ==
+      Vector("treated", "patients", "recovered"))
+    // observable scoring consequence: the wider exact-mode phrase
+    // dilutes coverage for the same concept (901 -> 861)
+    val s = "Severely elevated blood pressure was noted."
+    assert(mentions(s).map(m => (m.cui, m.score)) == Vector(("C0005823", 901)))
+    assert(mentions(s, LinkOptions(taglessExact = true)).map(m => (m.cui, m.score)) ==
+      Vector(("C0005823", 861)))
+  }
+
   test("kg_option_profiles: cross-mode count relations hold") {
     // pins the gate entry's RELATIONSHIPS, which survive corpus growth:
     // cascade prunes beyond bare restrict; exclude+cascade == exclude
@@ -558,6 +692,13 @@ class OptionsSpec extends AnyFunSuite {
     // row's presence — and thus its pinned count in the gate hash — is
     // asserted here; -Q semantics are pinned in the chunker test)
     assert(rows.contains("composite_0"))
+    // round-6 parity modes: gluing/boundary changes can add AND remove
+    // mentions, so the gate pins their exact counts via the row hash;
+    // here assert presence and that each genuinely diverges from default
+    // on the 100-page profile corpus only if it changes any page (the
+    // rows exist either way)
+    assert(rows.contains("composite_exact"))
+    assert(rows.contains("tagless_exact"))
     assert(rows("negex_negated_gated") <= rows("negex_negated_default"))
     assert(rows("negex_negated_default") <= rows("default"))
   }
