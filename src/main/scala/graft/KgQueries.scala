@@ -225,6 +225,11 @@ object KgQueries {
       "ignore_stop_phrases" -> LinkOptions(ignoreStopPhrases = true),
       // -Q 0 disables composite gluing entirely
       "composite_0" -> LinkOptions(compositePhrases = 0),
+      // round-6 parity modes: reference-exact composite glom (non-"of"
+      // prep + CompositeOptions evaluation) and mincoman tagless
+      // boundaries (adv joins, conditional comma, punc_mark1 set)
+      "composite_exact" -> LinkOptions(compositeExact = true),
+      "tagless_exact" -> LinkOptions(taglessExact = true),
       // NegEx gate profiles count NEGATED mentions (see emission below):
       // an engaged gate can only shrink the negated subset
       "negex_negated_default" -> LinkOptions.default,

@@ -81,6 +81,11 @@ object Graft {
           o = o.copy(noDerivationalVariants = true)
         case "-K" | "--ignore_stop_phrases" => o = o.copy(ignoreStopPhrases = true)
         case "-Q" | "--composite_phrases" => o = o.copy(compositePhrases = arg().toInt)
+        // parity-mode toggles (graft-specific names: the reference has no
+        // flag for these — they ARE its only behavior; our defaults are
+        // the pinned round-1 approximations)
+        case "--composite_exact" => o = o.copy(compositeExact = true)
+        case "--tagless_exact" => o = o.copy(taglessExact = true)
         case "--negex_st_add" => o = o.copy(negexStAdd = arg().split(',').toSet)
         case "--negex_st_del" => o = o.copy(negexStDel = arg().split(',').toSet)
         case "--negex_st_set" => o = o.copy(negexStSet = arg().split(',').toSet)

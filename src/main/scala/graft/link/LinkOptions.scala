@@ -128,7 +128,25 @@ final case class LinkOptions(
     // contains 'all'). All three empty = the pinned ungated default.
     negexStAdd: Set[String] = Set.empty,
     negexStDel: Set[String] = Set.empty,
-    negexStSet: Set[String] = Set.empty)
+    negexStSet: Set[String] = Set.empty,
+    // reference-exact composite-phrase mode (get_composite_phrases +
+    // begins_with_composite_phrase, skr.pl:4619-4700): an initial NP
+    // gloms a following prepositional phrase (ANY preposition, not just
+    // "of") plus up to -Q initial "of" phrases into ONE composite
+    // phrase, which is then evaluated under [term_processing,
+    // ignore_word_order] (CompositeOptions, skr.pl:4629) — so "pain on
+    // the left side of the chest" links Chest Pain. OFF = the pinned
+    // approximation (of-only gluing inside the chunker).
+    compositeExact: Boolean = false,
+    // reference-exact tagless boundary mode (mincoman.pl:106-240 convert
+    // + mark_boundaries + adjust_boundaries + punc_mark1): pastpart-
+    // featured verbs resolve to adj-like items that OPEN a phrase,
+    // adverbs break only at "not" (or hoist the boundary of a following
+    // verb/aux/modal) and otherwise JOIN the phrase, and only the
+    // punc_mark1 set breaks unconditionally — a comma breaks only when
+    // the item before it is not an adjective. OFF = the pinned
+    // simplified boundary set (break at every adv and every punct).
+    taglessExact: Boolean = false)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

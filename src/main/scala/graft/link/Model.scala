@@ -5,9 +5,13 @@ final case class PWord(word: String, start: Int, end: Int)
 
 /** A phrase produced by the minimal-commitment chunker
   * (lib/mincoman.pl:93-103 analogue). `headIdx` is the 0-based index of the
-  * head word within `words`.
+  * head word within `words`. `composite` marks a reference-exact composite
+  * phrase (get_composite_phrases, skr.pl:4619-4646): the kernel evaluates
+  * such phrases under [term_processing, ignore_word_order] exactly like the
+  * reference's CompositeOptions.
   */
-final case class Phrase(words: Vector[PWord], headIdx: Int)
+final case class Phrase(words: Vector[PWord], headIdx: Int,
+    composite: Boolean = false)
 
 /** Variant info gathered per phrase (vinfo/6 analogue,
   * metamap_variants.pl:1340-1402).

@@ -63,15 +63,52 @@ object PhraseChunker {
       case _ => t.lc
     }
 
+  /** The punc_mark1 boundary set (lib/mincoman.pl:374-389): the ONLY
+    * punctuation that unconditionally breaks a phrase in the reference's
+    * tagless mode ('/' and ',' deliberately absent — the comma breaks
+    * conditionally in adjust_for_comma, mincoman.pl:435-443).
+    */
+  private val puncMark1: Set[String] =
+    Set(":", "(", ")", "[", "]", ";", "<", ">", "=", "*")
+
+  /** Tagless category resolution in reference-exact mode: the convert/2
+    * clause order (lib/mincoman.pl:128-240) — "not" is adv before
+    * anything else, closed classes next, then noun beats adj beats adv,
+    * a pastpart-featured verb resolves to "pastpart" (labelled adj,
+    * boundary-opening — "All potential pp's are tagged as adj"), verb
+    * and pron come LAST, unknown words are nouns.
+    */
+  private def resolveCatExact(w: String, umls: UmlsTables): String = {
+    if (w == "not") return "adv"
+    val cats = umls.lexCats.getOrElse(w, Set.empty)
+    if (cats.isEmpty) "noun"
+    else if (cats.contains("prep")) "prep"
+    else if (cats.contains("aux")) "aux"
+    else if (cats.contains("modal")) "modal"
+    else if (cats.contains("conj")) "conj"
+    else if (cats.contains("compl")) "compl"
+    else if (cats.contains("det")) "det"
+    else if (cats.contains("noun")) "noun"
+    else if (cats.contains("adj")) "adj"
+    else if (cats.contains("adv")) "adv"
+    else if (cats.contains("pastpart")) "pastpart"
+    else if (cats.contains("verb")) "verb"
+    else if (cats.contains("pron")) "pron"
+    else "noun"
+  }
+
   /** Chunk one sentence's tokens (full stream incl. ws/pn) into phrases.
     * `tagsByStart` (word start offset -> category) carries tagger output
     * in tagged mode (P5 consult_tagged_text analogue): a provided tag
     * replaces tagless resolution for that word, so a verb-tagged
     * noun/verb-ambiguous word breaks the phrase instead of joining it.
+    * `taglessExact` switches boundary semantics to the reference-exact
+    * rules (see [[LinkOptions.taglessExact]]).
     */
   def chunk(toks: Vector[Tok], umls: UmlsTables,
       tagsByStart: Map[Int, String] = Map.empty,
-      maxComposite: Int = 4): Vector[Phrase] = {
+      maxComposite: Int = 4,
+      taglessExact: Boolean = false): Vector[Phrase] = {
     val words = Tokenizer.wordToks(toks)
     // content runs: adj/noun sequences
     val phrases = scala.collection.mutable.ArrayBuffer[Phrase]()
@@ -90,8 +127,14 @@ object PhraseChunker {
     def flush(): Unit = {
       if (cur.nonEmpty) {
         val headIdx = {
+          // potential heads are nouns, then adjectives (mark_boundaries:
+          // "Nouns and adjectives are labelled as potential heads");
+          // adverbs joined in exact mode are never heads
           val lastNoun = curCats.lastIndexOf("noun")
-          if (lastNoun >= 0) lastNoun else cur.length - 1
+          val lastAdj = curCats.lastIndexOf("adj")
+          if (lastNoun >= 0) lastNoun
+          else if (lastAdj >= 0) lastAdj
+          else cur.length - 1
         }
         phrases += Phrase(cur.toVector, headIdx)
       }
@@ -99,24 +142,65 @@ object PhraseChunker {
       curCats = scala.collection.mutable.ArrayBuffer[String]()
     }
 
-    // punctuation positions that break phrases (any pn except apostrophe
-    // inside a possessive, already folded by wordToks, and hyphen which
-    // joins: tokenize_text breaks at space+hyphen, T3)
-    val breakingPn: Set[Int] = toks.iterator
-      .filter(t => t.isPunct && t.text != "'" && t.text != "-")
-      .map(_.start).toSet
+    // punctuation positions that break phrases. Pinned mode: any pn
+    // except apostrophe inside a possessive (already folded by wordToks)
+    // and hyphen, which joins (tokenize_text breaks at space+hyphen, T3).
+    // Exact mode: only the punc_mark1 set plus the double-hyphen rule
+    // (mark_boundaries, mincoman.pl:310-317); the comma is handled
+    // conditionally below.
+    val breakingPn: Set[Int] =
+      if (!taglessExact)
+        toks.iterator.filter(t => t.isPunct && t.text != "'" && t.text != "-")
+          .map(_.start).toSet
+      else toks.iterator.zipWithIndex.filter { case (t, k) =>
+        t.isPunct && (puncMark1.contains(t.text) ||
+          (t.text == "-" && k + 1 < toks.length && toks(k + 1).isPunct &&
+            toks(k + 1).text == "-"))
+      }.map(_._1.start).toSet
+    // comma positions, for the adjust_for_comma conditional break
+    val commaPn: Set[Int] =
+      if (!taglessExact) Set.empty
+      else toks.iterator.filter(t => t.isPunct && t.text == ",").map(_.start).toSet
 
-    for (t <- words) {
-      // any breaking punctuation strictly between previous word and this one?
-      val interrupted = lastEnd >= 0 && breakingPn.exists(p => p >= lastEnd && p < t.start)
+    val cats = words.map(t =>
+      tagsByStart.getOrElse(t.start,
+        if (taglessExact) resolveCatExact(mmWord(t), umls) else resolveCat(mmWord(t), umls)))
+
+    for ((t, wi) <- words.zipWithIndex) {
+      // breaking punctuation strictly between previous word and this one?
+      val interrupted = lastEnd >= 0 &&
+        (breakingPn.exists(p => p >= lastEnd && p < t.start) ||
+          // adjust_for_comma (mincoman.pl:428-443): a comma breaks unless
+          // the item before it is an adjective
+          (lastEnd >= 0 && curCats.lastOption.exists(_ != "adj") &&
+            commaPn.exists(p => p >= lastEnd && p < t.start)))
       if (interrupted) flush()
       val w = mmWord(t)
-      val cat = tagsByStart.getOrElse(t.start, resolveCat(w, umls))
+      val cat = cats(wi)
       cat match {
         case "adj" | "noun" =>
           if (cur.length >= MaxPhraseWords) flush()
           cur += PWord(w, t.start, t.end)
           curCats += cat
+        case "adv" if taglessExact && w != "not" &&
+          !(wi + 1 < cats.length && Set("verb", "aux", "modal").contains(cats(wi + 1))) =>
+          // exact mode: adverbs are "labelled as such", NOT boundaries
+          // ("The only adverb marking boundary is 'not'") — they join the
+          // phrase as non-head words. Exception (adjust_boundaries,
+          // mincoman.pl:461-469): an adv immediately before a verb/aux/
+          // modal boundary takes that boundary itself ("positively
+          // regulates" brackets apart from "the receptor").
+          if (cur.length >= MaxPhraseWords) flush()
+          cur += PWord(w, t.start, t.end)
+          curCats += "adv"
+        case "pastpart" if taglessExact =>
+          // boundary(pastpart(...)): the past participle OPENS a new MSU
+          // and joins it as an adj-labelled modifier (convert tags all
+          // potential pp's as adj, mincoman.pl:215-220; mark_boundaries
+          // then makes the adj-with-verb-tag a boundary, :346-349)
+          flush()
+          cur += PWord(w, t.start, t.end)
+          curCats += "adj"
         case _ =>
           flush()
       }
@@ -158,6 +242,67 @@ object PhraseChunker {
 
   private def mergePair(a: Phrase, b: Phrase): Phrase =
     Phrase(a.words ++ b.words, a.words.length + b.headIdx)
+
+  /** Reference-exact composite glom (get_composite_phrases +
+    * begins_with_composite_phrase + initial_of_phrases,
+    * skr.pl:4619-4718): an initial phrase followed by a prepositional
+    * phrase (ANY preposition — "pain ON the left side") followed by zero
+    * or more "of"-introduced prepositional phrases collapses into ONE
+    * composite phrase. `maxPrep` is the -Q cap on the TOTAL number of
+    * glommed prep phrases (the initial prep phrase counts, reference
+    * default 4); the composite keeps the FIRST phrase's head and is
+    * marked `composite` so the kernel evaluates it under
+    * [term_processing, ignore_word_order] (CompositeOptions,
+    * skr.pl:4629). Call on phrases chunked WITHOUT of-gluing
+    * (maxComposite = 0) — this glom replaces it.
+    */
+  def compositeGlomExact(phrases: Vector[Phrase], sentToks: Vector[Tok],
+      umls: UmlsTables, maxPrep: Int): Vector[Phrase] = {
+    if (maxPrep <= 0 || phrases.length < 2) return phrases
+    val words = Tokenizer.wordToks(sentToks)
+    val breaking: Set[Int] = sentToks.iterator
+      .filter(t => t.isPunct && t.text != "'" && t.text != "-")
+      .map(_.start).toSet
+    // the gap between two phrases introduces a prep phrase when its word
+    // tokens are one preposition (optionally followed by determiners)
+    // and no phrase-breaking punctuation intervenes (ends_with_punc +
+    // is_prep_phrase analogues, skr.pl:4692-4713)
+    def gapPrep(a: Phrase, b: Phrase): Option[String] = {
+      if (breaking.exists(p => p >= a.words.last.end && p < b.words.head.start))
+        None
+      else {
+        val between = words.filter(t =>
+          t.start >= a.words.last.end && t.end <= b.words.head.start)
+        if (between.nonEmpty &&
+          umls.lexCats.getOrElse(between.head.lc, Set.empty).contains("prep") &&
+          between.tail.forall(t =>
+            umls.lexCats.getOrElse(t.lc, Set.empty).contains("det")))
+          Some(between.head.lc)
+        else None
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Phrase]()
+    var i = 0
+    while (i < phrases.length) {
+      var p = phrases(i)
+      var j = i + 1
+      var glommed = 0
+      // first glommed phrase: ANY preposition; subsequent ones: "of" only
+      // (initial_of_phrases)
+      while (j < phrases.length && glommed < maxPrep &&
+        p.words.length + phrases(j).words.length <= 20 && {
+          val prep = gapPrep(p, phrases(j))
+          prep.isDefined && (glommed == 0 || prep.contains("of"))
+        }) {
+        p = Phrase(p.words ++ phrases(j).words, p.headIdx, composite = true)
+        glommed += 1
+        j += 1
+      }
+      out += p
+      i = j
+    }
+    out.toVector
+  }
 
   /** P7 --conj (skr.pl:483-672 re-expression): merge consecutive phrases
     * whose separating word tokens are all coordinating conjunctions, so a
