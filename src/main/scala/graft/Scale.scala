@@ -7,11 +7,13 @@ import org.apache.spark.sql.SparkSession
 import graft.corpus.CorpusGen
 import graft.pipeline.Pipeline
 
-/** Two-level scaling benchmark (BASELINE.md protocol): run the identical
-  * KG-construction job on the identical input at local[N] and local[4N],
-  * report pages/sec + triples/sec at both plus scaling efficiency
-  * (T_N / T_4N) / 4. This is the sandbox evidence for the north_rule's
-  * N -> 4N executor criterion (no real cluster available here).
+/** Multi-level scaling benchmark (BASELINE.md protocol): run the identical
+  * KG-construction job on the identical input at local[2/8/16/32],
+  * report pages/sec + triples/sec at each plus scaling efficiency
+  * (T_N / T_4N) / 4 for the headline 2 -> 8 span. This is the sandbox
+  * evidence for the north_rule's N -> 4N executor criterion (no real
+  * cluster available here); the 16 level (physical-core count) turns the
+  * 8 -> 32 SMT attribution into a measured fact.
   *
   * Level choice: this container advertises 32 vCPUs but a pure-CPU Spark
   * baseline (range -> splitmix64 -> count, no library code) tops out at
@@ -67,21 +69,28 @@ object Scale {
     sWarm.stop()
 
     // INTERLEAVED best-of-2 (one SparkContext at a time, so levels run
-    // in rounds 2,8,32,2,8,32): this container's effective CPU speed
-    // swings ±40% minute to minute with thermal/frequency state, and a
-    // sequential best-of-2 per level lets one slow phase land entirely
-    // on one level, biasing the ratio in either direction. Interleaving
-    // samples the box state equally per level.
-    val rounds = Vector(2, 8, 32, 2, 8, 32).map(c => c -> runLevel(c, nPages))
+    // in rounds 2,8,16,32,2,8,16,32): this container's effective CPU
+    // speed swings ±40% minute to minute with thermal/frequency state,
+    // and a sequential best-of-2 per level lets one slow phase land
+    // entirely on one level, biasing the ratio in either direction.
+    // Interleaving samples the box state equally per level. local[16]
+    // (the physical-core count) splits the 8 -> 32 span so the SMT
+    // attribution is measured, not inferred: if 8 -> 16 holds >= 0.8
+    // while 16 -> 32 collapses, the shortfall is the hardware's second
+    // SMT thread per core, not the job.
+    val rounds = Vector(2, 8, 16, 32, 2, 8, 16, 32).map(c => c -> runLevel(c, nPages))
     def bestOf(c: Int): Double = rounds.collect { case (`c`, (t, _)) => t }.min
-    val (t2, t8, t32) = (bestOf(2), bestOf(8), bestOf(32))
+    val (t2, t8, t16, t32) = (bestOf(2), bestOf(8), bestOf(16), bestOf(32))
     val counts = rounds.map(_._2._2).distinct
     require(counts.size == 1,
       s"triple counts differ across parallelism: $counts")
     val n2 = counts.head
     val n8 = n2
+    val n16 = n2
     val n32 = n2
     val eff = (t2 / t8) / 4.0
+    val eff816 = (t8 / t16) / 2.0
+    val eff1632 = (t16 / t32) / 2.0
     val eff832 = (t8 / t32) / 4.0
     def row(lvl: Int, t: Double, n: Long): String =
       f"| local[$lvl] | $t%.2f | ${nPages / t}%.0f | ${n / t}%.0f |"
@@ -90,33 +99,38 @@ object Scale {
          |
          |Job: full KG pipeline (generate -> extract -> link -> WSD -> pair
          |join -> semnet join -> triples count) on the identical synthetic
-         |corpus (seeded, 128 input partitions) at two parallelism levels,
-         |JIT-warmed, INTERLEAVED best-of-2 per level (rounds 2,8,32,
-         |2,8,32 — so the box's thermal state is sampled equally).
+         |corpus (seeded, 128 input partitions) at four parallelism levels,
+         |JIT-warmed, INTERLEAVED best-of-2 per level (rounds 2,8,16,32,
+         |2,8,16,32 — so the box's thermal state is sampled equally).
          |Determinism: triple counts identical at all levels ($n2).
          |
          || level | wall (s) | pages/sec | triples/sec |
          ||---|---|---|---|
          |${row(2, t2, n2)}
          |${row(8, t8, n8)}
+         |${row(16, t16, n16)}
          |${row(32, t32, n32)}
          |
          |Scaling efficiency N=2 -> 4N=8: (T_2 / T_8) / 4 = **${f"$eff%.3f"}**
          |(gate: >= 0.8, BASELINE.json north_rule).
          |
-         |Context: 8 -> 32 threads measures ${f"$eff832%.3f"} on this box, but a
-         |pure-CPU Spark baseline (range -> splitmix64 hash -> count, zero
-         |library code) also tops out at ~0.64 efficiency over the same span —
-         |the container advertises 32 vCPUs backed by ~16 physical cores with
-         |SMT. The 2 -> 8 span, where the same baseline scales at ~0.97, is
-         |therefore the honest measure of the job's scalability; the job is
-         |map-dominated (per-document kernel) with one pair-join shuffle, so
-         |efficiency carries to real N -> 4N executor fan-out.
+         |SMT attribution (local[16] = the physical-core count):
+         |8 -> 16 threads = ${f"$eff816%.3f"}; 16 -> 32 threads = ${f"$eff1632%.3f"};
+         |8 -> 32 = ${f"$eff832%.3f"}. A pure-CPU Spark baseline (range ->
+         |splitmix64 hash -> count, zero library code) also tops out at ~0.64
+         |efficiency over 8 -> 32 — the container advertises 32 vCPUs backed
+         |by ~16 physical cores with SMT. If 8 -> 16 holds while 16 -> 32
+         |collapses, the 8 -> 32 shortfall is measured to be the second SMT
+         |thread per core, not the job. The 2 -> 8 span, where the same
+         |baseline scales at ~0.97, is therefore the honest measure of the
+         |job's scalability; the job is map-dominated (per-document kernel)
+         |with one pair-join shuffle, so efficiency carries to real N -> 4N
+         |executor fan-out.
          |
          |Pages: $nPages; triples: $n2.
          |""".stripMargin
     Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
     Files.writeString(Paths.get(outFile), md)
-    println(s"""{"t2":$t2,"t8":$t8,"t32":$t32,"efficiency_2_8":$eff,"efficiency_8_32":$eff832,"pages":$nPages,"triples":$n2}""")
+    println(s"""{"t2":$t2,"t8":$t8,"t16":$t16,"t32":$t32,"efficiency_2_8":$eff,"efficiency_8_16":$eff816,"efficiency_16_32":$eff1632,"efficiency_8_32":$eff832,"pages":$nPages,"triples":$n2}""")
   }
 }
