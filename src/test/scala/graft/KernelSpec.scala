@@ -53,6 +53,57 @@ class KernelSpec extends AnyFunSuite {
     assert(s3.length == 2)
   }
 
+  test("T2 sentences: reference boundary decision rules") {
+    // can_begin_sentence: an isolated lc word cannot begin a sentence,
+    // so "word. word" does NOT break (text_objects.pl:361-393)...
+    assert(Sentences.split("The approx. values are low.").length == 1)
+    // ...but a non-lc follower does: nu ("3"), uc ("DNA"), ic ("Next")
+    assert(Sentences.split("See Fig. 3 here").length == 2)
+    assert(Sentences.split("It was mid. Next came more.").length == 2)
+    // can_be_abbreviation: prev lc/ic/mc/single-uc may abbreviate (no
+    // break before lc); prev multi-uc or number cannot -> always break
+    assert(Sentences.split("Injected E. coli early.").length == 1)
+    assert(Sentences.split("We used DNA. then more.").length == 2)
+    assert(Sentences.split("Stage 3. then more.").length == 2)
+    // punctuation before the period also forces the break (CBA = n)
+    assert(Sentences.split("It ended). then more.").length == 2)
+    // '!' and '?' follow the same rules as '.'
+    assert(Sentences.split("Stop! go away now.").length == 1)
+    assert(Sentences.split("Stop! Go away now.").length == 2)
+    // no-whitespace break before a known sentence-initial ic word
+    // (sentence_initial_words.pl — note "The" is NOT in the reference
+    // table while "This" is) or any ic word longer than 6 chars
+    assert(Sentences.split("It was the end.This next began.").length == 2)
+    assert(Sentences.split("It was the end.Moreover it began.").length == 2)
+    assert(Sentences.split("It was the end.The next began.").length == 1)
+    assert(Sentences.split("It was the end.Xyz next began.").length == 1)
+    // ellipsis: the run of dots stays with the sentence, break at last
+    val ell = Sentences.split("We waited... Then left.")
+    assert(ell.length == 2 && ell(0).toks.last.text == ".")
+    // a right-bracket run after the punc breaks unconditionally and
+    // belongs to the ending sentence (rb_ws_seq, text_objects.pl:210-240)
+    val q = Sentences.split("He said \"Stop. Go home.\" Then left.")
+    assert(q.length == 2 && q(0).toks.last.text == "\"")
+    // quote brackets suppress interior breaks only as a parenthetical
+    // unit: opener needs whitespace before, closer non-whitespace
+    assert(Sentences.split("A \"p. q\" mark here.").length == 1)
+    // parenthetical sentence boundary: punc immediately before the
+    // close ends the sentence at the close (text_objects.pl:263-300)
+    val pe = Sentences.split("(Here it ended.) Then more came.")
+    assert(pe.length == 2 && pe(0).toks.last.text == ")")
+    // but not when what follows cannot begin a sentence
+    assert(Sentences.split("(Here it ended.) then more came.").length == 1)
+    // intra-word apostrophes are invisible to bracketing (the reference
+    // gloms them into one xx token) and make CBA = n (xx -> break)
+    assert(Sentences.split("It was crohn's. then more.").length == 2)
+    val ap = Sentences.split("He said 'stop now' and crohn's idea held.")
+    assert(ap.length == 1)
+    // unbalanced bracketing beyond 2000 chars is rejected, sentence
+    // rules keep applying inside (test_bracketing_distance)
+    val far = "(word " * 500 + "end. Next came more."
+    assert(Sentences.split(far).length == 2)
+  }
+
   test("A1-A4 AA discovery: CA -> coronary artery; (Act) rejected") {
     val toks = Tokenizer.tokenize("Coronary artery (CA) disease. CA was severe.")
     val aas = AaDetector.findAas(toks)
