@@ -7,15 +7,27 @@ package graft.umls
   * (augment_GVCs_with_variants_mode(static,...), metamap_variants.pl:
   * 356-364).
   *
-  * For a word with no static table entry, facts (spellings, synonyms,
-  * curated inflections) cannot apply by construction — the static table's
-  * key set covers every fact-table word. What remains is RULE morphology:
-  * the closure walks inflection rules both directions (level 1) and
-  * derivation rules (level 3), and whenever a reached form IS a static
-  * table word, merges that word's full precomputed variant set at the
-  * accumulated level (the reference's compose-then-glean shape:
-  * spelling/inflection/derivation of AAs and synonyms, gleaned best per
-  * word, metamap_variants.pl:430-436).
+  * The dynamic grammar is the SAME 19-stage composition automaton the
+  * static closure implements ([[VariantClosure]]); every stage starts
+  * from the generator's LEXICAL RECORDS (get_spid_variants resolves the
+  * form to records, then computes spellings/inflections/derivations of
+  * those records — metamap_variants.pl:796-860). A form and its base
+  * therefore share one composed variant set: derivations of an inflected
+  * generator are computed from the record's base form, so "asthmatics"
+  * reaches "asthma" with history "d" at level 3, never "id" at 4.
+  *
+  * For a word with no static table entry the fact tables hold no record —
+  * the static table's key set covers every fact-table word. The honest
+  * re-expression of record resolution is ONE rule-morphology hop
+  * (lm.rules, either direction) to a static-table word: that word's
+  * record is the record the OOV inflection belongs to. The OOV form then
+  * adopts the resolved word's precomputed variant set at its own levels
+  * (record resolution is not a composition step and costs nothing) plus
+  * the resolved word itself as an inflection-family member (level 1,
+  * history "i" — get_spellings_and_inflections_for_form returns the whole
+  * family in one step). No deeper rule walk exists in the reference:
+  * every composition stage consumes records, and an unresolvable string
+  * has none, so a no-base OOV word gets only its identity variant.
   *
   * Memoized per TABLE instance with a bounded map (the reference
   * memoizes per invocation) — the memo lives on UmlsTables itself
@@ -25,17 +37,14 @@ package graft.umls
   */
 object DynamicVariants {
 
-  private val MaxLevel = 5
   private val MemoCap = 1 << 16
 
   /** allDeriv mirrors --all_derivational_variants through the DYNAMIC
-    * path too: the closure walks the full dm.rul inventory and merges
-    * from the all-deriv static table, so an OOV form reaches exactly the
-    * variants an in-table word would under the same flag.
-    */
-  /** noDeriv mirrors -d no_derivational_variants: derivation rules are
-    * never walked and table merges draw from the deriv-free closure
-    * table (wins over allDeriv when both are set, like the static path).
+    * path too: table merges draw from the all-deriv static table, so an
+    * OOV form reaches exactly the variants an in-table word would under
+    * the same flag. noDeriv mirrors -d no_derivational_variants (merges
+    * draw from the deriv-free closure table; wins over allDeriv when
+    * both are set, like the static path).
     */
   def closure(word: String, umls: UmlsTables,
       allDeriv: Boolean = false, noDeriv: Boolean = false): Vector[Variant] = {
@@ -57,57 +66,27 @@ object DynamicVariants {
       if (noDeriv) umls.variantsNoDerivEffective
       else if (allDeriv && umls.variantsAllDeriv.nonEmpty) umls.variantsAllDeriv
       else umls.variants
-    val best = scala.collection.mutable.Map[String, (Int, String)](word -> (0, ""))
-    var frontier = List((word, 0, ""))
-    while (frontier.nonEmpty) {
-      val next = scala.collection.mutable.ListBuffer[(String, Int, String)]()
-      for ((w, lvl, hist) <- frontier) {
-        def add(v: String, dl: Int, h: Char): Unit = {
-          val nl = lvl + dl
-          if (v != w && nl <= MaxLevel && best.get(v).forall(_._1 > nl)) {
-            best(v) = (nl, hist + h)
-            next += ((v, nl, hist + h))
-          }
-        }
-        // a reached form that IS a static-table word contributes its whole
-        // precomputed variant set (already gleaned-best) at our level
-        table.get(w).foreach(_.foreach(v =>
-          add(v.word, v.varLevel, if (v.history.nonEmpty) v.history.last else 'i')))
-        // rule inflections, both directions; forward inflection never
-        // stacks on an inflection (the reference inflects each composed
-        // form once, compute_all_inflections — no walks->walkses chains)
-        if (hist.isEmpty || hist.last != 'i') {
-          Morphology.inflections(w, "noun").foreach(add(_, 1, 'i'))
-          Morphology.inflections(w, "verb").foreach(add(_, 1, 'i'))
-          Morphology.deinflections(w).foreach(add(_, 1, 'i'))
-        }
-        // rule derivations (same category-pair filter as static mode:
-        // default adj<->noun, or the full dm.rul inventory under the
-        // flag; none at all under -d)
-        if (!noDeriv) {
-          Morphology.derivations(w, "noun", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
-          Morphology.derivations(w, "adj", all = allDeriv).foreach(p => add(p._1, 3, 'd'))
-          if (allDeriv) {
-            Morphology.derivations(w, "verb", all = true).foreach(p => add(p._1, 3, 'd'))
-            Morphology.derivations(w, "adv", all = true).foreach(p => add(p._1, 3, 'd'))
-          }
-        }
-      }
-      frontier = next.toList
+    // record resolution: one lm.rules hop (deinflection first — an OOV
+    // token is almost always an unlisted inflection of a lexicon word —
+    // plus forward inflections for base-shaped gaps) landing on a
+    // static-table word
+    val bases =
+      (Morphology.deinflections(word) ++
+        Morphology.inflections(word, "noun") ++
+        Morphology.inflections(word, "verb"))
+        .distinct.filter(b => b != word && table.contains(b)).sorted
+    if (bases.isEmpty) return Vector.empty
+    // adopt each resolved record's composed set; glean best per word
+    // (minimal level, first canonical-order history on ties) like
+    // glean_best_variants (metamap_variants.pl:1299-1322)
+    val best = scala.collection.mutable.Map[String, (Int, String)]()
+    def add(v: String, l: Int, h: String): Unit =
+      if (v != word && best.get(v).forall(_._1 > l)) best(v) = (l, h)
+    for (b <- bases) {
+      add(b, 1, "i")
+      table(b).foreach(v => if (v.word != b) add(v.word, v.varLevel, v.history))
     }
-    best.remove(word)
-    // keep only variants that resolve to REAL lexical items (static-table
-    // words, or multiwords whose every token is lexical): rule suffixes
-    // over an arbitrary OOV token produce junk strings that can never
-    // match an index word, and materializing them as per-occurrence
-    // VInfos measurably slows the kernel (the reference's closure only
-    // ever walks lexicon records, so it has no junk to filter)
-    def lexical(w: String): Boolean =
-      table.contains(w) ||
-        (w.indexOf(' ') >= 0 &&
-          w.split(' ').forall(t => table.contains(t) || umls.lexCats.contains(t)))
-    best.toVector.collect { case (v, (l, h)) if lexical(v) => (v, l, h) }
-      .sortBy { case (v, l, _) => (l, v) }
-      .map { case (v, l, h) => Variant(v, l, h) }
+    best.toVector.sortBy { case (v, (l, _)) => (l, v) }
+      .map { case (v, (l, h)) => Variant(v, l, h) }
   }
 }

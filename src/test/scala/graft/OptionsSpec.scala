@@ -370,8 +370,9 @@ class OptionsSpec extends AnyFunSuite {
   test("OOV dynamic-variant fallback: runtime closure links unseen forms") {
     // 'asthmatics' is OOV for the static table (plural of an ADJECTIVE —
     // rule inflections only cover lexicon nouns/verbs); the runtime
-    // closure de-inflects to 'asthmatic' (level 1) and merges its static
-    // variants, reaching 'asthma' at level 4 -> links C0004096
+    // closure resolves the record via rule de-inflection to 'asthmatic'
+    // and adopts its composed set — reaching 'asthma' at level 3 ('d',
+    // computed from the record's base like the reference) -> C0004096
     val withFallback = mentions("Patient denies asthmatics.")
     assert(withFallback.exists(_.cui == "C0004096"),
       s"OOV closure must reach asthma: $withFallback")
