@@ -235,7 +235,7 @@ object KgOracleTables {
        |tc AS (SELECT * FROM read_parquet('$auxRoot/treecodes/*.parquet')),
        |pref AS (SELECT * FROM read_parquet($prefGlob)),
        |tf AS (SELECT url, cui, CAST(COUNT(*) AS BIGINT) freq_count,
-       |         MAX(score) mm_value,
+       |         CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) mm_value,
        |         list_sort(list_distinct(flatten(list("semTypes")))) st_arr
        |       FROM d GROUP BY url, cui),
        |wm AS (SELECT *, GREATEST(13, MAX(freq_count) OVER (PARTITION BY url))

@@ -59,8 +59,16 @@ object MmiRank {
     val depthDf = treecodeDepths(umls.value).toDF("cui", "tree_depth")
     val prefDf = umls.value.cuiPreferred.toSeq.toDF("cui", "concept_name")
 
+    // mm_value = MEAN of the mention scores (r6 audit): the reference
+    // averages Values at tf0 consolidation (compute_average, mmi.pl:588)
+    // and collapse_tf's frequency-weighted average of those group means
+    // (mmi.pl:752,770-779) reduces to the plain mean over all mentions.
+    // Computed as exact-integer sum / count so the DuckDB oracle's
+    // identical expression is IEEE-bit-equal.
     val tf = mentions.groupBy(col("url"), col("cui"))
-      .agg(count(lit(1)).as("freq_count"), max(col("score")).as("mm_value"),
+      .agg(count(lit(1)).as("freq_count"),
+        (sum(col("score")).cast("double") /
+          count(lit(1)).cast("double")).as("mm_value"),
         // sorted: collect_list order depends on task arrival — the sort
         // makes the display column deterministic (and oracle-comparable)
         array_sort(array_distinct(flatten(collect_list(col("semTypes")))))
