@@ -403,6 +403,25 @@ object MiniUmls {
   val adverbs: Set[String] = Set("severely", "also", "not", "then", "later",
     "subsequently", "aside", "apart")
 
+  /** `variants=` rule classes for fixture words whose SPECIALIST records
+    * carry a non-default code ((word, cat) -> codes; every other word
+    * gets Morphology.defaultClasses). Mirrors the real lexicon: Greek
+    * pluralizers are glreg (no reg code, so no "psoriasises"), CEX verbs
+    * are regd (scanned/scanning), gradable adjectives are reg (milder);
+    * unmarked adjectives generate nothing.
+    */
+  val ruleClasses: Map[(String, String), Set[String]] = Map(
+    ("psoriasis", "noun") -> Set("glreg"),
+    ("arthritis", "noun") -> Set("glreg"),
+    ("arteriosclerosis", "noun") -> Set("glreg"),
+    ("scan", "verb") -> Set("regd"),
+    ("mild", "adj") -> Set("reg"),
+    ("severe", "adj") -> Set("reg"),
+    ("high", "adj") -> Set("reg"),
+    ("low", "adj") -> Set("reg"),
+    ("small", "adj") -> Set("reg"),
+    ("large", "adj") -> Set("reg"))
+
   /** Multi-word lexicon forms (is_a_form analogue) enabling multiword
     * variant generators (metamap_variants.pl:201-283).
     */
@@ -552,7 +571,8 @@ object MiniUmls {
     }
     val lexWords: Set[String] = lexCats.keySet.toSet
     val ruleEdges = lexCats.toVector.map { case (w, cs) =>
-      VariantClosure.ruleEdgesForWord(w, cs, lexWords, catRestrict, allDeriv)
+      VariantClosure.ruleEdgesForWord(w, cs, lexWords, catRestrict, allDeriv,
+        c => ruleClasses.getOrElse((w, c), Morphology.defaultClasses(c)))
     }
     val ruleInfl = ruleEdges.flatMap(_._1)
     val ruleDeriv = ruleEdges.flatMap(_._2)

@@ -5,11 +5,28 @@ package graft.umls
   *  - inflection rules (`lexicon/morph/lm.rules:95-126` format:
   *    `pattern$|cat|feature|class|outpattern$|cat|feature`), where a
   *    leading `C` in a pattern is a consonant wildcard carried into the
-  *    output (Cy$ -> Cies$: "berry" -> "berries");
+  *    output (Cy$ -> Cies$: "berry" -> "berries"), `E` a vowel wildcard,
+  *    `L` any letter and `D` any digit;
   *  - derivational rules (`lexicon/morph/dm.rul:40-60` format:
   *    `in_suffix|in_cat|out_suffix|out_cat`, e.g. ability|noun|able|adj),
   *    filtered adj<->noun by default (filter_an_variants,
   *    metamap/metamap_variants.pl:1005-1143).
+  *
+  * Inflection rules are CLASS-CONDITIONED like the reference's (r6
+  * audit): each lm.rules line names the rule class (`reg`, `regd`,
+  * `glreg`) and applies only to lexical records carrying that
+  * `variants=` code — `fungus|glreg` pluralizes us$->i$ (fungi) while a
+  * reg noun takes s$; `stop|regd` doubles the final consonant
+  * (stopped/stopping); `irreg` forms arrive as curated fact pairs and
+  * `inv`/uncoded records generate nothing. Callers that know a word's
+  * classes (parsed LEXICON records, fixture annotations) pass them;
+  * [[defaultClasses]] covers unclassed words: reg for noun/verb — the
+  * overwhelmingly dominant code — and NONE for adj, because er/est
+  * gradation is marked explicitly in the lexicon and an unconditional
+  * `$|adj -> er$` would conjure junk like "cardiacer" into the tables.
+  *
+  * Within one (category, feature) slot the FIRST matching rule in file
+  * order wins (lm semantics); distinct classes union their outputs.
   *
   * The reference applies these offline to build its static variant tables
   * (491,635-entry lexicon); we do the same at broadcast-table build time —
@@ -20,6 +37,7 @@ package graft.umls
 object Morphology {
 
   private val vowels = "aeiou".toSet
+  @inline private def isCons(c: Char): Boolean = c.isLetter && !vowels(c)
 
   /** Apply one suffix rule with the C-consonant-wildcard convention. */
   private[umls] def applySuffixRule(word: String, inSuf: String, outSuf: String): Option[String] = {
@@ -27,7 +45,7 @@ object Morphology {
       val lit = inSuf.drop(1)
       if (word.endsWith(lit) && word.length > lit.length + 1) {
         val c = word.charAt(word.length - lit.length - 1)
-        if (!vowels(c) && c.isLetter) {
+        if (isCons(c)) {
           val stem = word.dropRight(lit.length + 1)
           Some(stem + outSuf.replace("C", c.toString))
         } else None
@@ -38,44 +56,124 @@ object Morphology {
     else None
   }
 
-  /** (inPattern, outPattern) noun pluralization rules in reference order —
-    * first match wins (lm.rules semantics).
-    */
-  private val nounPlural: Vector[(String, String)] = Vector(
+  // ---- lm.rules inflection inventory, file order (lm.rules:66-126) ----
+  // ^L$ and D$ (single-letter and digit-final nouns -> +'s) are handled
+  // inline in inflections(): they are whole-word/char-class patterns,
+  // not suffix literals.
+  private val nounRegPlural: Vector[(String, String)] = Vector(
     "Cy" -> "Cies", // berry -> berries
+    "Co" -> "Cos", // piano -> pianos
+    "ch" -> "ches", // church -> churches
+    "sh" -> "shes",
     "s" -> "ses", // virus -> viruses
     "x" -> "xes", // box -> boxes
     "z" -> "zes",
-    "ch" -> "ches", // church -> churches
-    "sh" -> "shes",
     "" -> "s")
 
-  private val verbForms: Vector[(String, String)] = Vector(
-    // present
-    "Cy" -> "Cies", "s" -> "ses", "x" -> "xes", "z" -> "zes",
-    "ch" -> "ches", "sh" -> "shes", "" -> "s",
-    // past
-    "e" -> "ed", "" -> "ed",
-    // ing
-    "ie" -> "ying", "e" -> "ing", "" -> "ing")
+  private val nounGlregPlural: Vector[(String, String)] = Vector(
+    "us" -> "i", // fungus -> fungi
+    "ma" -> "mata", // stigma -> stigmata
+    "a" -> "ae", // vertebra -> vertebrae
+    "um" -> "a", // septum -> septa
+    "on" -> "a", // criterion -> criteria
+    "sis" -> "ses", // stenosis -> stenoses
+    "is" -> "ides", // arthritis -> arthritides
+    "men" -> "mina", // foramen -> foramina
+    "ex" -> "ices", // index -> indices
+    "x" -> "ces") // calyx -> calyces
 
-  /** Rule-generated inflections (variant level 1). For nouns the FIRST
-    * matching plural rule wins; verbs generate one form per feature group.
+  private val verbRegPresent: Vector[(String, String)] = Vector(
+    "Cy" -> "Cies", "s" -> "ses", "x" -> "xes", "z" -> "zes",
+    "ch" -> "ches", "sh" -> "shes", "Co" -> "Cos", "" -> "s")
+
+  private val verbRegPast: Vector[(String, String)] = Vector(
+    "Cy" -> "Cied", // try -> tried
+    "e" -> "ed", "" -> "ed")
+
+  private val verbRegIng: Vector[(String, String)] = Vector(
+    "ie" -> "ying", // tie -> tying
+    "ee" -> "eeing", // agree -> agreeing
+    "oe" -> "oeing", // hoe -> hoeing
+    "ye" -> "yeing", // dye -> dyeing
+    "e" -> "ing", "" -> "ing")
+
+  private val adjRegComparative: Vector[(String, String)] = Vector(
+    "Cy" -> "Cier", "e" -> "er", "" -> "er")
+
+  private val adjRegSuperlative: Vector[(String, String)] = Vector(
+    "Cy" -> "Ciest", "e" -> "est", "" -> "est")
+
+  private def firstMatch(word: String, rules: Vector[(String, String)]): Vector[String] =
+    rules.iterator.flatMap { case (i, o) => applySuffixRule(word, i, o) }
+      .take(1).toVector
+
+  /** CEX$ -> CEXX<suffix>$ (regd): word ending consonant-vowel-consonant
+    * doubles the final consonant before the suffix (stop -> stopped).
     */
-  def inflections(word: String, cat: String): Vector[String] = cat match {
-    case "noun" =>
-      nounPlural.iterator.flatMap { case (i, o) => applySuffixRule(word, i, o) }
-        .take(1).toVector
-    case "verb" =>
-      val present = verbForms.take(7).iterator
-        .flatMap { case (i, o) => applySuffixRule(word, i, o) }.take(1).toVector
-      val past = verbForms.slice(7, 9).iterator
-        .flatMap { case (i, o) => applySuffixRule(word, i, o) }.take(1).toVector
-      val ing = verbForms.drop(9).iterator
-        .flatMap { case (i, o) => applySuffixRule(word, i, o) }.take(1).toVector
-      (present ++ past ++ ing).distinct
-    case _ => Vector.empty
+  private def cexDoubled(word: String, suffix: String): Option[String] =
+    if (word.length >= 3 &&
+      isCons(word.charAt(word.length - 3)) &&
+      vowels(word.charAt(word.length - 2)) &&
+      isCons(word.charAt(word.length - 1)))
+      Some(word + word.last + suffix)
+    else None
+
+  private def cexPlain(word: String, suffix: String): Option[String] =
+    if (word.length >= 3 &&
+      isCons(word.charAt(word.length - 3)) &&
+      vowels(word.charAt(word.length - 2)) &&
+      isCons(word.charAt(word.length - 1)))
+      Some(word + suffix)
+    else None
+
+  /** Rule classes assumed for a word whose lexical record is unavailable:
+    * reg for noun/verb, none for adj (see object scaladoc).
+    */
+  def defaultClasses(cat: String): Set[String] =
+    if (cat == "noun" || cat == "verb") Set("reg") else Set.empty
+
+  /** Rule-generated inflections (variant level 1) for one category under
+    * the given rule classes. Within a class each feature slot takes its
+    * first matching rule; classes union.
+    */
+  def inflections(word: String, cat: String, classes: Set[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    cat match {
+      case "noun" =>
+        if (classes("reg")) {
+          if (word.length == 1 && word.charAt(0).isLetter) out += word + "'s"
+          else if (word.nonEmpty && word.last.isDigit) out += word + "'s"
+          else out ++= firstMatch(word, nounRegPlural)
+        }
+        if (classes("glreg")) out ++= firstMatch(word, nounGlregPlural)
+      case "verb" =>
+        if (classes("reg")) {
+          out ++= firstMatch(word, verbRegPresent)
+          out ++= firstMatch(word, verbRegPast)
+          out ++= firstMatch(word, verbRegIng)
+        }
+        if (classes("regd")) {
+          out ++= cexPlain(word, "s")
+          out ++= cexDoubled(word, "ed")
+          out ++= cexDoubled(word, "ing")
+        }
+      case "adj" =>
+        if (classes("reg")) {
+          out ++= firstMatch(word, adjRegComparative)
+          out ++= firstMatch(word, adjRegSuperlative)
+        }
+        if (classes("regd")) {
+          out ++= cexDoubled(word, "er")
+          out ++= cexDoubled(word, "est")
+        }
+      case _ => ()
+    }
+    out.result().distinct.filterNot(_ == word)
   }
+
+  /** Unclassed-word convenience (reg noun/verb, nothing else). */
+  def inflections(word: String, cat: String): Vector[String] =
+    inflections(word, cat, defaultClasses(cat))
 
   /** Derivational suffix rules (dm.rul format: in_suffix, in_cat,
     * out_suffix, out_cat), restricted to the adj<->noun subset the
@@ -193,22 +291,36 @@ object Morphology {
   }
 
   /** Reverse inflection (strip a rule-generated suffix back to candidate
-    * base forms): for each lm-rule (in, out), a word ending in `out`
-    * de-inflects to `stem + in`. Drives the OOV runtime closure — an
-    * unseen surface form must reach its base before the base's static
-    * variants can apply.
+    * base forms) over the FULL class inventory — a surface form's rule
+    * class is unknown until the base resolves against the lexicon, so
+    * every reversal is a candidate and the caller gates on table
+    * membership. Drives the OOV runtime closure.
     */
-  def deinflections(word: String): Vector[String] =
-    (nounPlural ++ verbForms).iterator.flatMap { case (inSuf, outSuf) =>
+  def deinflections(word: String): Vector[String] = {
+    val suffixRules = nounRegPlural ++ nounGlregPlural ++ verbRegPresent ++
+      verbRegPast ++ verbRegIng ++ adjRegComparative ++ adjRegSuperlative
+    val plain = suffixRules.iterator.flatMap { case (inSuf, outSuf) =>
       reverseSuffixRule(word, inSuf, outSuf)
-    }.toVector.distinct.filter(w => w.length >= 3 && w != word)
+    }
+    // regd reversal: strip the suffix and one of a doubled final consonant
+    // (stopped -> stop, scanning -> scan, bigger -> big)
+    val regd = Vector("ed", "ing", "er", "est").iterator.flatMap { suf =>
+      if (word.length > suf.length + 2 && word.endsWith(suf)) {
+        val x2 = word.charAt(word.length - suf.length - 1)
+        val x1 = word.charAt(word.length - suf.length - 2)
+        if (x1 == x2 && isCons(x1)) Some(word.dropRight(suf.length + 1))
+        else None
+      } else None
+    }
+    (plain ++ regd).toVector.distinct.filter(w => w.length >= 3 && w != word)
+  }
 
   private def reverseSuffixRule(word: String, inSuf: String, outSuf: String): Option[String] =
     if (outSuf.startsWith("C")) {
       val lit = outSuf.drop(1)
       if (word.endsWith(lit) && word.length > lit.length + 1) {
         val c = word.charAt(word.length - lit.length - 1)
-        if (!vowels(c) && c.isLetter)
+        if (isCons(c))
           Some(word.dropRight(lit.length) + inSuf.replace("C", ""))
         else None
       } else None

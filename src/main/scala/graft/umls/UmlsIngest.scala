@@ -383,8 +383,24 @@ object UmlsIngest {
         // closure — runs distributed in variantTableJob
         val records = LexicalRecords.parse(
           df.as[String].collect().mkString("\n"))
-        val lexDf = records.flatMap(r => r.words.map(w => (w, r.entry.cat)))
-          .distinct.toDF("word", "cat")
+        // per-(word, cat) rule-class codes from the record's `variants=`
+        // features (reg/regd/glreg drive lm.rules; irreg arrives as
+        // curated pairs below; inv and uncoded records generate nothing —
+        // the explicit, possibly empty, code set overrides the unclassed
+        // default in variantTableJob)
+        val lexDf = records
+          .flatMap { r =>
+            val codes = r.entry.feature("variants")
+              .map(_.takeWhile(_ != '|'))
+              .filter(Set("reg", "regd", "glreg"))
+            r.words.map(w => ((w, r.entry.cat), codes.toSet))
+          }
+          .groupBy(_._1).toVector
+          .map { case ((w, c), vs) =>
+            (w, c, vs.flatMap(_._2).distinct.sorted.mkString(";"))
+          }
+          .sortBy(t => (t._1, t._2))
+          .toDF("word", "cat", "classes")
         def pairsDf(ps: Vector[(String, String)]) = ps.toDF("word", "variant")
         val varDf = variantTableJob(spark, lexDf,
           spellings = pairsDf(records.flatMap(_.spellingPairs)),
@@ -441,6 +457,18 @@ object UmlsIngest {
       .groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).toSet }
     val lexWords = lexCats.keySet.toSet
     val bcLexWords = spark.sparkContext.broadcast(lexWords)
+    // optional per-(word, cat) rule-class codes (LEXICON `variants=`,
+    // semicolon-joined): an explicit entry — even an empty one, from a
+    // record marked only irreg/inv — overrides Morphology.defaultClasses
+    val classMap: Map[(String, String), Set[String]] =
+      if (lexicon.columns.contains("classes"))
+        collectRows(lexicon, "word", "cat", "classes")
+          .map(r => ((r.getString(0), r.getString(1)),
+            Option(r.getString(2)).getOrElse("")
+              .split(';').toSet.filter(_.nonEmpty)))
+          .toMap
+      else Map.empty
+    val bcClasses = spark.sparkContext.broadcast(classMap)
 
     // stage 1: rule morphology per lexicon word, on executors (the regex
     // rule application is the expensive part at 500k-word scale)
@@ -451,8 +479,10 @@ object UmlsIngest {
         .as[(String, Vector[String])]
         .mapPartitions { it =>
           val lw = bcLexWords.value
+          val cls = bcClasses.value
           it.map { case (w, cs) =>
-            VariantClosure.ruleEdgesForWord(w, cs.toSet, lw, catRestrict, allDeriv)
+            VariantClosure.ruleEdgesForWord(w, cs.toSet, lw, catRestrict, allDeriv,
+              c => cls.getOrElse((w, c), Morphology.defaultClasses(c)))
           }
         }.collect().toVector
     val ruleInfl = ruleEdges.flatMap(_._1)

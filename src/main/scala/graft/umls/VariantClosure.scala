@@ -186,23 +186,27 @@ object VariantClosure {
     words.distinct.sorted.map(w => w -> close(w, e)).toMap
 
   /** Rule-generated morphology edges for ONE word (pure — callers may run
-    * it per-word on executors): lm.rules inflections for noun/verb
-    * categories (optionally restricted to one category's GVC table, V10)
-    * and dm.rul derivations for noun/adj (+verb under
-    * --all_derivational_variants), kept only when the derived form is a
-    * real lexicon word (the dm_vars behavior: derivations land on lexical
-    * items). Derivation edges are NOT category-restricted — they are
-    * category-crossing by nature (filter_an_variants keeps the pair
-    * filter, not a per-table split).
+    * it per-word on executors): lm.rules inflections CLASS-CONDITIONED
+    * per category (r6 audit — the reference applies each rule only to
+    * records carrying its `variants=` code; `classesOf` supplies the
+    * word's codes per category, defaulting to reg for unclassed
+    * noun/verb and none for adj — Morphology.defaultClasses), optionally
+    * restricted to one category's GVC table (V10), and dm.rul
+    * derivations for noun/adj (+verb under --all_derivational_variants),
+    * kept only when the derived form is a real lexicon word (the dm_vars
+    * behavior: derivations land on lexical items). Derivation edges are
+    * NOT category-restricted — they are category-crossing by nature
+    * (filter_an_variants keeps the pair filter, not a per-table split).
     */
   def ruleEdgesForWord(w: String, cats: Set[String], isLexWord: String => Boolean,
-      catRestrict: Option[String], allDeriv: Boolean)
+      catRestrict: Option[String], allDeriv: Boolean,
+      classesOf: String => Set[String] = Morphology.defaultClasses)
       : (Vector[(String, String)], Vector[(String, String)]) = {
     val inflCats = catRestrict match {
-      case Some(c) => if ((c == "noun" || c == "verb") && cats(c)) Vector(c) else Vector.empty
-      case None => Vector("noun", "verb").filter(cats)
+      case Some(c) => if (cats(c)) Vector(c) else Vector.empty
+      case None => Vector("noun", "verb", "adj").filter(cats)
     }
-    val infl = inflCats.flatMap(c => Morphology.inflections(w, c).map(w -> _))
+    val infl = inflCats.flatMap(c => Morphology.inflections(w, c, classesOf(c)).map(w -> _))
     val derivCats = Vector("noun", "adj") ++
       (if (allDeriv) Vector("verb") else Vector.empty)
     val deriv = derivCats.filter(cats).flatMap(c =>

@@ -140,4 +140,48 @@ class TableScaleSpec extends AnyFunSuite {
     // exception blocklist still gates
     assert(Morphology.derivations("asthmatic", "adj", Set("asthmatic")).isEmpty)
   }
+
+  test("lm.rules inflections are class-conditioned (r6 audit)") {
+    // reg noun: first matching rule in file order wins
+    assert(Morphology.inflections("berry", "noun") == Vector("berries"))
+    assert(Morphology.inflections("virus", "noun") == Vector("viruses"))
+    assert(Morphology.inflections("church", "noun") == Vector("churches"))
+    // ^L$ and D$: single-letter and digit-final nouns take 's
+    assert(Morphology.inflections("x", "noun") == Vector("x's"))
+    assert(Morphology.inflections("b12", "noun") == Vector("b12's"))
+    // reg verb: Cy$->Cied (tried, not "tryed"); ee$->eeing (agreeing,
+    // not "agreing"); ie$->ying
+    assert(Morphology.inflections("try", "verb") ==
+      Vector("tries", "tried", "trying"))
+    assert(Morphology.inflections("agree", "verb").contains("agreeing"))
+    assert(Morphology.inflections("tie", "verb").contains("tying"))
+    // glreg: Greek/Latin plurals fire only under the glreg code
+    assert(Morphology.inflections("fungus", "noun", Set("glreg")) == Vector("fungi"))
+    assert(Morphology.inflections("stenosis", "noun", Set("glreg")) == Vector("stenoses"))
+    assert(Morphology.inflections("arthritis", "noun", Set("glreg")) == Vector("arthritides"))
+    assert(Morphology.inflections("stigma", "noun", Set("glreg")) == Vector("stigmata"))
+    assert(Morphology.inflections("index", "noun", Set("glreg")) == Vector("indices"))
+    // ...and never under reg alone
+    assert(!Morphology.inflections("fungus", "noun").contains("fungi"))
+    // regd verb: final-consonant doubling
+    assert(Morphology.inflections("stop", "verb", Set("regd")) ==
+      Vector("stops", "stopped", "stopping"))
+    assert(Morphology.inflections("scan", "verb", Set("regd")) ==
+      Vector("scans", "scanned", "scanning"))
+    // adj: reg gradation only when marked; unclassed adjectives inert
+    assert(Morphology.inflections("mild", "adj", Set("reg")) ==
+      Vector("milder", "mildest"))
+    assert(Morphology.inflections("cardiac", "adj") == Vector.empty)
+    // a record with both codes unions its outputs
+    assert(Morphology.inflections("fungus", "noun", Set("reg", "glreg")).toSet ==
+      Set("funguses", "fungi"))
+    // deinflection reverses the full inventory (membership-gated upstream)
+    assert(Morphology.deinflections("stenoses").contains("stenosis"))
+    assert(Morphology.deinflections("arthritides").contains("arthritis"))
+    assert(Morphology.deinflections("stopped").contains("stop"))
+    assert(Morphology.deinflections("scanning").contains("scan"))
+    assert(Morphology.deinflections("milder").contains("mild"))
+    assert(Morphology.deinflections("tried").contains("try"))
+    assert(Morphology.deinflections("agreeing").contains("agree"))
+  }
 }

@@ -119,7 +119,10 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
       .toDF("cui", "str", "sab", "ispref", "suppress")
     val mrsty = Seq(("C0027051", "dsyn"), ("C0015967", "sosy")).toDF("cui", "st")
     val semnet = Seq(("dsyn", "co-occurs_with", "sosy")).toDF("st1", "rel", "st2")
-    val lexicon = Seq(("fever", "noun"), ("myocardial", "adj")).toDF("word", "cat")
+    // classes mirror the LEXICON records: fever is irreg-only (explicit
+    // empty code set — no rule plural), myocardial is a reg adj
+    val lexicon = Seq(("fever", "noun", ""), ("myocardial", "adj", "reg"))
+      .toDF("word", "cat", "classes")
     val variants = UmlsIngest.variantTableJob(spark, lexicon,
       spellings = Seq.empty[(String, String)].toDF("word", "variant"),
       inflections = Seq(("fever", "febres")).toDF("word", "variant"),
@@ -204,12 +207,26 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(viaIngest == base)
   }
 
+  /** The fixture word lists as the job's lexicon input, with the classes
+    * column mirroring MiniUmls.ruleClasses (explicit entries override;
+    * every other word carries Morphology.defaultClasses).
+    */
+  private def fixtureLexiconDf = {
+    implicit val s = spark
+    import s.implicits._
+    (MiniUmls.nouns.toVector.sorted.map(_ -> "noun") ++
+      MiniUmls.adjectives.toVector.sorted.map(_ -> "adj") ++
+      MiniUmls.verbs.toVector.sorted.map(_ -> "verb"))
+      .map { case (w, c) =>
+        (w, c, MiniUmls.ruleClasses.getOrElse((w, c),
+          graft.umls.Morphology.defaultClasses(c)).toVector.sorted.mkString(";"))
+      }.toDF("word", "cat", "classes")
+  }
+
   test("distributed variant-table job == fixture builder, byte-identical") {
     implicit val s = spark
     import s.implicits._
-    val lexicon = (MiniUmls.nouns.toVector.sorted.map(_ -> "noun") ++
-      MiniUmls.adjectives.toVector.sorted.map(_ -> "adj") ++
-      MiniUmls.verbs.toVector.sorted.map(_ -> "verb")).toDF("word", "cat")
+    val lexicon = fixtureLexiconDf
     def pairsDf(ps: Vector[(String, String)]) = ps.toDF("word", "variant")
     val job = UmlsIngest.variantTableJob(spark, lexicon,
       spellings = pairsDf(MiniUmls.spellings),
@@ -227,9 +244,7 @@ class UmlsIngestSpec extends AnyFunSuite with SparkTestBase {
   test("variant job catRestrict reproduces the per-category GVC tables") {
     implicit val s = spark
     import s.implicits._
-    val lexicon = (MiniUmls.nouns.toVector.sorted.map(_ -> "noun") ++
-      MiniUmls.adjectives.toVector.sorted.map(_ -> "adj") ++
-      MiniUmls.verbs.toVector.sorted.map(_ -> "verb")).toDF("word", "cat")
+    val lexicon = fixtureLexiconDf
     def pairsDf(ps: Vector[(String, String)]) = ps.toDF("word", "variant")
     for (cat <- Seq("noun", "verb", "adj")) {
       val job = UmlsIngest.variantTableJob(spark, lexicon,
