@@ -68,6 +68,9 @@ object KgOracleTables {
       .withColumn("semTypes_json", to_json(col("semTypes")))
       .withColumn("posInfo_json", to_json(col("posInfo")))
       .withColumn("sources_json", to_json(col("sources")))
+      // the rendered StartPos/Length chunk (shared Column with the
+      // fielded builder, so the two engines aggregate identical strings)
+      .withColumn("pos_str", ops.MmiRank.posChunkCol)
       .drop("posInfo", "sources")
       .coalesce(4)
       .write.mode("overwrite").parquet(s"$root/mentions")
@@ -75,8 +78,11 @@ object KgOracleTables {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/semnet")
     umls.value.cuiPreferred.toSeq.toDF("pcui", "pname")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/cui_pref")
-    ops.MmiRank.treecodeDepths(umls.value)
-      .toDF("tcui", "tree_depth")
+    umls.value.treecodes.toSeq
+      .map { case (c, tcs) =>
+        (c, tcs.map(_.split('.').length).max, tcs.sorted.mkString(";"))
+      }
+      .toDF("tcui", "tree_depth", "codes")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/treecodes")
     written += root
     root
@@ -140,14 +146,16 @@ object KgOracleTables {
     s"""WITH $wsdCte
        |SELECT url, "sentNo", "start", "len", cui, score,
        |  semTypes_json AS "semTypes", negated, text,
-       |  posInfo_json AS "posInfo", sources_json AS sources
+       |  posInfo_json AS "posInfo", sources_json AS sources,
+       |  term, "lexCat"
        |FROM d""".stripMargin
 
   def kgNegatedSql: String =
     s"""WITH $wsdCte
        |SELECT url, "sentNo", "start", "len", cui, score,
        |  semTypes_json AS "semTypes", negated, text,
-       |  posInfo_json AS "posInfo", sources_json AS sources
+       |  posInfo_json AS "posInfo", sources_json AS sources,
+       |  term, "lexCat"
        |FROM d WHERE negated""".stripMargin
 
   def kgWsdDedupSql: String =
@@ -273,13 +281,35 @@ object KgOracleTables {
        |  freq_count, mm_value, mmi_score
        |FROM mmi""".stripMargin
 
-  /** Fielded MMI lines (mmi.pl:911-921): url|MMI|score|concept|CUI|[sts]|freq */
+  /** Fielded MMI lines in the reference's full dump_output layout
+    * (mmi.pl:907-1005): UI|MMI|score|Concept|CUI|[STs]|[tuples]|TX|PosInfo|
+    * TreeCodes — the tuple consolidation, ordering and chunk merge mirror
+    * MmiRank.fielded exactly (same keys, same sort) over the same mention
+    * checkpoint, so the two engines aggregate identical strings.
+    */
   def kgMmiFieldedSql: String =
-    s"""WITH $mmiCte
-       |SELECT url, url || '|MMI|' || printf('%.2f', mmi_score) || '|' ||
-       |  concept || '|' || cui || '|[' || array_to_string(st_arr, ',') ||
-       |  ']|' || freq_count AS line
-       |FROM mmi""".stripMargin
+    s"""WITH $mmiCte,
+       |tcd AS (SELECT tcui, codes FROM read_parquet('$auxRoot/treecodes/*.parquet')),
+       |md AS (SELECT DISTINCT url, cui, term, "sentNo" nsent, text,
+       |         "lexCat" lex_cat, CASE WHEN negated THEN 1 ELSE 0 END neg,
+       |         "start" st, pos_str
+       |       FROM d),
+       |cons AS (SELECT url, cui, term, nsent, text, lex_cat, neg,
+       |           string_agg(pos_str, ',' ORDER BY st, pos_str) chunk
+       |         FROM md GROUP BY url, cui, term, nsent, text, lex_cat, neg),
+       |tup AS (SELECT url, cui,
+       |          string_agg('"' || term || '"-tx-' || nsent || '-"' || text ||
+       |            '"-' || lex_cat || '-' || neg,
+       |            ',' ORDER BY -nsent, term, text, lex_cat, neg) tuples,
+       |          string_agg(chunk,
+       |            ';' ORDER BY -nsent, term, text, lex_cat, neg) posinfo
+       |        FROM cons GROUP BY url, cui)
+       |SELECT mmi.url, mmi.url || '|MMI|' || printf('%.2f', mmi_score) || '|' ||
+       |  concept || '|' || mmi.cui || '|[' || array_to_string(st_arr, ',') ||
+       |  ']|[' || tuples || ']|TX|' || posinfo || '|' || COALESCE(codes, '')
+       |  AS line
+       |FROM mmi JOIN tup ON mmi.url = tup.url AND mmi.cui = tup.cui
+       |         LEFT JOIN tcd ON mmi.cui = tcd.tcui""".stripMargin
 
   /** The human-readable CLI listing: per-document text block, lines
     * sorted by span start within each utterance.

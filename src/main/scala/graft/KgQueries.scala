@@ -165,7 +165,8 @@ object KgQueries {
 
   def kgMmiFielded(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s = spark
-    output.XmlOutput.mmiFielded(kgMmiRank(spark, sfDir))
+    ops.MmiRank.fielded(kgMentions(spark, sfDir).toDF(),
+      Pipeline.broadcastUmls(spark))
   }
 
   /** MMO machine-output term lines (--machine_output,

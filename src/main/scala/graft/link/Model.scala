@@ -52,9 +52,14 @@ final case class Candidate(
 
 /** A linked mention emitted by the per-document kernel. `posInfo` as in
   * [[Candidate]]; empty means the single extent (start, len) covers it.
+  * `term` is the matched Metathesaurus string (MetaTerm, possibly
+  * non-preferred — mmi.pl:379) and `lexCat` the concept's lexical
+  * category per get_lexcat (mmi.pl:452-491) — both feed the fielded MMI
+  * tuple Term-Field-NSent-Text-LexCat-Neg.
   */
 final case class Mention(
     url: String, sentNo: Int, start: Int, len: Int,
     cui: String, score: Int, semTypes: Vector[String],
     negated: Boolean, text: String, posInfo: Vector[(Int, Int)] = Vector.empty,
-    sources: Vector[String] = Vector.empty)
+    sources: Vector[String] = Vector.empty,
+    term: String = "", lexCat: String = "UNKNOWN")

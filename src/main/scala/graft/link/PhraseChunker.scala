@@ -52,6 +52,17 @@ object PhraseChunker {
     p.words.iterator
       .map(w => tagsByStart.getOrElse(w.start, resolveCat(w.word, umls))).toSet
 
+  /** Word -> category map of a phrase (the Syntax pair-list analogue the
+    * MMI lexcat resolution probes, mmi.pl:484-491): the tagger's category
+    * where tagged, else the tagless resolution chunking itself ran under;
+    * keyed by the mm-normalized lowercase surface word.
+    */
+  def syntaxMap(p: Phrase, umls: UmlsTables,
+      tagsByStart: Map[Int, String] = Map.empty): Map[String, String] =
+    p.words.iterator
+      .map(w => w.word -> tagsByStart.getOrElse(w.start, resolveCat(w.word, umls)))
+      .toMap
+
   /** Lexical form of a word token for matching: mm-normalized lowercase,
     * first sub-word if normalization splits (shared by document chunking
     * and -z term processing so the two paths cannot diverge).

@@ -46,6 +46,83 @@ object MmiRank {
     umls.treecodes.toSeq
       .map { case (c, tcs) => (c, tcs.map(_.split('.').length).max) }
 
+  /** The mention's StartPos/Length chunk string ("228/9,235/9"): posInfo
+    * spans when present, the single (start, len) extent otherwise — one
+    * shared Column expression so the checkpoint writer and the fielded
+    * builder can never render differently.
+    */
+  def posChunkCol: Column =
+    when(size(col("posInfo")) === 0,
+      concat(col("start"), lit("/"), col("len")))
+      .otherwise(concat_ws(",",
+        transform(col("posInfo"),
+          p => concat(p("_1"), lit("/"), p("_2")))))
+
+  /** Fielded MMI lines in the reference's full dump_output layout
+    * (mmi.pl:907-1005):
+    * `UI|MMI|score|Concept|CUI|[STs]|[tuples]|Fields|PosInfo|TreeCodes`
+    * with one `"Term"-tx-NSent-"Text"-LexCat-Neg` tuple per distinct
+    * mention shape. Tuple construction follows the reference:
+    * occurrences with identical (Term, NSent, Text, LexCat, Neg)
+    * consolidate, merging their position chunks in span order
+    * (consolidate_pos_info_data, mmi.pl:614-640); tuples then sort
+    * field-first, utterance DESCENDING within a field, standard term
+    * order within a tie (reverse_sort_tuples' stable keysort over the
+    * pre-sorted tuple list, mmi.pl:988-1005); position chunks ride along
+    * ';'-separated in tuple order; the fields atom is the web corpus'
+    * single free-text field TX; treecodes are the CUI's MeSH codes
+    * ';'-joined (print_treecode_info). Everything downstream of the
+    * mention table is plain column algebra + two keyed aggregations, so
+    * the DuckDB oracle recomputes it from the same checkpoint.
+    */
+  def fielded(mentions: DataFrame, umls: Broadcast[UmlsTables]): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val ranked = rank(mentions, umls)
+    val tcDf = umls.value.treecodes.toSeq
+      .map { case (c, tcs) => (c, tcs.sorted.mkString(";")) }
+      .toDF("tc_cui", "tc_codes")
+    // consolidation: distinct (mention-shape, start, chunk) rows, then
+    // chunks merged in (start, chunk) order per shape
+    val consolidated = mentions
+      .withColumn("neg", when(col("negated"), lit(1)).otherwise(lit(0)))
+      .withColumn("pos_str", posChunkCol)
+      .select(col("url"), col("cui"), col("term"), col("sentNo"),
+        col("text"), col("lexCat"), col("neg"), col("start"), col("pos_str"))
+      .distinct()
+      .groupBy(col("url"), col("cui"), col("term"), col("sentNo"),
+        col("text"), col("lexCat"), col("neg"))
+      .agg(concat_ws(",",
+        transform(
+          array_sort(collect_list(struct(col("start").as("s"),
+            col("pos_str").as("p")))),
+          e => e("p"))).as("chunk"))
+    // one sort key drives both ';'-joined columns: field (constant tx),
+    // -NSent, then standard tuple order
+    val tupleStr = concat(
+      lit("\""), col("term"), lit("\"-tx-"), col("sentNo"), lit("-\""),
+      col("text"), lit("\"-"), col("lexCat"), lit("-"), col("neg"))
+    val keyed = struct((-col("sentNo")).as("k1"), col("term").as("k2"),
+      col("text").as("k3"), col("lexCat").as("k4"), col("neg").as("k5"),
+      tupleStr.as("ts"), col("chunk").as("ch"))
+    val tuples = consolidated
+      .groupBy(col("url"), col("cui"))
+      .agg(
+        concat_ws(",", transform(array_sort(collect_list(keyed)), e => e("ts")))
+          .as("tuples"),
+        concat_ws(";", transform(array_sort(collect_list(keyed)), e => e("ch")))
+          .as("posinfo"))
+    ranked
+      .join(tuples, Seq("url", "cui"))
+      .join(broadcast(tcDf), col("cui") === col("tc_cui"), "left")
+      .select(col("url"),
+        concat_ws("|", col("url"), lit("MMI"),
+          format_string("%.2f", col("mmi_score")), col("concept"), col("cui"),
+          concat(lit("["), concat_ws(",", col("sem_types")), lit("]")),
+          concat(lit("["), col("tuples"), lit("]")), lit("TX"),
+          col("posinfo"), coalesce(col("tc_codes"), lit(""))).as("line"))
+  }
+
   /** Rank concepts per document from the WSD-deduped mention table
     * (columns: url, sentNo, cui, score, negated...).
     */

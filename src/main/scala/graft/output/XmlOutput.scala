@@ -52,16 +52,4 @@ object XmlOutput {
           lit("\"/><Utterances>"),
           col("utts"), lit("</Utterances></MMO>")).as("xml"))
   }
-
-  /** Fielded MMI output lines (mmi.pl:911-921):
-    * `url|MMI|score|concept|CUI|[sts]|freq`. Score formatted with
-    * format_string (format_number would insert locale grouping commas at
-    * >= 1000 and break numeric parsing of the field).
-    */
-  def mmiFielded(ranked: DataFrame): DataFrame =
-    ranked.select(col("url"),
-      concat_ws("|", col("url"), lit("MMI"),
-        format_string("%.2f", col("mmi_score")), col("concept"), col("cui"),
-        concat(lit("["), concat_ws(",", col("sem_types")), lit("]")),
-        col("freq_count")).as("line"))
 }

@@ -131,10 +131,13 @@ object DocKernel {
           val cands = if (phrase.composite) bestCoverageOnly(pruned) else pruned
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length,
             phOpts, varIndex.keySet)
+          val syntax = PhraseChunker.syntaxMap(phrase, umls, tagsByStart)
           best.map { c =>
+            val mText = text.substring(c.start, c.end)
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,
               c.semTypes, negated = false,
-              text.substring(c.start, c.end), c.posInfo, c.sources)
+              mText, c.posInfo, c.sources,
+              term = c.str, lexCat = mentionLexCat(mText, c, syntax, aas))
           }
         }
       }
@@ -307,10 +310,46 @@ object DocKernel {
     // F6: best-coverage-only — discard evaluations covering fewer phrase
     // words than the widest one
     val kept = bestCoverageOnly(cands)
+    val syntax = PhraseChunker.syntaxMap(phrase, umls)
     Evaluator.bestMappingCandidates(kept, phrase.words.length, opts).map { c =>
+      val mText = normTerm.substring(c.start, c.end)
       Mention(url, 0, c.start, c.end - c.start, c.cui, c.score,
-        c.semTypes, negated = false, normTerm.substring(c.start, c.end),
-        c.posInfo, c.sources)
+        c.semTypes, negated = false, mText,
+        c.posInfo, c.sources,
+        term = c.str, lexCat = mentionLexCat(mText, c, syntax, Map.empty))
     }
+  }
+
+  /** get_lexcat (mmi.pl:452-491): resolve the mention's word forms — AA
+    * expansion tokens when a token of the mention text is a detected AA,
+    * the mention text's own tokens, the lowercased concept/term strings'
+    * tokens and the meta words — against the phrase's categories (the
+    * Syntax analogue) and keep the minimum-weight category: noun 0 < adj
+    * 1 < verb 2 < everything else 3, alphabetically first within a tied
+    * weight (the reference sorts Weight-LexCat pairs and takes the head);
+    * UNKNOWN when nothing resolves.
+    */
+  private def mentionLexCat(mentionText: String, c: Candidate,
+      syntax: Map[String, String],
+      aas: graft.link.VariantGather.AaDict): String = {
+    val textToks = Tokenizer.tokenizeMmLc(mentionText)
+    val aaExp =
+      if (aas.isEmpty) Vector.empty
+      else (mentionText.trim.toLowerCase +: textToks)
+        .flatMap(t => aas.get(t).map(_.flatMap(Tokenizer.tokenizeMmLc)))
+        .flatten
+    val conceptToks =
+      Tokenizer.tokenizeMmLc(c.concept) ++ Tokenizer.tokenizeMmLc(c.str)
+    val cats = (aaExp ++ textToks ++ conceptToks ++ c.metaWords)
+      .distinct.flatMap(syntax.get)
+    if (cats.isEmpty) "UNKNOWN"
+    else cats.map(cat => (lexcatWeight(cat), cat)).min._2
+  }
+
+  private def lexcatWeight(cat: String): Int = cat match {
+    case "noun" => 0
+    case "adj" => 1
+    case "verb" => 2
+    case _ => 3
   }
 }
