@@ -200,7 +200,23 @@ object CorpusGen {
       // the 660 lung mention disappears and this golden flips.
       (Vector("Heart lung disease was confirmed."),
         Vector(m(0, 0, 18, "C0018799", 897), m(0, 6, 4, "C0024109", 660)),
-        Vector(("C0024109", "location_of", "C0018799", 0))))
+        Vector(("C0024109", "location_of", "C0018799", 0))),
+      // P13 (round 6, class-conditioned lm.rules pins): "Arthritides" and
+      // "psoriases" link only through the glreg plural rules of their
+      // records (lexicon/morph/lm.rules:99-108 — is$->ides$, sis$->ses$)
+      // reaching the base at variant level 1 (score 967 = (1+4/5+2+2)/6
+      // like every single-word inflection match), and "CT scanning"
+      // matches "CT scan" only through the regd inflection of the verb
+      // record (scanning -> scan, consonant undoubled; 983 =
+      // (1+(1+4/5)/2+2+2)/6). Under the unclassed reg default none of the
+      // three surface forms reaches its base, so a class-conditioning
+      // regression flips all three goldens. No triple: both sentence-1
+      // concepts are dsyn and semnet has no dsyn->dsyn relation.
+      (Vector("Arthritides and psoriases were noted.",
+        "CT scanning was performed."),
+        Vector(m(0, 0, 11, "C0003864", 967), m(0, 16, 9, "C0033860", 967),
+          m(1, 0, 11, "C0040405", 983)),
+        Vector.empty))
   }
 
   val nSpecial: Int = specialPages.length

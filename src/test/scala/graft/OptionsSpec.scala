@@ -385,6 +385,23 @@ class OptionsSpec extends AnyFunSuite {
     assert(mentions(t) == mentions(t, LinkOptions(dynamicVariants = false)))
   }
 
+  test("class-conditioned lm.rules link end-to-end (P13 pin)") {
+    // glreg plurals reach their records at level 1 (967 = (1+4/5+2+2)/6);
+    // regd 'scanning' undoubles to the verb record inside "CT scan"
+    // (983). Under the unclassed reg default none of the surface forms
+    // resolves, so a regression in fixture classes, the class-conditioned
+    // rule engine, or the table threading empties this set.
+    val got = mentions("Arthritides and psoriases were noted.")
+      .map(m => (m.text, m.cui, m.score)).toSet
+    assert(got == Set(("Arthritides", "C0003864", 967),
+      ("psoriases", "C0033860", 967)), s"glreg pin: $got")
+    val scan = mentions("CT scanning was performed.")
+      .map(m => (m.text, m.cui, m.score)).toSet
+    assert(scan == Set(("CT scanning", "C0040405", 983)), s"regd pin: $scan")
+    // the reg default must NOT conjure the junk regular plural
+    assert(graft.umls.MiniUmls.tables.variants.get("arthritises").isEmpty)
+  }
+
   test("option profiles are deterministic") {
     val text = "Coronary artery (CA) disease. CA was severe."
     val a = mentions(text, LinkOptions(ignoreWordOrder = true, allowConceptGaps = true))
