@@ -71,6 +71,9 @@ object KgOracleTables {
       // the rendered StartPos/Length chunk (shared Column with the
       // fielded builder, so the two engines aggregate identical strings)
       .withColumn("pos_str", ops.MmiRank.posChunkCol)
+      // the rendered long-name semtype display (shared Column with the
+      // human builder)
+      .withColumn("st_disp", output.JsonOutput.stDisplayCol)
       .drop("posInfo", "sources")
       .coalesce(4)
       .write.mode("overwrite").parquet(s"$root/mentions")
@@ -320,9 +323,11 @@ object KgOracleTables {
        |n AS (SELECT d.*, COALESCE(pref.pname, d.cui) concept
        |      FROM d LEFT JOIN pref ON d.cui = pref.pcui),
        |lines AS (SELECT url, "sentNo", "start",
-       |   '   ' || score || '  ' || cui || ':' || concept || ' (' || text ||
-       |   ') [' || array_to_string("semTypes", ',') || ']' ||
-       |   CASE WHEN negated THEN ' [Negated]' ELSE '' END AS line
+       |   printf('%6d', score) || ' ' ||
+       |   CASE WHEN negated THEN 'N' ELSE ' ' END || ' ' ||
+       |   cui || ':' || term ||
+       |   CASE WHEN term <> concept THEN ' (' || concept || ')' ELSE '' END ||
+       |   ' ' || st_disp AS line
        | FROM n),
        |utts AS (SELECT url, "sentNo",
        |   'Utterance ' || "sentNo" || ':' || chr(10) ||

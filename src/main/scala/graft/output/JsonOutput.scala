@@ -1,6 +1,6 @@
 package graft.output
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.broadcast.Broadcast
 
@@ -34,20 +34,33 @@ object JsonOutput {
   }
 
   /** Human-readable output (the default CLI listing shape,
-    * "score  CUI:Preferred Name (matched text) [semtypes]" per
-    * utterance) — one text block per document, built as column algebra;
-    * preferred names resolved by broadcast join like the reference's
-    * concept display.
+    * the reference candidate line per mention, grouped per utterance) —
+    * one text block per document, built as column algebra; preferred
+    * names resolved by broadcast join like the reference's concept
+    * display. The per-phrase "Phrase:"/"Meta Mapping (score):" headers
+    * are deliberately absent (phrase grouping lives in the MMO output,
+    * which is byte-parity golden-pinned); the candidate LINE itself is
+    * the reference's exact N=0 layout.
     */
   def humanReadable(mentions: DataFrame, umls: Broadcast[UmlsTables]): DataFrame = {
     import mentions.sparkSession.implicits._
     val prefDf = umls.value.cuiPreferred.toSeq.toDF("pc", "pname")
     val named = mentions.join(broadcast(prefDf), col("cui") === col("pc"), "left")
       .withColumn("concept", coalesce(col("pname"), col("cui")))
-    val line = concat(lit("   "), col("score"), lit("  "), col("cui"),
-      lit(":"), col("concept"), lit(" ("), col("text"), lit(")"),
-      lit(" ["), concat_ws(",", col("semTypes")), lit("]"),
-      when(col("negated"), lit(" [Negated]")).otherwise(lit("")))
+    // the reference candidate line (num_display_concept_info,
+    // metamap_utilities.pl:468-495, N=0 format '~t~d ~w~8| ~w~w~w~p ~w'):
+    // score + status symbol right-aligned to column 8 ('N' = negated,
+    // choose_status_symbol :224-232), CUI:MetaTerm with the preferred
+    // name parenthesized ONLY when the matched term differs
+    // (compute_preferred_name_display :263-280), semtypes expanded to
+    // long names by default (conditionally_expand_semtypes :282-287)
+    val line = concat(
+      format_string("%6d", col("score")), lit(" "),
+      when(col("negated"), lit("N")).otherwise(lit(" ")),
+      lit(" "), col("cui"), lit(":"), col("term"),
+      when(col("term") =!= col("concept"),
+        concat(lit(" ("), col("concept"), lit(")"))).otherwise(lit("")),
+      lit(" "), stDisplayCol)
     val utt = named
       .groupBy(col("url"), col("sentNo"))
       .agg(concat_ws("\n", sort_array(collect_list(struct(col("start"), line.as("x"))))
@@ -59,6 +72,21 @@ object JsonOutput {
         .getField("x")).as("blocks"))
       .select(col("url"),
         concat(lit("Processing "), col("url"), lit("\n"), col("blocks")).as("text"))
+  }
+
+  /** `[Disease or Syndrome,Sign or Symptom]` — semtypes expanded to the
+    * registry's long names (expand_semtypes, skr/skr_umls_info.pl:70;
+    * the reference default — --short_semantic_types keeps abbrevs),
+    * rendered like ~w of the list. One shared Column for the human
+    * builder and the oracle checkpoint, so both engines read identical
+    * strings.
+    */
+  def stDisplayCol: Column = {
+    val names = typedLit(graft.umls.SemTypeRegistry.nameOf)
+    concat(lit("["),
+      concat_ws(",",
+        transform(col("semTypes"), x => coalesce(element_at(names, x), x))),
+      lit("]"))
   }
 
   /** --dump_aas analogue: one row per (url, acronym, expansion). UDAs
