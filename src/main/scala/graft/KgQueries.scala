@@ -181,6 +181,18 @@ object KgQueries {
       .orderBy("url", "line_no")
   }
 
+  /** Full --JSONf document tree (skr_json.pl:87-131): the reference's
+    * JSON schema a pymetamap-style consumer parses, per-document kernel
+    * output — rows-only at the gate; byte-stable golden pinned in
+    * JsonMmoSpec.
+    */
+  def kgJsonMmo(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    output.JsonMmoOutput.jsonDocs(CorpusGen.pages(spark, pagesFor(sfDir)),
+      Pipeline.broadcastUmls(spark))
+      .orderBy("url")
+  }
+
   /** Option surface (SURVEY §2.7 E7, §2.8): mention counts per reference
     * CLI mode over the same corpus — demonstrates -i/-o/-g/-Y/-b/-r and
     * the semtype filters are live, each a full kernel run.
@@ -409,5 +421,6 @@ object KgQueries {
     "kg_human_output" -> (kgHumanOutput _),
     "kg_mmi_fielded" -> (kgMmiFielded _),
     "kg_mmo_output" -> (kgMmoOutput _),
+    "kg_json_mmo" -> (kgJsonMmo _),
     "kg_option_profiles" -> (kgOptionProfiles _))
 }

@@ -54,13 +54,35 @@ object Negex {
     else Some(afterDel)
   }
 
+  /** One negation for the serialization surface (the reference's
+    * final_negation_template rows JSON/XML render as NegType/NegTrigger/
+    * NegTriggerPIs/NegConcepts/NegConcPIs): the trigger phrase with its
+    * char span and the mentions it negates.
+    */
+  final case class NegRecord(negType: String, trigger: String,
+      start: Int, len: Int, concepts: Vector[Mention])
+
   /** Mark negated mentions for one sentence.
     * @param sentToks full token stream of the sentence
     * @param mentions mentions located in this sentence (char offsets)
     */
   def mark(sentToks: Vector[Tok], mentions: Vector[Mention], umls: UmlsTables,
-      opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
-    if (mentions.isEmpty) return mentions
+      opts: LinkOptions = LinkOptions.default): Vector[Mention] =
+    analyze(sentToks, mentions, umls, opts)._1
+
+  /** The negation records of one sentence — same decision procedure as
+    * [[mark]] (one shared pass), grouped per trigger in trigger order;
+    * triggers that negate nothing emit no record, exactly like the
+    * reference's template list.
+    */
+  def negations(sentToks: Vector[Tok], mentions: Vector[Mention],
+      umls: UmlsTables, opts: LinkOptions = LinkOptions.default): Vector[NegRecord] =
+    analyze(sentToks, mentions, umls, opts)._2
+
+  private def analyze(sentToks: Vector[Tok], mentions: Vector[Mention],
+      umls: UmlsTables, opts: LinkOptions)
+      : (Vector[Mention], Vector[NegRecord]) = {
+    if (mentions.isEmpty) return (mentions, Vector.empty)
     val words = Tokenizer.wordToks(sentToks)
     val lcs = words.map(_.lc)
 
@@ -72,8 +94,10 @@ object Negex {
     // idx for the utterance-end anchor — the reference measures the
     // waiver from TriggerLastTokenPos, negex.pl:905-918, so both trigger
     // classes must anchor at the same point)
-    val preHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-    val postHits = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    // (scope-boundary word idx, trigger LAST word idx, trigger START word
+    // idx — the start feeds the serialization records only)
+    val preHits = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    val postHits = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
     val termStarts = scala.collection.mutable.ArrayBuffer[Int]() // conj word idx
     val trigStarts = scala.collection.mutable.ArrayBuffer[Int]() // any pre/post trigger start
     var i = 0
@@ -93,11 +117,11 @@ object Negex {
         else if (pseudoLen == best) i += pseudoLen // suppressed: no negation
         else if (conjLen == best) { termStarts += i; i += conjLen }
         else if (postLen == best) {
-          postHits += ((i, i + postLen - 1))
+          postHits += ((i, i + postLen - 1, i))
           trigStarts += i
           i += postLen
         } else {
-          preHits += ((i + preLen, i + preLen - 1))
+          preHits += ((i + preLen, i + preLen - 1, i))
           trigStarts += i
           i += preLen
         }
@@ -140,7 +164,10 @@ object Negex {
     // --negex_st_* option is given (the pinned default is ungated)
     val stGate = semTypeGate(opts)
 
-    mentions.map { m =>
+    // per-trigger concept accumulation for the serialization records:
+    // keyed (negType, hit index) so record order follows trigger order
+    val byTrigger = scala.collection.mutable.LinkedHashMap[(String, Int), Vector[Mention]]()
+    val marked = mentions.map { m =>
       if (stGate.exists(g => !m.semTypes.exists(g))) m
       else {
       val mStartW = wordIdxOfChar(m.start)
@@ -151,13 +178,13 @@ object Negex {
       // TriggerLastTokenPos) over the token list (negex.pl:925-933) —
       // i.e. measured from the trigger's LAST word, one larger on the
       // pre side than the gap.
-      val negByPre = preHits.exists { case (wIdx, lastW) =>
+      val preIdx = preHits.indexWhere { case (wIdx, lastW, _) =>
         val dist = if (refMode) mStartW - lastW else mStartW - wIdx
         mStartW >= wIdx && inWindow(lastW, dist) &&
           !terminatorBetween(wIdx, mStartW) &&
           !(refMode && interveningTrigger(lastW, mStartW))
       }
-      val negByPost = postHits.exists { case (wIdx, lastW) =>
+      val postIdx = postHits.indexWhere { case (wIdx, lastW, _) =>
         // reference basis: ConceptTokenPos comes from the concept's
         // START char (charpos_to_tokenindex over CharStart,
         // negex.pl:901-902,931-932), so the post distance runs from the
@@ -167,8 +194,26 @@ object Negex {
           !terminatorBetween(mEndW + 1, wIdx) &&
           !(refMode && interveningTrigger(mStartW, wIdx))
       }
-      if (negByPre || negByPost) m.copy(negated = true) else m
+      if (preIdx < 0 && postIdx < 0) m
+      else {
+        val neg = m.copy(negated = true)
+        if (preIdx >= 0)
+          byTrigger((("nega", preIdx))) =
+            byTrigger.getOrElse(("nega", preIdx), Vector.empty) :+ neg
+        if (postIdx >= 0)
+          byTrigger((("negb", postIdx))) =
+            byTrigger.getOrElse(("negb", postIdx), Vector.empty) :+ neg
+        neg
+      }
       }
     }
+    val records = byTrigger.toVector.map { case ((negType, idx), ms) =>
+      val (_, lastW, startW) = if (negType == "nega") preHits(idx) else postHits(idx)
+      val start = words(startW).start
+      val end = words(lastW).end
+      NegRecord(negType, (startW to lastW).map(words(_).lc).mkString(" "),
+        start, end - start, ms)
+    }
+    (marked, records)
   }
 }
