@@ -193,6 +193,17 @@ object KgQueries {
       .orderBy("url")
   }
 
+  /** Full --XMLf MMO element (skr_xml.pl): same shared tree as
+    * [[kgJsonMmo]], XML-rendered — rows-only at the gate; byte-stable
+    * golden pinned in XmlMmoSpec.
+    */
+  def kgXmlMmo(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s = spark
+    output.XmlMmoOutput.xmlDocs(CorpusGen.pages(spark, pagesFor(sfDir)),
+      Pipeline.broadcastUmls(spark))
+      .orderBy("url")
+  }
+
   /** Option surface (SURVEY §2.7 E7, §2.8): mention counts per reference
     * CLI mode over the same corpus — demonstrates -i/-o/-g/-Y/-b/-r and
     * the semtype filters are live, each a full kernel run.
@@ -422,5 +433,6 @@ object KgQueries {
     "kg_mmi_fielded" -> (kgMmiFielded _),
     "kg_mmo_output" -> (kgMmoOutput _),
     "kg_json_mmo" -> (kgJsonMmo _),
+    "kg_xml_mmo" -> (kgXmlMmo _),
     "kg_option_profiles" -> (kgOptionProfiles _))
 }

@@ -3,11 +3,8 @@ package graft.output
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.broadcast.Broadcast
 
-import graft.aa.AaDetector
-import graft.link.{Candidate, Mention}
-import graft.negex.Negex
-import graft.pipeline.{DocKernel, Page}
-import graft.text.{Extract, Tokenizer}
+import graft.pipeline.Page
+import graft.text.Extract
 import graft.umls.UmlsTables
 
 /** The reference's --JSONf document tree (generate_and_print_json,
@@ -36,9 +33,8 @@ import graft.umls.UmlsTables
   * library call), and "Candidates" prints empty like the reference
   * without --show_candidates. SyntaxUnits is the minimal-commitment
   * chunk re-expression (mods then head with InputMatch/LexCat/Tokens,
-  * skr_json.pl:603-688). Negations come from the shared NegEx pass
-  * ([[Negex.negations]]): NegType/NegTrigger/NegTriggerPIs/NegConcepts/
-  * NegConcPIs per trigger.
+  * skr_json.pl:603-688). Content comes from the shared [[DocTree]] walk
+  * the XML writer also renders.
   */
 object JsonMmoOutput {
 
@@ -67,7 +63,8 @@ object JsonMmoOutput {
   private def piObj(start: Int, len: Int): String =
     obj(Seq(pair("StartPos", start.toString), pair("Length", len.toString)))
 
-  private def candidateObj(c: Candidate, negated: Boolean): String = {
+  private def candidateObj(n: DocTree.CandNode): String = {
+    val c = n.c
     val matchMaps = arr(c.matchMap.map(e => obj(Seq(
       pair("TextMatchStart", e.pBegin.toString),
       pair("TextMatchEnd", e.pEnd.toString),
@@ -90,103 +87,72 @@ object JsonMmoOutput {
       rawPair("Sources", strArr(c.sources)),
       rawPair("ConceptPIs", pis),
       pair("Status", "0"),
-      pair("Negated", if (negated) "1" else "0")))
+      pair("Negated", if (n.negated) "1" else "0")))
   }
 
   /** Build one document's JSON tree. */
   def document(url: String, text: String, umls: UmlsTables): String = {
-    val byPhrase = DocKernel.phraseMmo(url, text, umls)
-    val toks = Tokenizer.tokenize(text)
-    val aas = AaDetector.findAas(toks)
+    val doc = DocTree.build(url, text, umls)
 
-    val aaObjs = aas.toVector.map { case (aa, exp) =>
-      val firstAt = toks.find(_.lc == aa).map(_.start).getOrElse(0)
-      val expText = exp.mkString(" ")
+    val aaObjs = doc.aas.map { a =>
+      val expText = a.expansion.mkString(" ")
       obj(Seq(
-        pair("AAText", aa),
+        pair("AAText", a.aa),
         pair("AAExp", expText),
         pair("AATokenNum", "1"),
-        pair("AALen", aa.length.toString),
-        pair("AAExpTokenNum", exp.length.toString),
+        pair("AALen", a.aa.length.toString),
+        pair("AAExpTokenNum", a.expansion.length.toString),
         pair("AAExpLen", expText.length.toString),
-        pair("AAStartPos", firstAt.toString)))
+        pair("AAStartPos", a.startPos.toString)))
     }
 
-    val bySent = byPhrase.groupBy(_.sent.sentNo).toVector.sortBy(_._1)
-
-    // one shared NegEx pass per sentence over the mapping candidates —
-    // the same decision procedure the mention path runs, so the
-    // "Negated" flags and the Negations section can never disagree
-    val sentNeg: Map[Int, (Set[(Int, String)], Vector[Negex.NegRecord])] =
-      bySent.map { case (sentNo, ps) =>
-        val sent = ps.head.sent
-        val ms = ps.flatMap(_.mappings.flatMap(_._2)).distinct.map(c =>
-          Mention(url, sentNo, c.start, c.end - c.start, c.cui, c.score,
-            c.semTypes, negated = false, text.substring(c.start, c.end),
-            c.posInfo, c.sources, term = c.str))
-        val marked = Negex.mark(sent.toks, ms, umls)
-        val negKeys = marked.filter(_.negated).map(m => (m.start, m.cui)).toSet
-        val recs = Negex.negations(sent.toks, ms, umls)
-        sentNo -> ((negKeys, recs))
-      }.toMap
-
-    val negObjs = bySent.flatMap { case (sentNo, _) =>
-      sentNeg(sentNo)._2.map { r =>
-        obj(Seq(
-          pair("NegType", r.negType),
-          pair("NegTrigger", r.trigger),
-          rawPair("NegTriggerPIs", arr(Seq(piObj(r.start, r.len)))),
-          rawPair("NegConcepts", arr(r.concepts.map(m => obj(Seq(
-            pair("NegConcCUI", m.cui),
-            pair("NegConcMatched", m.term)))))),
-          rawPair("NegConcPIs", arr(r.concepts.map(m => piObj(m.start, m.len))))))
-      }
+    val negObjs = doc.negations.map { r =>
+      obj(Seq(
+        pair("NegType", r.negType),
+        pair("NegTrigger", r.trigger),
+        rawPair("NegTriggerPIs", arr(Seq(piObj(r.start, r.len)))),
+        rawPair("NegConcepts", arr(r.concepts.map(m => obj(Seq(
+          pair("NegConcCUI", m.cui),
+          pair("NegConcMatched", m.term)))))),
+        rawPair("NegConcPIs", arr(r.concepts.map(m => piObj(m.start, m.len))))))
     }
 
-    val uttObjs = bySent.map { case (sentNo, ps) =>
-      val sent = ps.head.sent
-      val negKeys = sentNeg(sentNo)._1
-      val phraseObjs = ps.filter(_.phrase.words.nonEmpty).map { p =>
-        val pStart = p.phrase.words.head.start
-        val pEnd = p.phrase.words.last.end
-        val syn = graft.link.PhraseChunker.syntaxMap(p.phrase, umls)
-        val syntaxUnits = p.phrase.words.zipWithIndex.map { case (w, i) =>
+    val uttObjs = doc.utterances.map { u =>
+      val phraseObjs = u.phrases.map { p =>
+        val syntaxUnits = p.units.map { su =>
           obj(Seq(
-            pair("SyntaxType", if (i == p.phrase.headIdx) "head" else "mod"),
-            pair("InputMatch", text.substring(w.start, w.end)),
-            pair("LexCat", syn.getOrElse(w.word, "noun")),
-            rawPair("Tokens", strArr(Seq(w.word)))))
+            pair("SyntaxType", su.syntaxType),
+            pair("InputMatch", su.inputMatch),
+            pair("LexCat", su.lexCat),
+            rawPair("Tokens", strArr(su.tokens))))
         }
-        val mappingObjs = p.mappings.map { case (score, cands) =>
+        val mappingObjs = p.mappings.map { m =>
           obj(Seq(
-            pair("MappingScore", (-score).toString),
-            rawPair("MappingCandidates", arr(cands.map(c =>
-              candidateObj(c, negKeys((c.start, c.cui))))))))
+            pair("MappingScore", (-m.score).toString),
+            rawPair("MappingCandidates", arr(m.cands.map(candidateObj)))))
         }
         obj(Seq(
-          pair("PhraseText", text.substring(pStart, pEnd)),
+          pair("PhraseText", p.text),
           rawPair("SyntaxUnits", arr(syntaxUnits)),
-          pair("PhraseStartPos", pStart.toString),
-          pair("PhraseLength", (pEnd - pStart).toString),
+          pair("PhraseStartPos", p.startPos.toString),
+          pair("PhraseLength", p.length.toString),
           rawPair("Candidates", arr(Seq.empty)),
           rawPair("Mappings", arr(mappingObjs))))
       }
       obj(Seq(
-        pair("PMID", url),
-        pair("UttSection", "tx"),
-        pair("UttNum", (sentNo + 1).toString),
-        pair("UttText", text.substring(sent.start, sent.end)),
-        pair("UttStartPos", sent.start.toString),
-        pair("UttLength", (sent.end - sent.start).toString),
+        pair("PMID", u.pmid),
+        pair("UttSection", u.section),
+        pair("UttNum", u.num.toString),
+        pair("UttText", u.text),
+        pair("UttStartPos", u.startPos.toString),
+        pair("UttLength", u.length.toString),
         rawPair("Phrases", arr(phraseObjs))))
     }
 
-    rawPair("Document", obj(Seq(
+    "{" + rawPair("Document", obj(Seq(
       rawPair("AAs", arr(aaObjs)),
       rawPair("Negations", arr(negObjs)),
-      rawPair("Utterances", arr(uttObjs))))) match {
-      case d => "{" + d + "}"
-    }
+      rawPair("Utterances", arr(uttObjs))))) + "}"
   }
 
   /** One row per url: the full --JSONf tree. */
