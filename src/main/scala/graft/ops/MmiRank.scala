@@ -13,7 +13,10 @@ import graft.umls.UmlsTables
   * Parameters (mmi.pl:184-196): nf=-5, nmm=-10, wm=14, wmm=1, nc=nm=nw=nz=0,
   * wc=ww=0, wd=1, MaxFreq init 13; divisors: tree-depth 9, word 26,
   * char 102 (the reference reads these from env; we pin the historical
-  * defaults documented in mmi.pl:858-877).
+  * defaults documented in mmi.pl:858-877). set_aatf_rank's TitleFlag
+  * branch (rank = Spec without the frequency factor when the concept
+  * appears in a MEDLINE ti field, mmi.pl:893-898) is structurally N/A
+  * here: web pages process as free text, every tuple field is tx.
   */
 object MmiRank {
 
