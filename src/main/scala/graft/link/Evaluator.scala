@@ -41,9 +41,11 @@ object Evaluator {
     val out = scala.collection.mutable.ArrayBuffer[Candidate]()
 
     // deterministic probe order: vinfo sequence order
-    val probeWords = varIndex.toVector.flatMap { case (w, vis) =>
-      vis.map(vi => (vi.seq, w, vi))
-    }.sortBy(_._1)
+    val probeWords = {
+      val buf = new scala.collection.mutable.ArrayBuffer[(Int, String, VInfo)](varIndex.size)
+      varIndex.foreach { case (w, vis) => vis.foreach(vi => buf += ((vi.seq, w, vi))) }
+      buf.sortInPlaceBy(_._1)
+    }
 
     // last words of all gathered variants, for first_wordsb routing
     // (word_is_last_word_of_some_variant, metamap_candidates.pl:381-387);
@@ -72,16 +74,23 @@ object Evaluator {
     // optimizations — the union of per-variant retrievals is evaluated,
     // exactly as the reference's per-variant get_meta_uscs with its USC
     // cache keyed on (word, table)
-    for ((_, w, vi) <- probeWords
-         if (vi.genWord == firstGen || probeOk(w)) &&
-           !stopPhraseBlocked(vi.genWord)) {
-      val (tableName, index) = indexFor(vi, nPhrase, lastVariantWords, umls, opts)
-      if (probed.add((w, tableName))) {
-        val entries = index.getOrElse(w, Vector.empty)
-        for (e <- entries if seenStrings.add((e.cui, e.str))) {
-          evaluateOne(e, phrase, nPhrase, umls, varIndex, opts).foreach(out += _)
+    var pi = 0
+    while (pi < probeWords.length) {
+      val (_, w, vi) = probeWords(pi)
+      if ((vi.genWord == firstGen || probeOk(w)) && !stopPhraseBlocked(vi.genWord)) {
+        val (tableName, index) = indexFor(vi, nPhrase, lastVariantWords, umls, opts)
+        if (probed.add((w, tableName))) {
+          val entries = index.getOrElse(w, Vector.empty)
+          var ei = 0
+          while (ei < entries.length) {
+            val e = entries(ei)
+            if (seenStrings.add((e.cui, e.str)))
+              evaluateOne(e, phrase, nPhrase, umls, varIndex, opts).foreach(out += _)
+            ei += 1
+          }
         }
       }
+      pi += 1
     }
 
     filterRedundant(out.toVector)
@@ -198,22 +207,52 @@ object Evaluator {
     * join one mapping (the gap-filling case).
     */
   def interacts(a: Candidate, b: Candidate): Boolean = {
-    val aPos = a.matchMap.map(e => (e.pBegin, e.pEnd))
-    val bPos = b.matchMap.map(e => (e.pBegin, e.pEnd))
-    val posInter = aPos.exists(p => bPos.exists(q => p._1 <= q._2 && q._1 <= p._2))
-    posInter || {
-      // component span = first low .. last high (compute_component_span)
-      val (aL, aH) = (aPos.map(_._1).min, aPos.map(_._2).max)
-      val (bL, bH) = (bPos.map(_._1).min, bPos.map(_._2).max)
-      def staggered = (aL <= bL && bL <= aH && aH <= bH) ||
-        (bL <= aL && aL <= bH && bH <= aH)
-      def properSub(l1: Int, h1: Int, l2: Int, h2: Int) = l2 < l1 && h1 < h2
-      def compHits(pos: Vector[(Int, Int)], l: Int, h: Int) =
-        pos.exists(p => p._1 <= h && l <= p._2)
-      staggered ||
-        (properSub(bL, bH, aL, aH) && compHits(aPos, bL, bH)) ||
-        (properSub(aL, aH, bL, bH) && compHits(bPos, aL, aH))
+    // allocation-free: this runs inside the mapping-enumeration inner loop
+    val am = a.matchMap
+    val bm = b.matchMap
+    var i = 0
+    while (i < am.length) {
+      val p = am(i)
+      var j = 0
+      while (j < bm.length) {
+        val q = bm(j)
+        if (p.pBegin <= q.pEnd && q.pBegin <= p.pEnd) return true
+        j += 1
+      }
+      i += 1
     }
+    // component span = first low .. last high (compute_component_span)
+    var aL = Int.MaxValue; var aH = Int.MinValue
+    i = 0
+    while (i < am.length) {
+      val e = am(i)
+      if (e.pBegin < aL) aL = e.pBegin
+      if (e.pEnd > aH) aH = e.pEnd
+      i += 1
+    }
+    var bL = Int.MaxValue; var bH = Int.MinValue
+    i = 0
+    while (i < bm.length) {
+      val e = bm(i)
+      if (e.pBegin < bL) bL = e.pBegin
+      if (e.pEnd > bH) bH = e.pEnd
+      i += 1
+    }
+    val staggered = (aL <= bL && bL <= aH && aH <= bH) ||
+      (bL <= aL && aL <= bH && bH <= aH)
+    if (staggered) return true
+    @inline def properSub(l1: Int, h1: Int, l2: Int, h2: Int) = l2 < l1 && h1 < h2
+    @inline def compHits(mm: Vector[MatchEntry], l: Int, h: Int): Boolean = {
+      var k = 0
+      while (k < mm.length) {
+        val e = mm(k)
+        if (e.pBegin <= h && l <= e.pEnd) return true
+        k += 1
+      }
+      false
+    }
+    (properSub(bL, bH, aL, aH) && compHits(am, bL, bH)) ||
+      (properSub(aL, aH, bL, bH) && compHits(bm, aL, aH))
   }
 
   /** F3 subsumed-evaluation filter (filter_out_subsumed_evaluations,

@@ -69,47 +69,67 @@ object Matcher {
     // and extraMetaIdx are computed against the full meta length while
     // matchmap meta spans live in the desynced counter space, identical
     // to the reference's extract_components/NMetaWords mix.
+    // intersection against the accumulated matchmap's phrase components,
+    // field-direct (no per-call tuple list)
+    def intersectsMm(mm: List[MatchEntry], b: Int, e: Int): Boolean = {
+      var l = mm
+      while (l ne Nil) {
+        val h = l.head
+        if (h.pBegin <= e && b <= h.pEnd) return true
+        l = l.tail
+      }
+      false
+    }
+
     def aux(pos: Int, metaNo: Int, matchMap: List[MatchEntry], involvesHead: Boolean)
         : Option[(List[MatchEntry], Boolean)] = {
       if (pos > nMeta) return Some((matchMap, involvesHead))
       val first = metaWords(pos - 1)
-      val phraseComponents = matchMap.map(e => (e.pBegin, e.pEnd))
-      val prevBegin = matchMap.headOption.map(_.pBegin).getOrElse(0)
+      val prevBegin = if (matchMap eq Nil) 0 else matchMap.head.pBegin
       val vinfos0 = varIndex.getOrElse(first, Vector.empty)
-      // reorder: non-intersecting generator positions first (stable)
-      val (nonInt, inter) = vinfos0.partition(v => !intersectsAny(phraseComponents, v.genPos))
-      val ordered = nonInt ++ inter
-      var i = 0
-      while (i < ordered.length) {
-        val v = ordered(i)
-        val rest = v.words.tail
-        def fits: Boolean = rest.indices.forall(k =>
-          pos + k < nMeta && metaWords(pos + k) == rest(k)) &&
-          pos - 1 + v.words.length <= nMeta
-        if (intersectsAny(phraseComponents, v.genPos)) {
-          // re-intersecting generator: only legal with concept gaps —
-          // consume the variant words, no matchmap entry, meta counter +1
-          if (opts.allowConceptGaps && fits) {
-            aux(pos + v.words.length, metaNo + 1, matchMap, involvesHead) match {
-              case s @ Some(_) => return s
-              case None =>
+      // two passes replace the stable partition: non-intersecting
+      // generator positions first, then intersecting — same order as the
+      // former `nonInt ++ inter`, no per-call vectors
+      var pass = 0
+      while (pass < 2) {
+        var i = 0
+        while (i < vinfos0.length) {
+          val v = vinfos0(i)
+          val vInter = intersectsMm(matchMap, v.genPos._1, v.genPos._2)
+          if (vInter == (pass == 1)) {
+            val vw = v.words
+            def fits: Boolean = (pos - 1 + vw.length <= nMeta) && {
+              var k = 1
+              while (k < vw.length && metaWords(pos + k - 1) == vw(k)) k += 1
+              k == vw.length
+            }
+            if (vInter) {
+              // re-intersecting generator: only legal with concept gaps —
+              // consume the variant words, no matchmap entry, meta counter +1
+              if (opts.allowConceptGaps && fits) {
+                aux(pos + vw.length, metaNo + 1, matchMap, involvesHead) match {
+                  case s @ Some(_) => return s
+                  case None =>
+                }
+              }
+            } else if (v.genPos._1 < prevBegin && !opts.ignoreWordOrder) {
+              // word-order violation: terminate with truncated map — fires on
+              // the first non-intersecting vinfo even if its variant words
+              // don't fit (the reference checks order before the append)
+              return Some((matchMap, involvesHead))
+            } else if (fits) {
+              val newInvolves = involvesHead || v.involvesHead
+              val end = metaNo + vw.length - 1
+              val entry = MatchEntry(v.genPos._1, v.genPos._2, metaNo, end, v.varLevel)
+              aux(pos + vw.length, end + 1, entry :: matchMap, newInvolves) match {
+                case s @ Some(_) => return s // the cut: first success commits
+                case None => // backtrack to next vinfo
+              }
             }
           }
-        } else if (v.genPos._1 < prevBegin && !opts.ignoreWordOrder) {
-          // word-order violation: terminate with truncated map — fires on
-          // the first non-intersecting vinfo even if its variant words
-          // don't fit (the reference checks order before the append)
-          return Some((matchMap, involvesHead))
-        } else if (fits) {
-          val newInvolves = involvesHead || v.involvesHead
-          val end = metaNo + rest.length
-          val entry = MatchEntry(v.genPos._1, v.genPos._2, metaNo, end, v.varLevel)
-          aux(pos + v.words.length, end + 1, entry :: matchMap, newInvolves) match {
-            case s @ Some(_) => return s // the cut: first success commits
-            case None => // backtrack to next vinfo
-          }
+          i += 1
         }
-        i += 1
+        pass += 1
       }
       // third clause: skip an unmatchable meta word (evaluation.pl:697-710)
       if (opts.allowOvermatches || opts.allowConceptGaps)

@@ -22,13 +22,17 @@ object Scorer {
     s / matchMap.size
   }
 
-  private def bounds(spans: Seq[(Int, Int)]): (Int, Int) =
-    if (spans.isEmpty) (0, -1)
-    else (spans.map(_._1).min, spans.map(_._2).max)
-
   def coverage(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int): Double = {
-    val (plb, pub) = bounds(matchMap.map(e => (e.pBegin, e.pEnd)))
-    val (mlb, mub) = bounds(matchMap.map(e => (e.mBegin, e.mEnd)))
+    // bounding extents in one pass (empty map -> spans of 0, as before)
+    var plb = Int.MaxValue; var pub = Int.MinValue
+    var mlb = Int.MaxValue; var mub = Int.MinValue
+    matchMap.foreach { e =>
+      if (e.pBegin < plb) plb = e.pBegin
+      if (e.pEnd > pub) pub = e.pEnd
+      if (e.mBegin < mlb) mlb = e.mBegin
+      if (e.mEnd > mub) mub = e.mEnd
+    }
+    if (matchMap.isEmpty) { plb = 0; pub = -1; mlb = 0; mub = -1 }
     val pSpan = pub - plb + 1
     val mSpan = mub - mlb + 1
     (pSpan.toDouble / nPhrase + (2.0 * mSpan) / nMeta) / 3.0
@@ -49,9 +53,27 @@ object Scorer {
   }
 
   def cohesiveness(matchMap: Seq[MatchEntry], nPhrase: Int, nMeta: Int): Double = {
-    val pCCs = connectedComponents(matchMap.map(e => (e.pBegin, e.pEnd)))
-    val mCCs = connectedComponents(matchMap.map(e => (e.mBegin, e.mEnd)))
-    cohesivenessFromCCs(pCCs, mCCs, nPhrase, nMeta)
+    // sum-of-squared-CC-sizes directly (left-to-right, the same addition
+    // order as summing the materialized CC list), no tuple vectors
+    def ccSumSquares(phraseSide: Boolean): Double = {
+      var sum = 0.0
+      var lb = 0; var le = -2 // sentinel: first span never merges
+      var open = false
+      matchMap.foreach { e =>
+        val b = if (phraseSide) e.pBegin else e.mBegin
+        val ed = if (phraseSide) e.pEnd else e.mEnd
+        if (open && b == le + 1) le = ed
+        else {
+          if (open) { val c = (le - lb + 1).toDouble; sum += c * c }
+          lb = b; le = ed; open = true
+        }
+      }
+      if (open) { val c = (le - lb + 1).toDouble; sum += c * c }
+      sum
+    }
+    val pSum = ccSumSquares(phraseSide = true)
+    val mSum = ccSumSquares(phraseSide = false)
+    (pSum / (nPhrase.toDouble * nPhrase) + (2.0 * mSum) / (nMeta.toDouble * nMeta)) / 3.0
   }
 
   /** Cohesiveness from explicit CC lists — mapping rescoring passes the
@@ -61,8 +83,10 @@ object Scorer {
     */
   def cohesivenessFromCCs(pCCs: Seq[Int], mCCs: Seq[Int],
       nPhrase: Int, nMeta: Int): Double = {
-    val pSum = pCCs.map(c => c.toDouble * c).sum
-    val mSum = mCCs.map(c => c.toDouble * c).sum
+    var pSum = 0.0
+    pCCs.foreach(c => pSum += c.toDouble * c)
+    var mSum = 0.0
+    mCCs.foreach(c => mSum += c.toDouble * c)
     (pSum / (nPhrase.toDouble * nPhrase) + (2.0 * mSum) / (nMeta.toDouble * nMeta)) / 3.0
   }
 

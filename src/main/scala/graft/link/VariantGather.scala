@@ -59,13 +59,19 @@ object VariantGather {
 
     def positions(genWords: Vector[String]): Vector[(Int, Int)] = {
       // all_pairs over first/last word positions with the right span
-      // (metamap_variants.pl:1469-1520)
-      val firsts = (0 until n).filter(k => words(k) == genWords.head).map(_ + 1)
-      val lasts = (0 until n).filter(k => words(k) == genWords.last).map(_ + 1)
-      (for {
-        b <- firsts; e <- lasts
-        if b <= e && e - b + 1 == genWords.length
-      } yield (b, e)).toVector
+      // (metamap_variants.pl:1469-1520): for a fixed begin the span length
+      // pins the end, so one left-to-right scan enumerates the same pairs
+      // in the same (ascending-begin) order
+      val len = genWords.length
+      val first = genWords.head
+      val last = genWords.last
+      val out = Vector.newBuilder[(Int, Int)]
+      var k = 0
+      while (k + len <= n) {
+        if (words(k) == first && words(k + len - 1) == last) out += ((k + 1, k + len))
+        k += 1
+      }
+      out.result()
     }
 
     for (gen <- gens) {
@@ -142,7 +148,9 @@ object VariantGather {
           }
           val involvesHead = pos._1 <= headPos._2 && headPos._1 <= pos._2
           for (v <- allVars) {
-            val vWords = Tokenizer.tokenizeMmLc(v.word)
+            // identity variant's words == genWords (same string); table
+            // variants carry their tokenization (Variant.mmWords)
+            val vWords = if (v.word eq gen) genWords else v.mmWords
             if (vWords.nonEmpty) {
               val vi = VInfo(gen, pos, involvesHead, v.varLevel, vWords, seq)
               seq += 1

@@ -329,21 +329,48 @@ object DocKernel {
     * weight (the reference sorts Weight-LexCat pairs and takes the head);
     * UNKNOWN when nothing resolves.
     */
+  /** Bounded per-executor memo for tokenize_text_mm of BROADCAST-table
+    * strings (concept names / Metathesaurus strings): their vocabulary is
+    * fixed by the tables, so the cap is a guard, never a correctness
+    * concern (a miss just recomputes).
+    */
+  private val mmToksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+  private def mmToksCached(s: String): Vector[String] = {
+    val hit = mmToksCache.get(s)
+    if (hit != null) hit
+    else {
+      val v = Tokenizer.tokenizeMmLc(s)
+      if (mmToksCache.size < 500000) mmToksCache.put(s, v)
+      v
+    }
+  }
+
   private def mentionLexCat(mentionText: String, c: Candidate,
       syntax: Map[String, String],
       aas: graft.link.VariantGather.AaDict): String = {
+    // streaming min over the token sources — duplicates cannot change the
+    // (weight, cat) minimum, so the former distinct/concat is unnecessary
+    var bestW = 4
+    var best: String = null
+    def consider(tok: String): Unit = syntax.get(tok) match {
+      case Some(cat) =>
+        val w = lexcatWeight(cat)
+        if (w < bestW || (w == bestW && (best == null || cat < best))) {
+          bestW = w; best = cat
+        }
+      case None =>
+    }
     val textToks = Tokenizer.tokenizeMmLc(mentionText)
-    val aaExp =
-      if (aas.isEmpty) Vector.empty
-      else (mentionText.trim.toLowerCase +: textToks)
-        .flatMap(t => aas.get(t).map(_.flatMap(Tokenizer.tokenizeMmLc)))
-        .flatten
-    val conceptToks =
-      Tokenizer.tokenizeMmLc(c.concept) ++ Tokenizer.tokenizeMmLc(c.str)
-    val cats = (aaExp ++ textToks ++ conceptToks ++ c.metaWords)
-      .distinct.flatMap(syntax.get)
-    if (cats.isEmpty) "UNKNOWN"
-    else cats.map(cat => (lexcatWeight(cat), cat)).min._2
+    if (aas.nonEmpty) {
+      (mentionText.trim.toLowerCase +: textToks).foreach(t =>
+        aas.get(t).foreach(_.foreach(e => Tokenizer.tokenizeMmLc(e).foreach(consider))))
+    }
+    textToks.foreach(consider)
+    mmToksCached(c.concept).foreach(consider)
+    mmToksCached(c.str).foreach(consider)
+    c.metaWords.foreach(consider)
+    if (best == null) "UNKNOWN" else best
   }
 
   private def lexcatWeight(cat: String): Int = cat match {

@@ -31,9 +31,21 @@ object Tokenizer {
     else if (hasDigit) "nu"
     else if (hasLower && !hasUpper) "lc"
     else if (hasUpper && !hasLower) "uc"
-    else if (s.charAt(0).isUpper && s.drop(1).forall(c => c >= 'a' && c <= 'z')) "ic"
-    else "mc"
+    else {
+      // mixed case: ic iff leading upper + all-lower tail (ASCII input)
+      var ic = s.charAt(0) >= 'A' && s.charAt(0) <= 'Z'
+      var j = 1
+      while (ic && j < s.length) {
+        val c = s.charAt(j); ic = c >= 'a' && c <= 'z'; j += 1
+      }
+      if (ic) "ic" else "mc"
+    }
   }
+
+  /** Interned single-char strings — `pn` tokens and single-space `ws`
+    * runs dominate a token stream; ASCII-folded input keeps c < 128.
+    */
+  private val singleChar: Array[String] = Array.tabulate(128)(i => String.valueOf(i.toChar))
 
   /** Tokenize `text` into the full stream including ws and pn tokens. */
   def tokenize(text: String): Vector[Tok] = {
@@ -45,7 +57,7 @@ object Tokenizer {
       if (isWsChar(c)) {
         var j = i + 1
         while (j < n && isWsChar(text.charAt(j))) j += 1
-        val t = text.substring(i, j)
+        val t = if (j == i + 1) singleChar(c) else text.substring(i, j)
         out += Tok("ws", t, t, i, j)
         i = j
       } else if (isAlnum(c)) {
@@ -55,7 +67,7 @@ object Tokenizer {
         out += Tok(alnumType(t), t, t.toLowerCase, i, j)
         i = j
       } else {
-        val t = text.substring(i, i + 1)
+        val t = if (c < 128) singleChar(c) else text.substring(i, i + 1)
         out += Tok("pn", t, t, i, i + 1)
         i = i + 1
       }
@@ -108,30 +120,33 @@ object Tokenizer {
     * Metathesaurus strings — the two sides MUST agree, SURVEY §2.2 T5).
     */
   def tokenizeMmLc(text: String): Vector[String] = {
-    val toks = tokenize(text)
-    val out = new ArrayBuffer[String](toks.length)
+    // direct char scan — equivalent to tokenizing and walking the Tok
+    // stream (possessive cases map 1:1: adjacency is automatic, a
+    // following word token "s" is exactly [s/S then non-alnum], and
+    // consuming vs. skipping the bare apostrophe is output-invariant),
+    // but without materializing ws/pn tokens on the hot path
+    val out = Vector.newBuilder[String]
     var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      if (t.isWord) {
-        // possessive: word + "'" + "s"  or plural possessive word+"'"
-        val isApos = i + 1 < toks.length && toks(i + 1).text == "'"
-        val nextIsS = i + 2 < toks.length && toks(i + 2).lc == "s" &&
-          toks(i + 2).start == toks(i + 1).end
-        if (isApos && nextIsS && toks(i + 1).start == t.end) {
-          out += t.lc
-          i += 3
-        } else if (isApos && toks(i + 1).start == t.end && t.lc.endsWith("s") &&
-          (i + 2 >= toks.length || toks(i + 2).isWs || toks(i + 2).isPunct)) {
-          out += t.lc
-          i += 2
-        } else {
-          out += t.lc
-          i += 1
+    val n = text.length
+    while (i < n) {
+      if (isAlnum(text.charAt(i))) {
+        var j = i + 1
+        while (j < n && isAlnum(text.charAt(j))) j += 1
+        out += text.substring(i, j).toLowerCase
+        i = j
+        if (j < n && text.charAt(j) == '\'') {
+          // possessive 's: the next word token is exactly s/S
+          val sNext = j + 1 < n && {
+            val c1 = text.charAt(j + 1)
+            (c1 == 's' || c1 == 'S') && (j + 2 >= n || !isAlnum(text.charAt(j + 2)))
+          }
+          if (sNext) i = j + 2 // strip the s token
+          // plural possessive (word ends in s, bare trailing apostrophe)
+          // needs no action: the apostrophe is a pn char and is skipped
         }
       } else i += 1
     }
-    out.toVector
+    out.result()
   }
 
   /** Word tokens only (no ws/pn), preserving positions; possessive 's is

@@ -19,7 +19,15 @@ final case class IndexEntry(nmWords: Vector[String], str: String, cui: String, c
   * follow the reference: s=synonym, i=inflection, p=spelling, d=derivation,
   * a/e=AA/expansion (metamap_variants.pl:826-847).
   */
-final case class Variant(word: String, varLevel: Int, history: String)
+final case class Variant(word: String, varLevel: Int, history: String) {
+  /** tokenize_text_mm of `word`, computed once per (deserialized) instance.
+    * Broadcast-table variants are applied at every generator occurrence of
+    * every phrase — tokenizing the same static table string there is the
+    * kernel's hottest redundant work, so the result rides on the variant
+    * itself (recomputed per executor after broadcast deserialization).
+    */
+  @transient lazy val mmWords: Vector[String] = Tokenizer.tokenizeMmLc(word)
+}
 
 /** Broadcastable read-only UMLS-style tables (SURVEY.md §1.2). All maps are
   * immutable and thread-safe; one instance is broadcast per job and shared
