@@ -85,7 +85,8 @@ object Evaluator {
           while (ei < entries.length) {
             val e = entries(ei)
             if (seenStrings.add((e.cui, e.str)))
-              evaluateOne(e, phrase, nPhrase, umls, varIndex, opts).foreach(out += _)
+              evaluateOne(e, phrase, nPhrase, umls, varIndex, opts,
+                lastVariantWords).foreach(out += _)
             ei += 1
           }
         }
@@ -155,10 +156,10 @@ object Evaluator {
 
   private def evaluateOne(e: IndexEntry, phrase: Phrase, nPhrase: Int,
       umls: UmlsTables, varIndex: Map[String, Vector[VInfo]],
-      opts: LinkOptions): Option[Candidate] = {
+      opts: LinkOptions, lastWords: Set[String] = null): Option[Candidate] = {
     val metaWords = e.nmWords
     val headless = false // chunker always assigns a head
-    Matcher.matchPhraseOpt(metaWords, varIndex, headless, opts).flatMap { r =>
+    Matcher.matchPhraseOpt(metaWords, varIndex, headless, opts, lastWords).flatMap { r =>
       val mm = r.matchMap
       // --min_length (E11, evaluation.pl:381-398): total char length of
       // matched phrase words incl. separating spaces

@@ -35,12 +35,6 @@ object Matcher {
   final case class MatchResult(matchMap: Vector[MatchEntry], involvesHead: Boolean,
       isOvermatch: Boolean, extraMetaIdx: Vector[Int])
 
-  private def overlaps(a: (Int, Int), b: (Int, Int)): Boolean =
-    a._1 <= b._2 && b._1 <= a._2
-
-  private def intersectsAny(spans: List[(Int, Int)], p: (Int, Int)): Boolean =
-    spans.exists(overlaps(_, p))
-
   def matchPhrase(metaWords: Vector[String],
       varIndex: Map[String, Vector[VInfo]],
       headless: Boolean): Option[(Vector[MatchEntry], Boolean)] =
@@ -50,13 +44,26 @@ object Matcher {
   /** @return Some(MatchResult) for an accepted match, else None. */
   def matchPhraseOpt(metaWords: Vector[String],
       varIndex: Map[String, Vector[VInfo]],
-      headless: Boolean, opts: LinkOptions): Option[MatchResult] = {
+      headless: Boolean, opts: LinkOptions): Option[MatchResult] =
+    matchPhraseOpt(metaWords, varIndex, headless, opts, null)
+
+  /** Hot-path overload: `lastWords` (the set of every gathered variant's
+    * last word) is per-PHRASE state, so the caller evaluating many index
+    * strings against one phrase precomputes it once instead of walking
+    * the whole variant index per string.
+    */
+  def matchPhraseOpt(metaWords: Vector[String],
+      varIndex: Map[String, Vector[VInfo]],
+      headless: Boolean, opts: LinkOptions,
+      lastWords: Set[String]): Option[MatchResult] = {
     val nMeta = metaWords.length
     if (nMeta == 0 || nMeta > 35) return None
     // guard: last meta word must end some variant (evaluation.pl:581-585),
     // waived under allow_overmatches
     if (!opts.allowOvermatches) {
-      val lastOk = varIndex.valuesIterator.exists(_.exists(_.lastWord == metaWords.last))
+      val lastOk =
+        if (lastWords ne null) lastWords.contains(metaWords.last)
+        else varIndex.valuesIterator.exists(_.exists(_.lastWord == metaWords.last))
       if (!lastOk) return None
     }
 
@@ -138,16 +145,19 @@ object Matcher {
     }
 
     aux(1, 1, Nil, headless).flatMap { case (mm, inv) =>
-      val matchMap = mm.reverse.toVector
-      val metaCovered = matchMap.map(e => (e.mBegin, e.mEnd))
-      val complete = intersectsAny(metaCovered.toList, (1, 1)) &&
-        intersectsAny(metaCovered.toList, (nMeta, nMeta))
-      if (complete || opts.allowOvermatches) {
-        val covered = matchMap.flatMap(e => e.mBegin to e.mEnd).toSet
-        val extra = (1 to nMeta).filterNot(covered).toVector
-        if (matchMap.isEmpty) None
-        else Some(MatchResult(matchMap, inv, isOvermatch = !complete, extra))
-      } else None
+      if (mm.isEmpty) None // empty map can never be complete nor kept
+      else {
+        val matchMap = mm.reverse.toVector
+        val bs = new java.util.BitSet(nMeta + 2)
+        matchMap.foreach(e => bs.set(e.mBegin, e.mEnd + 1))
+        val complete = bs.get(1) && bs.get(nMeta)
+        if (complete || opts.allowOvermatches) {
+          val extraB = Vector.newBuilder[Int]
+          var k = 1
+          while (k <= nMeta) { if (!bs.get(k)) extraB += k; k += 1 }
+          Some(MatchResult(matchMap, inv, isOvermatch = !complete, extraB.result()))
+        } else None
+      }
     }
   }
 }

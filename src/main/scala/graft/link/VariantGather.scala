@@ -116,47 +116,46 @@ object VariantGather {
               noDeriv = opts.noDerivationalVariants)
           else Vector.empty
         }
-        val untaggedVars =
+        val untaggedTableVars =
           if (tagsByStart.nonEmpty) null
-          else {
-            val tableVars =
-              if (noVariants) Vector.empty
-              else lookupVars(mainTable)
-            base ++ tableVars ++ aaVars ++ splitVars
-          }
+          else if (noVariants) Vector.empty[Variant]
+          else lookupVars(mainTable)
+        val baseV = base.head
         for (pos <- genPositions) {
           // V10: a tagged single-word generator draws from its category's
           // variant table (tag can differ per occurrence position)
-          val allVars = if (untaggedVars != null) untaggedVars else {
+          val tableVars = if (untaggedTableVars != null) untaggedTableVars else {
             val catTable =
               if (isSingle)
                 tagsByStart.get(phrase.words(pos._1 - 1).start)
                   .flatMap(umls.variantsByCat.get)
               else None
-            val tableVars =
-              if (noVariants) Vector.empty
-              else catTable match {
-                case Some(ct) =>
-                  val vs = ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
-                  // -d in tagged mode: the per-category tables are built
-                  // with deriv edges, so drop deriv-path variants here
-                  if (opts.noDerivationalVariants) vs.filterNot(_.history.contains('d'))
-                  else vs
-                case None => lookupVars(mainTable)
-              }
-            base ++ tableVars ++ aaVars ++ splitVars
+            if (noVariants) Vector.empty
+            else catTable match {
+              case Some(ct) =>
+                val vs = ct.getOrElse(gen, Vector.empty).filterNot(_.word == gen)
+                // -d in tagged mode: the per-category tables are built
+                // with deriv edges, so drop deriv-path variants here
+                if (opts.noDerivationalVariants) vs.filterNot(_.history.contains('d'))
+                else vs
+              case None => lookupVars(mainTable)
+            }
           }
           val involvesHead = pos._1 <= headPos._2 && headPos._1 <= pos._2
-          for (v <- allVars) {
-            // identity variant's words == genWords (same string); table
-            // variants carry their tokenization (Variant.mmWords)
-            val vWords = if (v.word eq gen) genWords else v.mmWords
+          // emission order base / table / aa / split == the former
+          // concatenated vector, without materializing the concat; the
+          // identity variant reuses genWords, table variants their
+          // broadcast-resident tokenization (Variant.mmWords)
+          @inline def emit(v: Variant, vWords: Vector[String]): Unit =
             if (vWords.nonEmpty) {
               val vi = VInfo(gen, pos, involvesHead, v.varLevel, vWords, seq)
               seq += 1
               buckets.getOrElseUpdate(vWords.head, scala.collection.mutable.ArrayBuffer.empty) += vi
             }
-          }
+          emit(baseV, genWords)
+          tableVars.foreach(v => emit(v, v.mmWords))
+          aaVars.foreach(v => emit(v, v.mmWords))
+          splitVars.foreach(v => emit(v, v.mmWords))
         }
       }
     }

@@ -21,9 +21,23 @@ object DocTriples {
   /** WSD: one CUI survives per span; identical rule to Pipeline.wsdDedup. */
   def wsdLocal(mentions: Vector[Mention], umls: UmlsTables): Vector[Mention] =
     mentions.groupBy(m => (m.sentNo, m.start, m.len)).valuesIterator.map { ms =>
-      ms.minBy(m => (-m.score,
-        m.semTypes.map(st => umls.semTypePriority.getOrElse(st, 99))
-          .minOption.getOrElse(99), m.cui))
+      // minBy on (-score, best semtype priority, cui), imperatively (the
+      // strict-improvement test keeps minBy's first-wins tie behavior)
+      var best: Mention = null
+      var bestPrio = 0
+      ms.foreach { m =>
+        var prio = 99
+        m.semTypes.foreach { st =>
+          val p = umls.semTypePriority.getOrElse(st, 99)
+          if (p < prio) prio = p
+        }
+        if (best == null || m.score > best.score ||
+          (m.score == best.score &&
+            (prio < bestPrio || (prio == bestPrio && m.cui < best.cui)))) {
+          best = m; bestPrio = prio
+        }
+      }
+      best
     }.toVector
 
   /** Sentence-window ordered pairs x semnet predicate licensing

@@ -132,7 +132,16 @@ object Tokenizer {
       if (isAlnum(text.charAt(i))) {
         var j = i + 1
         while (j < n && isAlnum(text.charAt(j))) j += 1
-        out += text.substring(i, j).toLowerCase
+        // the word is ASCII alnum by construction: lowercase in the same
+        // pass as the copy (one allocation, identical to toLowerCase here)
+        val arr = new Array[Char](j - i)
+        var k = i
+        while (k < j) {
+          val ch = text.charAt(k)
+          arr(k - i) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+          k += 1
+        }
+        out += new String(arr)
         i = j
         if (j < n && text.charAt(j) == '\'') {
           // possessive 's: the next word token is exactly s/S
