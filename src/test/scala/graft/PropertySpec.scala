@@ -47,6 +47,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizeMmLc: char scanner equals the token-stream possessive walk") {
+    // the token-walk form of tokenize_text_mm (metamap_tokenization.pl:
+    // 765-903): word tokens lowercased, "'s" after a word consumed, a
+    // bare trailing apostrophe after an s-final word consumed. The shipped
+    // implementation is a direct char scanner (one pass, no Tok stream);
+    // this pin proves the two agree on arbitrary apostrophe-dense input.
+    def walk(text: String): Vector[String] = {
+      val toks = Tokenizer.tokenize(text)
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.isWord) {
+          val isApos = i + 1 < toks.length && toks(i + 1).text == "'" &&
+            toks(i + 1).start == t.end
+          val nextIsS = i + 2 < toks.length && toks(i + 2).lc == "s" &&
+            toks(i + 2).start == toks(i + 1).end
+          if (isApos && nextIsS) { out += t.lc; i += 3 }
+          else if (isApos && t.lc.endsWith("s") &&
+            (i + 2 >= toks.length || toks(i + 2).isWs || toks(i + 2).isPunct)) {
+            out += t.lc; i += 2
+          } else { out += t.lc; i += 1 }
+        } else i += 1
+      }
+      out.result()
+    }
+    val possessive: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const('\''), 2 -> Gen.const('s'),
+      2 -> Gen.const(' '), 1 -> Gen.oneOf('.', 'S', '-'))).map(_.mkString)
+    forAllGen(possessive, 400) { s =>
+      assert(Tokenizer.tokenizeMmLc(s) == walk(s), s"input: ${s.take(80)}")
+    }
+    forAllGen(asciiText, 200) { s =>
+      assert(Tokenizer.tokenizeMmLc(s) == walk(s), s"input: ${s.take(80)}")
+    }
+  }
+
   /** VALID matchmaps only — the matcher guarantees pairwise-disjoint
     * phrase components and sequential disjoint meta spans; the scorer's
     * bound holds exactly for those (overlapping components can push
