@@ -48,10 +48,13 @@ object Evaluator {
     }
 
     // last words of all gathered variants, for first_wordsb routing
-    // (word_is_last_word_of_some_variant, metamap_candidates.pl:381-387);
-    // lazy: only forced when a probe word actually has frequent pairs
-    lazy val lastVariantWords: Set[String] =
-      varIndex.valuesIterator.flatten.map(_.words.last).toSet
+    // (word_is_last_word_of_some_variant, metamap_candidates.pl:381-387)
+    // and the matcher's last-meta-word guard — built once per phrase
+    val lastVariantWords: scala.collection.Set[String] = {
+      val s = new scala.collection.mutable.HashSet[String]
+      varIndex.foreach { case (_, vis) => vis.foreach(v => s += v.lastWord) }
+      s
+    }
 
     // stop phrases (add_candidates, metamap_candidates.pl:138-143): in
     // overmatch mode, a generator that is a stop phrase under one of its
@@ -137,7 +140,7 @@ object Evaluator {
     * with w2 — the only way those entries could complete a match.
     */
   private[graft] def indexFor(vi: VInfo, nPhrase: Int,
-      lastVariantWords: => Set[String], umls: UmlsTables, opts: LinkOptions)
+      lastVariantWords: => scala.collection.Set[String], umls: UmlsTables, opts: LinkOptions)
       : (String, Map[String, Vector[IndexEntry]]) = {
     def firstWordsOrB(w: String): (String, Map[String, Vector[IndexEntry]]) = {
       val hot = umls.frequentFirstWordPairs.getOrElse(w, Set.empty)
@@ -156,7 +159,7 @@ object Evaluator {
 
   private def evaluateOne(e: IndexEntry, phrase: Phrase, nPhrase: Int,
       umls: UmlsTables, varIndex: Map[String, Vector[VInfo]],
-      opts: LinkOptions, lastWords: Set[String] = null): Option[Candidate] = {
+      opts: LinkOptions, lastWords: scala.collection.Set[String] = null): Option[Candidate] = {
     val metaWords = e.nmWords
     val headless = false // chunker always assigns a head
     Matcher.matchPhraseOpt(metaWords, varIndex, headless, opts, lastWords).flatMap { r =>

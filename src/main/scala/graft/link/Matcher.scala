@@ -55,7 +55,7 @@ object Matcher {
   def matchPhraseOpt(metaWords: Vector[String],
       varIndex: Map[String, Vector[VInfo]],
       headless: Boolean, opts: LinkOptions,
-      lastWords: Set[String]): Option[MatchResult] = {
+      lastWords: scala.collection.Set[String]): Option[MatchResult] = {
     val nMeta = metaWords.length
     if (nMeta == 0 || nMeta > 35) return None
     // guard: last meta word must end some variant (evaluation.pl:581-585),

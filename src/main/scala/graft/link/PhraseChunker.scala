@@ -159,34 +159,58 @@ object PhraseChunker {
     // Exact mode: only the punc_mark1 set plus the double-hyphen rule
     // (mark_boundaries, mincoman.pl:310-317); the comma is handled
     // conditionally below.
-    val breakingPn: Set[Int] =
+    // token starts ascend, and lastEnd/t.start ascend across the word
+    // loop, so "a breaking pn in [lastEnd, t.start)" is a two-pointer
+    // walk over ascending position arrays (the former Set.exists scanned
+    // every punct per word)
+    val breakArr: Array[Int] = {
+      val b = Array.newBuilder[Int]
       if (!taglessExact)
-        toks.iterator.filter(t => t.isPunct && t.text != "'" && t.text != "-")
-          .map(_.start).toSet
-      else toks.iterator.zipWithIndex.filter { case (t, k) =>
-        t.isPunct && (puncMark1.contains(t.text) ||
-          (t.text == "-" && k + 1 < toks.length && toks(k + 1).isPunct &&
-            toks(k + 1).text == "-"))
-      }.map(_._1.start).toSet
+        toks.foreach(t => if (t.isPunct && t.text != "'" && t.text != "-") b += t.start)
+      else {
+        var k = 0
+        while (k < toks.length) {
+          val t = toks(k)
+          if (t.isPunct && (puncMark1.contains(t.text) ||
+            (t.text == "-" && k + 1 < toks.length && toks(k + 1).isPunct &&
+              toks(k + 1).text == "-"))) b += t.start
+          k += 1
+        }
+      }
+      b.result()
+    }
     // comma positions, for the adjust_for_comma conditional break
-    val commaPn: Set[Int] =
-      if (!taglessExact) Set.empty
-      else toks.iterator.filter(t => t.isPunct && t.text == ",").map(_.start).toSet
+    val commaArr: Array[Int] =
+      if (!taglessExact) Array.emptyIntArray
+      else {
+        val b = Array.newBuilder[Int]
+        toks.foreach(t => if (t.isPunct && t.text == ",") b += t.start)
+        b.result()
+      }
+    var bi = 0
+    var ci = 0
 
-    val cats = words.map(t =>
-      tagsByStart.getOrElse(t.start,
-        if (taglessExact) resolveCatExact(mmWord(t), umls) else resolveCat(mmWord(t), umls)))
+    val wNorm = words.map(mmWord)
+    val cats = words.indices.map(wi =>
+      tagsByStart.getOrElse(words(wi).start,
+        if (taglessExact) resolveCatExact(wNorm(wi), umls) else resolveCat(wNorm(wi), umls)))
 
-    for ((t, wi) <- words.zipWithIndex) {
+    for (wi <- words.indices) {
+      val t = words(wi)
       // breaking punctuation strictly between previous word and this one?
-      val interrupted = lastEnd >= 0 &&
-        (breakingPn.exists(p => p >= lastEnd && p < t.start) ||
+      val interrupted = lastEnd >= 0 && {
+        while (bi < breakArr.length && breakArr(bi) < lastEnd) bi += 1
+        val brk = bi < breakArr.length && breakArr(bi) < t.start
+        brk || {
           // adjust_for_comma (mincoman.pl:428-443): a comma breaks unless
           // the item before it is an adjective
-          (lastEnd >= 0 && curCats.lastOption.exists(_ != "adj") &&
-            commaPn.exists(p => p >= lastEnd && p < t.start)))
+          while (ci < commaArr.length && commaArr(ci) < lastEnd) ci += 1
+          curCats.lastOption.exists(_ != "adj") &&
+            ci < commaArr.length && commaArr(ci) < t.start
+        }
+      }
       if (interrupted) flush()
-      val w = mmWord(t)
+      val w = wNorm(wi)
       val cat = cats(wi)
       cat match {
         case "adj" | "noun" =>
@@ -228,7 +252,7 @@ object PhraseChunker {
       val between = wordSeq.filter(t => t.start >= a.words.last.end && t.end <= b.words.head.start)
       between.nonEmpty && between.head.lc == "of" &&
         between.tail.forall(t => umls.lexCats.getOrElse(t.lc, Set.empty).contains("det")) &&
-        !breakingPn.exists(p => p >= a.words.last.end && p < b.words.head.start)
+        !breakArr.exists(p => p >= a.words.last.end && p < b.words.head.start)
     }
     var i = 0
     while (i < phrases.length) {

@@ -131,7 +131,7 @@ object DocKernel {
           val cands = if (phrase.composite) bestCoverageOnly(pruned) else pruned
           val best = Evaluator.bestMappingCandidates(cands, phrase.words.length,
             phOpts, varIndex.keySet)
-          val syntax = PhraseChunker.syntaxMap(phrase, umls, tagsByStart)
+          lazy val syntax = PhraseChunker.syntaxMap(phrase, umls, tagsByStart)
           best.map { c =>
             val mText = text.substring(c.start, c.end)
             Mention(url, sent.sentNo, c.start, c.end - c.start, c.cui, c.score,

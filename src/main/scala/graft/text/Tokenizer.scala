@@ -120,6 +120,18 @@ object Tokenizer {
     * Metathesaurus strings — the two sides MUST agree, SURVEY §2.2 T5).
     */
   def tokenizeMmLc(text: String): Vector[String] = {
+    // fast path: a single already-lowercase alnum run IS its token list
+    // (no possessive possible without an apostrophe) — the common case
+    // for phrase words and single-word generators
+    var f = 0
+    val fn = text.length
+    var simple = fn > 0
+    while (simple && f < fn) {
+      val c = text.charAt(f)
+      simple = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      f += 1
+    }
+    if (simple) return Vector(text)
     // direct char scan — equivalent to tokenizing and walking the Tok
     // stream (possessive cases map 1:1: adjacency is automatic, a
     // following word token "s" is exactly [s/S then non-alnum], and
