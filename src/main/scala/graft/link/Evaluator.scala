@@ -164,11 +164,18 @@ object Evaluator {
     val headless = false // chunker always assigns a head
     Matcher.matchPhraseOpt(metaWords, varIndex, headless, opts, lastWords).flatMap { r =>
       val mm = r.matchMap
+      // covered phrase positions (1-based) as one bit pass; phrase
+      // positions are bounded by nPhrase
+      val covered = new java.util.BitSet(nPhrase + 2)
+      mm.foreach(me => covered.set(me.pBegin, me.pEnd + 1))
       // --min_length (E11, evaluation.pl:381-398): total char length of
       // matched phrase words incl. separating spaces
-      val coveredIdx = mm.flatMap(me => me.pBegin to me.pEnd).distinct.sorted
-      val matchedLen = coveredIdx.map(i => phrase.words(i - 1).word.length).sum +
-        (coveredIdx.length - 1)
+      var matchedLen = -1
+      var ci = covered.nextSetBit(0)
+      while (ci >= 0) {
+        matchedLen += phrase.words(ci - 1).word.length + 1
+        ci = covered.nextSetBit(ci + 1)
+      }
       if (matchedLen < opts.minLength) None
       else {
         // relevant extras (filter_by_variants, evaluation.pl:1159-1166):
@@ -179,21 +186,23 @@ object Evaluator {
           r.involvesHead, opts, nRelevantExtra)
         // pos info (E10, collapse_pos_info): one char span per contiguous
         // run of covered phrase words, plus the overall extent
-        val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // idx runs
-        for (i <- coveredIdx) {
-          if (runs.nonEmpty && runs.last._2 + 1 == i)
-            runs(runs.length - 1) = (runs.last._1, i)
-          else runs += ((i, i))
+        val posInfoB = Vector.newBuilder[(Int, Int)]
+        var extentLo = Int.MaxValue
+        var extentHi = Int.MinValue
+        var runStart = covered.nextSetBit(0)
+        while (runStart >= 0) {
+          var runEnd = runStart
+          while (covered.get(runEnd + 1)) runEnd += 1
+          val s = phrase.words(runStart - 1).start
+          val e2 = phrase.words(runEnd - 1).end
+          posInfoB += ((s, e2 - s))
+          if (s < extentLo) extentLo = s
+          if (e2 > extentHi) extentHi = e2
+          runStart = covered.nextSetBit(runEnd + 1)
         }
-        val posInfo = runs.toVector.map { case (a, b) =>
-          val s = phrase.words(a - 1).start
-          (s, phrase.words(b - 1).end - s)
-        }
-        val starts = coveredIdx.map(i => phrase.words(i - 1).start)
-        val ends = coveredIdx.map(i => phrase.words(i - 1).end)
         Some(Candidate(score, e.cui, e.str, e.concept, metaWords,
           umls.cuiSemTypes.getOrElse(e.cui, Vector.empty), mm, r.involvesHead,
-          starts.min, ends.max, posInfo,
+          extentLo, extentHi, posInfoB.result(),
           umls.cuiSources.getOrElse(e.cui, Vector.empty)))
       }
     }

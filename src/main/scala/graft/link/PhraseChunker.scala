@@ -249,10 +249,22 @@ object PhraseChunker {
     val glued = scala.collection.mutable.ArrayBuffer[Phrase]()
     val wordSeq = words
     def onlyOfBetween(a: Phrase, b: Phrase): Boolean = {
-      val between = wordSeq.filter(t => t.start >= a.words.last.end && t.end <= b.words.head.start)
-      between.nonEmpty && between.head.lc == "of" &&
-        between.tail.forall(t => umls.lexCats.getOrElse(t.lc, Set.empty).contains("det")) &&
-        !breakArr.exists(p => p >= a.words.last.end && p < b.words.head.start)
+      // words are ordered by position: walk the slice between a's last
+      // word and b's first word directly (was a full-array filter per
+      // adjacent phrase pair — quadratic on phrase-dense sentences)
+      val lo = a.words.last.end
+      val hi = b.words.head.start
+      var k = 0
+      while (k < wordSeq.length && wordSeq(k).start < lo) k += 1
+      if (k >= wordSeq.length || wordSeq(k).end > hi || wordSeq(k).lc != "of")
+        return false
+      k += 1
+      while (k < wordSeq.length && wordSeq(k).end <= hi) {
+        if (!umls.lexCats.getOrElse(wordSeq(k).lc, Set.empty).contains("det"))
+          return false
+        k += 1
+      }
+      !breakArr.exists(p => p >= lo && p < hi)
     }
     var i = 0
     while (i < phrases.length) {
