@@ -276,4 +276,72 @@ object Sentences {
   }
 
   def split(text: String): Vector[Sentence] = split(Tokenizer.tokenize(text))
+
+  /** A find_bracketing-accepted parenthetical unit over a sentence's
+    * tokens: `open`/`close` are token indices of the bracket pair,
+    * `level` is the reference's pe nesting level (1 = top), `kids` the
+    * directly nested units. find_sentences creates one `pe` higher-order
+    * token per accepted unit at every nesting level
+    * (text_objects.pl:421-455 and find_bracketing :476-560, which emits a
+    * BETok for each exact-pair nested unit); the AA detector reconstructs
+    * that token structure from these units.
+    */
+  final case class PeUnit(open: Int, close: Int, level: Int,
+      kids: Vector[PeUnit])
+
+  /** Enumerate parenthetical units exactly as the sentence scan accepts
+    * them: top-level opens need preceding whitespace (at_ws_tok) and the
+    * 2000-char distance test; nested ex opens are unconditional while
+    * nested ne opens need ws or an ex open before them, and a nested unit
+    * is accepted only when its close is the exact pair (the same rules
+    * [[Scan.findBracketing]] itself applies while skipping sub-units).
+    */
+  private[graft] def parentheticalUnits(toks: Vector[Tok]): Vector[PeUnit] = {
+    val n = toks.length
+    var has = false
+    var h = 0
+    while (!has && h < n) { // fast path: no opening bracket, no units
+      val t = toks(h)
+      has = t.isPunct && isLb(pnChar(t))
+      h += 1
+    }
+    if (!has) return Vector.empty
+    val sc = new Scan(toks)
+    def nested(lo: Int, hi: Int, level: Int): Vector[PeUnit] = {
+      val out = Vector.newBuilder[PeUnit]
+      var j = lo
+      while (j <= hi) {
+        val t = toks(j)
+        if (t.isPunct && !sc.intraApos(j)) {
+          val c = pnChar(t)
+          val neOk = j > 0 && (toks(j - 1).isWs ||
+            (toks(j - 1).isPunct && isExL(pnChar(toks(j - 1)))))
+          if (isExL(c) || (isNeL(c) && neOk)) {
+            sc.findBracketing(toks, j) match {
+              case Some((cj, cc)) if pairs(c, cc) && cj <= hi =>
+                out += PeUnit(j, cj, level, nested(j + 1, cj - 1, level + 1))
+                j = cj + 1
+              case _ => j += 1
+            }
+          } else j += 1
+        } else j += 1
+      }
+      out.result()
+    }
+    val out = Vector.newBuilder[PeUnit]
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      val atWs = i == 0 || toks(i - 1).isWs
+      if (t.isPunct && isLb(pnChar(t)) && atWs && !sc.intraApos(i)) {
+        sc.findBracketing(toks, i) match {
+          case Some((cIdx, _)) if sc.distanceOk(toks, i, cIdx) =>
+            out += PeUnit(i, cIdx, 1, nested(i + 1, cIdx - 1, 2))
+            i = cIdx + 1
+          case _ => i += 1
+        }
+      } else i += 1
+    }
+    out.result()
+  }
 }

@@ -278,18 +278,23 @@ class PropertySpec extends AnyFunSuite {
     assert(sec < 10.0, f"of-chain page took $sec%.1f s")
   }
 
-  test("AA scorer: V in [0, 2] for arbitrary inputs") {
+  test("AA discovery: total and sound for arbitrary word/paren inputs") {
+    // the full find_aa pipeline must never throw on arbitrary text, and
+    // any discovered expansion must use words drawn from the text before
+    // the parenthetical (scope soundness)
     val g = for {
-      aa <- Gen.choose(1, 10).flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString))
+      aa <- Gen.choose(1, 10).flatMap(k =>
+        Gen.listOfN(k, Gen.alphaUpperChar).map(_.mkString))
       ws <- Gen.nonEmptyListOf(
         Gen.choose(1, 12).flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString)))
     } yield (aa, ws)
     forAllGen(g) { case (aa, ws) =>
-      val toks = ws.zipWithIndex.map { case (w, i) =>
-        graft.text.Tok("lc", w, w, i * 13, i * 13 + w.length)
-      }.toVector
-      val v = graft.aa.AaDetector.score(aa, toks)
-      assert(v >= 0.0 && v <= 2.0 + 1e-9)
+      val text = ws.mkString(" ") + " (" + aa + ")."
+      val found = graft.aa.AaDetector.findAas(graft.text.Tokenizer.tokenize(text))
+      found.foreach { case (_, exp) =>
+        exp.foreach(w => assert(ws.exists(_.contains(w)) || ws.contains(w),
+          s"expansion word '$w' not from the scope words $ws"))
+      }
     }
   }
 
