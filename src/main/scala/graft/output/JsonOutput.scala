@@ -89,10 +89,17 @@ object JsonOutput {
       lit("]"))
   }
 
-  /** --dump_aas analogue: one row per (url, acronym, expansion). UDAs
-    * overlay the document-discovered AAs exactly like the kernel does
-    * (A6: `findAas ++ udas` — a UDA wins a key collision), so the dump
-    * shows the AA table each document was actually linked with.
+  /** --dump_aas analogue: one row per stored (url, acronym, expansion)
+    * with the reference's full fielded layout
+    * (write_AA_data/output_fields, text_objects.pl:716-745):
+    * original-case AA and expansion text, token counts (ws included, as
+    * in the stored token lists), char lengths, and `start:length`
+    * posinfo. UDAs overlay the document-discovered AAs exactly like the
+    * kernel does (A6: `findAas ++ udas` — a UDA wins a key collision)
+    * and dump with re-tokenized counts and EMPTY posinfo, the 'UA' rule
+    * (reformat_one_UDA_for_output + update_UDA_pos_info :658-680,748).
+    * The lowercase `acronym` / mm-normalized `expansion` columns keep the
+    * pre-r6 key semantics the kernel links with.
     */
   def aaDump(pages: Dataset[Page], umls: Broadcast[UmlsTables],
       opts: graft.link.LinkOptions = graft.link.LinkOptions.default)(
@@ -101,8 +108,36 @@ object JsonOutput {
     val udas = opts.udas
     pages.flatMap { p =>
       if (p.lang != "en") Iterator.empty
-      else (AaDetector.findAas(Tokenizer.tokenize(Extract.htmlToText(p.html))) ++ udas)
-        .iterator.map { case (aa, exp) => (p.url, aa, exp.mkString(" ")) }
-    }.toDF("url", "acronym", "expansion")
+      else {
+        val toks = Tokenizer.tokenize(Extract.htmlToText(p.html))
+        val recs = AaDetector.findAaRecords(toks)
+        val seen = scala.collection.mutable.Set[String]()
+        val docRows = recs.iterator.flatMap { r =>
+          val key = r.acronymText.toLowerCase
+          // first definition wins (add_to_avl_once) and a UDA overrides
+          if (key.isEmpty || seen.contains(key) || udas.contains(key))
+            None
+          else {
+            seen += key
+            val aaText = r.acronymText
+            val expText = r.expansionText
+            Some((p.url, key,
+              r.expToks.filter(t => !t.isWs && !t.isPunct && t.typ != "pe")
+                .flatMap(t => Tokenizer.tokenizeMmLc(t.lc)).mkString(" "),
+              aaText, expText, r.aaToks.length, aaText.length,
+              r.expToks.length, expText.length,
+              s"${r.aaToks.head.start}:${aaText.length}"))
+          }
+        }
+        val udaRows = udas.iterator.map { case (k, exp) =>
+          val expText = exp.mkString(" ")
+          (p.url, k, exp.mkString(" "), k, expText,
+            Tokenizer.tokenize(k).length, k.length,
+            Tokenizer.tokenize(expText).length, expText.length, "")
+        }
+        (docRows ++ udaRows).toVector
+      }
+    }.toDF("url", "acronym", "expansion", "aa_text", "exp_text",
+      "aa_tokens", "aa_length", "exp_tokens", "exp_length", "pos_info")
   }
 }

@@ -15,8 +15,9 @@ class AaDumpSpec extends AnyFunSuite with SparkTestBase {
   test("AA corpus dump: exact accepted set, rejections absent") {
     implicit val s = spark
     import s.implicits._
-    val got = output.JsonOutput.aaDump(
+    val full = output.JsonOutput.aaDump(
       CorpusGen.aaPages(spark), Pipeline.broadcastUmls(spark))
+    val got = full.select("url", "acronym", "expansion")
       .as[(String, String, String)].collect().toVector.sorted
     def u(i: Int) = s"https://ex.test/aa/$i"
     val expected = Vector(
@@ -44,12 +45,24 @@ class AaDumpSpec extends AnyFunSuite with SparkTestBase {
     // rejected pages (16-19) contribute nothing
     val rejectedUrls = (16 to 19).map(u).toSet
     assert(!got.exists(r => rejectedUrls(r._1)))
+    // the reference fielded layout (write_AA_data): original-case text,
+    // ws-inclusive token counts, char lengths, start:length posinfo
+    val ca = full.filter(s"url = '${u(0)}' and acronym = 'ca'")
+      .select("aa_text", "exp_text", "aa_tokens", "aa_length",
+        "exp_tokens", "exp_length", "pos_info")
+      .as[(String, String, Int, Int, Int, Int, String)].head()
+    assert(ca._1 == "CA")
+    assert(ca._2.equalsIgnoreCase("coronary artery"))
+    assert(ca._3 == 1 && ca._4 == 2)
+    assert(ca._5 == 3 && ca._6 == 15) // [coronary, ws, artery], 15 chars
+    assert(ca._7.endsWith(":2"))
   }
 
   test("kg_aa_dump gate entry: >= 20 rows and UDA override visible") {
     implicit val s = spark
     import s.implicits._
     val rows = KgQueries.kgAaDump(spark, "/root/testdata/sf0.001")
+      .select("url", "acronym", "expansion")
       .as[(String, String, String)].collect().toVector
     assert(rows.size >= 20, s"only ${rows.size} rows")
     // the UDA overrides the discovered "ca" expansion on the page that
