@@ -14,7 +14,13 @@ import graft.umls.UmlsTables
   */
 private[output] object DocTree {
 
-  final case class AaNode(aa: String, expansion: Vector[String],
+  /** One AA entry carrying the reference's exact fields
+    * (generate_one_json_AA_obj, skr_json.pl:851-884): original-case
+    * acronym/expansion text, ws-inclusive token counts from the stored
+    * token lists, char lengths, and the acronym's start position.
+    */
+  final case class AaNode(aa: String, expText: String, aaTokenNum: Int,
+      aaLen: Int, expTokenNum: Int, expLen: Int,
       startPos: Int, cuis: Vector[String])
   final case class CandNode(c: Candidate, negated: Boolean)
   final case class MappingNode(score: Int, cands: Vector[CandNode])
@@ -32,7 +38,7 @@ private[output] object DocTree {
   def build(url: String, text: String, umls: UmlsTables): Doc = {
     val byPhrase = graft.pipeline.DocKernel.phraseMmo(url, text, umls)
     val toks = Tokenizer.tokenize(text)
-    val aas = AaDetector.findAas(toks)
+    val aaRecs = AaDetector.findAaRecords(toks)
     val bySent = byPhrase.groupBy(_.sent.sentNo).toVector.sortBy(_._1)
 
     // one shared NegEx pass per sentence over the mapping candidates —
@@ -55,12 +61,19 @@ private[output] object DocTree {
     // reference carries the CUI list resolved for the acronym's own
     // occurrences)
     val allCands = byPhrase.flatMap(_.mappings.flatMap(_._2))
-    val aaNodes = aas.toVector.map { case (aa, exp) =>
-      val firstAt = toks.find(_.lc == aa).map(_.start).getOrElse(0)
-      val cuis = allCands
-        .filter(c => text.substring(c.start, c.end).toLowerCase == aa)
-        .map(_.cui).distinct.sorted
-      AaNode(aa, exp, firstAt, cuis)
+    val seenAa = scala.collection.mutable.Set[String]()
+    val aaNodes = aaRecs.flatMap { r =>
+      val key = r.acronymText.toLowerCase
+      if (key.isEmpty || seenAa.contains(key)) None
+      else {
+        seenAa += key
+        val cuis = allCands
+          .filter(c => text.substring(c.start, c.end).toLowerCase == key)
+          .map(_.cui).distinct.sorted
+        Some(AaNode(r.acronymText, r.expansionText, r.aaToks.length,
+          r.acronymText.length, r.expToks.length, r.expansionText.length,
+          r.aaToks.head.start, cuis))
+      }
     }
 
     val uttNodes = bySent.map { case (sentNo, ps) =>

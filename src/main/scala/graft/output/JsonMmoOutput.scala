@@ -95,15 +95,15 @@ object JsonMmoOutput {
     val doc = DocTree.build(url, text, umls)
 
     val aaObjs = doc.aas.map { a =>
-      val expText = a.expansion.mkString(" ")
       obj(Seq(
         pair("AAText", a.aa),
-        pair("AAExp", expText),
-        pair("AATokenNum", "1"),
-        pair("AALen", a.aa.length.toString),
-        pair("AAExpTokenNum", a.expansion.length.toString),
-        pair("AAExpLen", expText.length.toString),
-        pair("AAStartPos", a.startPos.toString)))
+        pair("AAExp", a.expText),
+        pair("AATokenNum", a.aaTokenNum.toString),
+        pair("AALen", a.aaLen.toString),
+        pair("AAExpTokenNum", a.expTokenNum.toString),
+        pair("AAExpLen", a.expLen.toString),
+        pair("AAStartPos", a.startPos.toString),
+        rawPair("AACUIs", arr(a.cuis.map(c => "\"" + c + "\"")))))
     }
 
     val negObjs = doc.negations.map { r =>

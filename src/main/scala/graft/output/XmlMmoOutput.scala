@@ -99,12 +99,12 @@ object XmlMmoOutput {
     val doc = DocTree.build(url, text, umls)
 
     val aaEls = doc.aas.map { a =>
-      val expText = a.expansion.mkString(" ")
       el("AA", Nil,
-        leaf("AAText", a.aa) + leaf("AAExp", expText) +
-          leaf("AATokenNum", "1") + leaf("AALen", a.aa.length.toString) +
-          leaf("AAExpTokenNum", a.expansion.length.toString) +
-          leaf("AAExpLen", expText.length.toString) +
+        leaf("AAText", a.aa) + leaf("AAExp", a.expText) +
+          leaf("AATokenNum", a.aaTokenNum.toString) +
+          leaf("AALen", a.aaLen.toString) +
+          leaf("AAExpTokenNum", a.expTokenNum.toString) +
+          leaf("AAExpLen", a.expLen.toString) +
           leaf("AAStartPos", a.startPos.toString) +
           counted("AACUIs", a.cuis.map(leaf("AACUI", _))))
     }
