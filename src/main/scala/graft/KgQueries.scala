@@ -169,6 +169,17 @@ object KgQueries {
       Pipeline.broadcastUmls(spark))
   }
 
+  /** The AA/UA lines --fielded_mmi_output emits before the concept
+    * lines (mmi/mmi.pl:140-147), over the same corpus+UDA overlay as
+    * kg_aa_dump. rows-only at the gate (per-document kernel); the exact
+    * line bytes are pinned in AaDumpSpec.
+    */
+  def kgMmiAaLines(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ops.MmiRank.fieldedAaLines(kgAaDump(spark, sfDir))
+      .orderBy(col("url"), col("line"))
+  }
+
   /** MMO machine-output term lines (--machine_output,
     * skr/skr_utilities.pl:1290-1416): the byte-level parity format a
     * Prolog-CLI consumer diffs. rows-only at the gate; byte-stable golden
@@ -431,6 +442,7 @@ object KgQueries {
     "kg_xml_output" -> (kgXmlOutput _),
     "kg_human_output" -> (kgHumanOutput _),
     "kg_mmi_fielded" -> (kgMmiFielded _),
+    "kg_mmi_aa_lines" -> (kgMmiAaLines _),
     "kg_mmo_output" -> (kgMmoOutput _),
     "kg_json_mmo" -> (kgJsonMmo _),
     "kg_xml_mmo" -> (kgXmlMmo _),

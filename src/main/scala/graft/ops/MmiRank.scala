@@ -78,6 +78,22 @@ object MmiRank {
     * mention table is plain column algebra + two keyed aggregations, so
     * the DuckDB oracle recomputes it from the same checkpoint.
     */
+  /** The PMID|AA / PMID|UA lines --fielded_mmi_output writes per
+    * citation BEFORE the concept lines (do_MMI_processing,
+    * /root/reference/mmi/mmi.pl:140-147; layout write_AA_data /
+    * output_fields with FirstField = pmid, text_objects.pl:716-745):
+    * `UI|AA|AAText|Expansion|AATokenLen|AATextLen|ExpTokenLen|
+    * ExpTextLen|Start:Len`, UDAs typed UA with empty posinfo. Built
+    * straight from the --dump_aas rows so the two surfaces can never
+    * disagree on an AA's fields.
+    */
+  def fieldedAaLines(aaDump: DataFrame): DataFrame =
+    aaDump.select(col("url"),
+      concat_ws("|", col("url"),
+        when(col("pos_info") === lit(""), lit("UA")).otherwise(lit("AA")),
+        col("aa_text"), col("exp_text"), col("aa_tokens"), col("aa_length"),
+        col("exp_tokens"), col("exp_length"), col("pos_info")).as("line"))
+
   def fielded(mentions: DataFrame, umls: Broadcast[UmlsTables]): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._

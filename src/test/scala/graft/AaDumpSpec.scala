@@ -73,4 +73,20 @@ class AaDumpSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.count(_._2 == "uda") ==
       rows.map(_._1).distinct.size)
   }
+
+  test("fielded MMI AA/UA lines: exact reference layout") {
+    implicit val s = spark
+    import s.implicits._
+    val opts = graft.link.LinkOptions(udas = Map(
+      "uda" -> Vector("user", "defined", "acronym")))
+    val lines = ops.MmiRank.fieldedAaLines(output.JsonOutput.aaDump(
+      CorpusGen.aaPages(spark), Pipeline.broadcastUmls(spark), opts))
+      .select("line").as[String].collect().toVector
+    // UI|AA|AAText|Expansion|AATokenLen|AATextLen|ExpTokenLen|ExpTextLen|Start:Len
+    assert(lines.contains(
+      "https://ex.test/aa/0|AA|CA|Coronary artery|1|2|3|15|27:2"))
+    // UDA lines are typed UA with re-tokenized counts and EMPTY posinfo
+    assert(lines.contains(
+      "https://ex.test/aa/0|UA|uda|user defined acronym|1|3|5|20|"))
+  }
 }
