@@ -60,6 +60,16 @@ object AaDetector {
   /** The reference's default_aa_cutoff_value (text_objects.pl:611). */
   private val cutoff = 0.30
 
+  /** Web-scale guard (no reference counterpart — citations never get
+    * close): the cross-AA blockers scan every stored AA per candidate
+    * parenthetical, quadratic on an adversarial page defining thousands
+    * of AAs. A cap far above any prose document's AA count bounds the
+    * per-document work; engagements are counted and logged, never
+    * silent (same contract as Pruning.SkipModeHardCap).
+    */
+  val MaxAasPerDoc = 1000
+  val capEngaged = new java.util.concurrent.atomic.AtomicLong
+
   /** A discovered AA: the (cleaned) acronym tokens and expansion tokens,
     * both carrying original offsets; `aaToks` may contain pe placeholder
     * tokens (typ "pe", empty text, lc = nesting level) for AAs like
@@ -229,6 +239,13 @@ object AaDetector {
 
   private def findAa(withParens: Vector[Tok], peTok: Tok,
       revPre: List[Tok], lastPos: Int, aas: ArrayBuffer[AaRecord]): Unit = {
+    if (aas.length >= MaxAasPerDoc) {
+      val n = capEngaged.incrementAndGet()
+      if (n <= 10) System.err.println(
+        s"[graft] document already defines $MaxAasPerDoc AAs; skipping " +
+          "further extraction (web-scale guard, no reference counterpart)")
+      return
+    }
     // remove_bracketing + remove_trailing_whitespace_tokens
     val inner = withParens.drop(1).dropRight(1)
     var b = inner.length

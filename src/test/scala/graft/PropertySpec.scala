@@ -278,6 +278,20 @@ class PropertySpec extends AnyFunSuite {
     assert(sec < 10.0, f"of-chain page took $sec%.1f s")
   }
 
+  test("adversarial AA-definition page completes quickly (doc cap)") {
+    // 2,500 accepted AA definitions: the cross-AA blockers scan every
+    // stored AA per parenthetical, so without MaxAasPerDoc this page is
+    // quadratic in stored-AA count
+    val soup = (1 to 2500)
+      .map(i => s"cat$i dog$i (C${i}D) and.").mkString(" ")
+    val t0 = System.nanoTime()
+    val recs = graft.aa.AaDetector.findAaRecords(
+      graft.text.Tokenizer.tokenize(soup))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(recs.length == graft.aa.AaDetector.MaxAasPerDoc)
+    assert(sec < 10.0, f"AA-definition page took $sec%.1f s")
+  }
+
   test("AA discovery: total and sound for arbitrary word/paren inputs") {
     // the full find_aa pipeline must never throw on arbitrary text, and
     // any discovered expansion must use words drawn from the text before
