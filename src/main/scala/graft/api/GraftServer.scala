@@ -24,8 +24,12 @@ import graft.umls.UmlsTables
   * single-document calls). JDK HttpServer — no extra dependencies.
   *
   * Endpoints:
-  *  - `POST /annotate?id=X[&flags=-i%20-J%20dsyn]` body = plain text →
-  *    JSON array of mentions
+  *  - `POST /annotate?id=X[&flags=-i%20-J%20dsyn][&format=F]` body =
+  *    plain text → JSON array of mentions (default), or the reference
+  *    output the client picked per-request, mmserver-style: `jsonf` =
+  *    a JSON array of --JSONf document trees, `xmlf` = the
+  *    `<MMOs>`-framed --XMLf stream, `mmo` = --machine_output term
+  *    lines (unknown formats are a 400)
   *  - `POST /triples?id=X` body = plain text → JSON array of triples
   *  - `GET /health` → `{"status":"ok","requests":N}`
   *
@@ -109,20 +113,41 @@ object GraftServer {
         val id = params.getOrElse("id", "doc")
         val opts = optsFor(params)
         val body0 = readBody(ex)
-        // the SAME dispatches Graft.annotate uses: -z routes to term
-        // processing, segmentation flags via the shared records()
-        val ms = graft.sources.MedlineReader.records(id, body0, opts)
-          .flatMap { case (url, rt) =>
-            if (opts.termProcessing) DocKernel.termMentions(url, rt, bc.value, opts)
-            else DocKernel.mentions(url, rt, bc.value, opts)
-          }
-        val body = ms.map { m =>
-          s"""{"url":${jsonStr(m.url)},"sentNo":${m.sentNo},"start":${m.start},""" +
-            s""""len":${m.len},"cui":${jsonStr(m.cui)},"score":${m.score},""" +
-            s""""semTypes":${m.semTypes.map(jsonStr).mkString("[", ",", "]")},""" +
-            s""""sources":${m.sources.map(jsonStr).mkString("[", ",", "]")},""" +
-            s""""negated":${m.negated},"text":${jsonStr(m.text)}}"""
-        }.mkString("[", ",", "]")
+        // per-request output format, the mmserver contract (a client picks
+        // --JSONf / --XMLf / --machine_output per call): `format=jsonf`
+        // returns a JSON array of --JSONf document trees, `xmlf` the
+        // <MMOs>-framed --XMLf stream, `mmo` the machine-output term
+        // lines; default = the mention rows
+        val format = params.getOrElse("format", "mentions")
+        val records = graft.sources.MedlineReader.records(id, body0, opts)
+        val body = format match {
+          case "mentions" =>
+            val ms = records.flatMap { case (url, rt) =>
+              if (opts.termProcessing) DocKernel.termMentions(url, rt, bc.value, opts)
+              else DocKernel.mentions(url, rt, bc.value, opts)
+            }
+            ms.map { m =>
+              s"""{"url":${jsonStr(m.url)},"sentNo":${m.sentNo},"start":${m.start},""" +
+                s""""len":${m.len},"cui":${jsonStr(m.cui)},"score":${m.score},""" +
+                s""""semTypes":${m.semTypes.map(jsonStr).mkString("[", ",", "]")},""" +
+                s""""sources":${m.sources.map(jsonStr).mkString("[", ",", "]")},""" +
+                s""""negated":${m.negated},"text":${jsonStr(m.text)}}"""
+            }.mkString("[", ",", "]")
+          case "jsonf" =>
+            records.map { case (url, rt) =>
+              graft.output.JsonMmoOutput.document(url, rt, bc.value, opts)
+            }.mkString("[", ",", "]")
+          case "xmlf" =>
+            records.map { case (url, rt) =>
+              graft.output.XmlMmoOutput.document(url, rt, bc.value, opts)
+            }.mkString("<MMOs>", "", "</MMOs>")
+          case "mmo" =>
+            records.flatMap { case (url, rt) =>
+              graft.output.MmoOutput.document(url, rt, bc.value, opts = opts)
+            }.mkString("", "\n", "\n")
+          case other =>
+            throw new IllegalArgumentException(s"unknown format: $other")
+        }
         respond(ex, 200, body)
       } catch {
         case e: IllegalArgumentException =>

@@ -35,8 +35,9 @@ private[output] object DocTree {
   final case class Doc(aas: Vector[AaNode], negations: Vector[Negex.NegRecord],
       utterances: Vector[UttNode])
 
-  def build(url: String, text: String, umls: UmlsTables): Doc = {
-    val byPhrase = graft.pipeline.DocKernel.phraseMmo(url, text, umls)
+  def build(url: String, text: String, umls: UmlsTables,
+      opts: graft.link.LinkOptions = graft.link.LinkOptions.default): Doc = {
+    val byPhrase = graft.pipeline.DocKernel.phraseMmo(url, text, umls, opts)
     val toks = Tokenizer.tokenize(text)
     val aaRecs = AaDetector.findAaRecords(toks)
     val bySent = byPhrase.groupBy(_.sent.sentNo).toVector.sortBy(_._1)

@@ -91,8 +91,9 @@ object JsonMmoOutput {
   }
 
   /** Build one document's JSON tree. */
-  def document(url: String, text: String, umls: UmlsTables): String = {
-    val doc = DocTree.build(url, text, umls)
+  def document(url: String, text: String, umls: UmlsTables,
+      opts: graft.link.LinkOptions = graft.link.LinkOptions.default): String = {
+    val doc = DocTree.build(url, text, umls, opts)
 
     val aaObjs = doc.aas.map { a =>
       obj(Seq(

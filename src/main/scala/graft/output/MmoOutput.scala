@@ -65,8 +65,9 @@ object MmoOutput {
 
   /** Format one document's MMO term lines. */
   def document(url: String, text: String, umls: UmlsTables,
-      label: String => Int => String = u => n => s"$u.tx.$n"): Vector[String] = {
-    val byPhrase = DocKernel.phraseMmo(url, text, umls)
+      label: String => Int => String = u => n => s"$u.tx.$n",
+      opts: graft.link.LinkOptions = graft.link.LinkOptions.default): Vector[String] = {
+    val byPhrase = DocKernel.phraseMmo(url, text, umls, opts)
     byPhrase.groupBy(_.sent.sentNo).toVector.sortBy(_._1).flatMap {
       case (sentNo, ps) =>
         val sent = ps.head.sent

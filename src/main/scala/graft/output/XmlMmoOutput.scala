@@ -95,8 +95,9 @@ object XmlMmoOutput {
   }
 
   /** Build one document's `<MMO>` element. */
-  def document(url: String, text: String, umls: UmlsTables): String = {
-    val doc = DocTree.build(url, text, umls)
+  def document(url: String, text: String, umls: UmlsTables,
+      opts: graft.link.LinkOptions = graft.link.LinkOptions.default): String = {
+    val doc = DocTree.build(url, text, umls, opts)
 
     val aaEls = doc.aas.map { a =>
       el("AA", Nil,

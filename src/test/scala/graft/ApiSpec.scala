@@ -171,12 +171,30 @@ class ApiSpec extends AnyFunSuite with SparkTestBase {
       // line 2's bare CA has no record-local AA -> no C0205042 under seg.1
       assert(!r6.contains("\"url\":\"seg.1\",\"sentNo\":0,\"start\":0,\"len\":2,\"cui\":\"C0205042\""),
         r6)
+      // per-request output formats, mmserver-style: the client picks the
+      // reference writer per call on the same warm session
+      val aaText = "Coronary artery (CA) disease. No sign of fever."
+      val (cj, rj) = post("/annotate?id=fmt&format=jsonf", aaText)
+      assert(cj == 200, rj)
+      assert(rj.startsWith("[{\"Document\":") && rj.endsWith("}]"), rj.take(80))
+      assert(rj.contains("\"AAText\":\"CA\"") && rj.contains("\"Negations\""), rj)
+      val (cx, rx) = post("/annotate?id=fmt&format=xmlf", aaText)
+      assert(cx == 200, rx)
+      assert(rx.startsWith("<MMOs><MMO>") && rx.endsWith("</MMO></MMOs>"),
+        rx.take(80))
+      assert(rx.contains("<AAText>CA</AAText>"), rx)
+      val (cm, rm) = post("/annotate?id=fmt&format=mmo", aaText)
+      assert(cm == 200, rm)
+      assert(rm.contains("utterance(") && rm.contains("'EOU'"), rm.take(120))
+      // an unknown format is a 400, like bad flags
+      val (cf, _) = post("/annotate?id=fmt&format=nope", "text")
+      assert(cf == 400)
       // bad flags -> 400, server stays up
       val (c4, _) = post("/annotate?flags=--bogus", "text")
       assert(c4 == 400)
       val (c5, r5) = post("/annotate?id=again", "Fever persisted.")
       assert(c5 == 200 && r5.contains("C0015967"))
-      assert(handle.requestCount == 6L)
+      assert(handle.requestCount == 10L)
       // CONCURRENT requests: the server runs on a small fixed pool (the
       // kernel is a pure function over the broadcast tables), so parallel
       // /annotate calls must all succeed — and /health must answer while
