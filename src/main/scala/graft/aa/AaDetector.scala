@@ -136,11 +136,19 @@ object AaDetector {
   }
 
   /** Find AA definition records in one document's token stream. */
-  def findAaRecords(toks: Vector[Tok]): Vector[AaRecord] = {
+  def findAaRecords(toks: Vector[Tok]): Vector[AaRecord] =
+    findAaRecords(toks, Sentences.split(toks))
+
+  /** As above with the caller's already-computed sentence split (the
+    * kernel splits once and shares it — one tokenize, one split per
+    * document).
+    */
+  def findAaRecords(toks: Vector[Tok],
+      sents: Vector[graft.text.Sentence]): Vector[AaRecord] = {
     if (toks.isEmpty) return Vector.empty
     val lastPos = toks.last.end
     val aas = new ArrayBuffer[AaRecord]()
-    Sentences.split(toks).foreach { sent =>
+    sents.foreach { sent =>
       val st = sent.toks
       val units = Sentences.parentheticalUnits(st)
       if (units.nonEmpty) walkRange(st, units.toList, 0, st.length - 1, Nil,
@@ -152,8 +160,12 @@ object AaDetector {
   /** A6-compatible view: acronym text (lc) -> mm-normalized expansion
     * words, first definition winning a key collision (add_to_avl_once).
     */
-  def findAas(toks: Vector[Tok]): Map[String, Vector[String]] = {
-    val recs = findAaRecords(toks)
+  def findAas(toks: Vector[Tok]): Map[String, Vector[String]] =
+    findAas(toks, Sentences.split(toks))
+
+  def findAas(toks: Vector[Tok],
+      sents: Vector[graft.text.Sentence]): Map[String, Vector[String]] = {
+    val recs = findAaRecords(toks, sents)
     if (recs.isEmpty) return Map.empty
     val out = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     recs.foreach { r =>

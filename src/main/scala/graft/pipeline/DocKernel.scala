@@ -75,9 +75,9 @@ object DocKernel {
       opts: LinkOptions = LinkOptions.default): Vector[Mention] = {
     if (text.isEmpty) return Vector.empty
     val toks = Tokenizer.tokenize(text)
-    // A6: user-defined AAs overlay the document-discovered ones
-    val aas = AaDetector.findAas(toks) ++ opts.udas
     val sents = Sentences.split(toks)
+    // A6: user-defined AAs overlay the document-discovered ones
+    val aas = AaDetector.findAas(toks, sents) ++ opts.udas
     val out = sents.flatMap { sent =>
       // tagged mode (P1): the deterministic bigram tagger assigns one
       // category per word; tags drive chunk membership (P5 analogue) and
@@ -162,8 +162,9 @@ object DocKernel {
       opts: LinkOptions = LinkOptions.default): Vector[PhraseMmo] = {
     if (text.isEmpty) return Vector.empty
     val toks = Tokenizer.tokenize(text)
-    val aas = AaDetector.findAas(toks) ++ opts.udas
-    Sentences.split(toks).flatMap { sent =>
+    val sents = Sentences.split(toks)
+    val aas = AaDetector.findAas(toks, sents) ++ opts.udas
+    sents.flatMap { sent =>
       val phrasesR = PhraseChunker.chunk(sent.toks, umls, Map.empty,
         if (opts.compositeExact) 0 else opts.compositePhrases, opts.taglessExact)
       val phrases =
