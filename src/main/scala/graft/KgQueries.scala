@@ -265,6 +265,9 @@ object KgQueries {
       // boundaries (adv joins, conditional comma, punc_mark1 set)
       "composite_exact" -> LinkOptions(compositeExact = true),
       "tagless_exact" -> LinkOptions(taglessExact = true),
+      // reference EXP-stream AA handling: the defining parenthetical's
+      // phrases never exist -> never MORE mentions than the default
+      "aadef_exact" -> LinkOptions(aaDefExact = true),
       // NegEx gate profiles count NEGATED mentions (see emission below):
       // an engaged gate can only shrink the negated subset
       "negex_negated_default" -> LinkOptions.default,

@@ -75,7 +75,8 @@ object AaDetector {
     * tokens (typ "pe", empty text, lc = nesting level) for AAs like
     * "Lp(a)" whose short form embeds a parenthetical.
     */
-  final case class AaRecord(aaToks: Vector[Tok], expToks: Vector[Tok]) {
+  final case class AaRecord(aaToks: Vector[Tok], expToks: Vector[Tok],
+      defStart: Int, defEnd: Int) {
     def acronymText: String = aaToks.iterator.map(_.text).mkString
     def expansionText: String = expToks.iterator.map(_.text).mkString
   }
@@ -164,8 +165,11 @@ object AaDetector {
     findAas(toks, Sentences.split(toks))
 
   def findAas(toks: Vector[Tok],
-      sents: Vector[graft.text.Sentence]): Map[String, Vector[String]] = {
-    val recs = findAaRecords(toks, sents)
+      sents: Vector[graft.text.Sentence]): Map[String, Vector[String]] =
+    toMap(findAaRecords(toks, sents))
+
+  /** The A6 map view of a record list (first definition wins). */
+  def toMap(recs: Vector[AaRecord]): Map[String, Vector[String]] = {
     if (recs.isEmpty) return Map.empty
     val out = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     recs.foreach { r =>
@@ -360,14 +364,16 @@ object AaDetector {
     if (exp.isEmpty) return false
     if (aaOut.head.isPunct && aaOut.head.text == "-")
       exp = Tok("pn", "-", "-", exp.head.start, exp.head.end) +: exp
-    aas += AaRecord(aaOut, exp)
-    maybeAddSingular(aaOut, exp, aas)
+    val defStart = withParens.head.start
+    val defEnd = withParens.last.end
+    aas += AaRecord(aaOut, exp, defStart, defEnd)
+    maybeAddSingular(aaOut, exp, defStart, defEnd, aas)
     true
   }
 
   /** maybe_add_singular_AA with db_get_singular's strip-final-s fallback. */
   private def maybeAddSingular(aaOut: Vector[Tok], exp: Vector[Tok],
-      aas: ArrayBuffer[AaRecord]): Unit = {
+      defStart: Int, defEnd: Int, aas: ArrayBuffer[AaRecord]): Unit = {
     if (aaOut.length != 1) return
     val a = aaOut.head
     if (!anType(a)) return
@@ -381,7 +387,7 @@ object AaDetector {
       end = a.end - 1)
     val eMod = e.copy(text = e.text.dropRight(1), lc = e.lc.dropRight(1),
       end = e.end - 1)
-    aas += AaRecord(Vector(aMod), exp.init :+ eMod)
+    aas += AaRecord(Vector(aMod), exp.init :+ eMod, defStart, defEnd)
   }
 
   // ------------------------------------------------------------------

@@ -86,6 +86,7 @@ object Graft {
         // the pinned round-1 approximations)
         case "--composite_exact" => o = o.copy(compositeExact = true)
         case "--tagless_exact" => o = o.copy(taglessExact = true)
+        case "--aadef_exact" => o = o.copy(aaDefExact = true)
         case "--negex_st_add" => o = o.copy(negexStAdd = arg().split(',').toSet)
         case "--negex_st_del" => o = o.copy(negexStDel = arg().split(',').toSet)
         case "--negex_st_set" => o = o.copy(negexStSet = arg().split(',').toSet)

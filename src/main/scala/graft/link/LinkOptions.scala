@@ -146,7 +146,16 @@ final case class LinkOptions(
     // punc_mark1 set breaks unconditionally — a comma breaks only when
     // the item before it is not an adjective. OFF = the pinned
     // simplified boundary set (break at every adv and every punct).
-    taglessExact: Boolean = false)
+    taglessExact: Boolean = false,
+    // reference-exact AA-definition handling (create_EXP_raw_token_list's
+    // aadef clause, lib/pos_info.pl:410-470): the EXP token stream the
+    // reference actually links DROPS the defining parenthetical — after
+    // "heart attack (HA)", the "(HA)" tokens vanish and only later HA
+    // occurrences are expanded — so no mention is produced at the
+    // definition site. OFF = the pinned default, which keeps the
+    // definition-site mention (the parenthetical surface does denote the
+    // concept, and a KG pipeline wants that positional evidence).
+    aaDefExact: Boolean = false)
 
 object LinkOptions {
   val default: LinkOptions = LinkOptions()

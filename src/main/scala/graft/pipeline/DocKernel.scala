@@ -77,7 +77,16 @@ object DocKernel {
     val toks = Tokenizer.tokenize(text)
     val sents = Sentences.split(toks)
     // A6: user-defined AAs overlay the document-discovered ones
-    val aas = AaDetector.findAas(toks, sents) ++ opts.udas
+    val aaRecs = AaDetector.findAaRecords(toks, sents)
+    val aas = AaDetector.toMap(aaRecs) ++ opts.udas
+    // --aadef_exact: the reference EXP stream drops the defining
+    // parenthetical (lib/pos_info.pl:410-470), so phrases inside it never
+    // exist; default keeps the definition-site mention
+    val defSpans: Vector[(Int, Int)] =
+      if (opts.aaDefExact) aaRecs.map(r => (r.defStart, r.defEnd)).distinct
+      else Vector.empty
+    def inAaDef(pStart: Int, pEnd: Int): Boolean =
+      defSpans.exists(s => pStart >= s._1 && pEnd <= s._2)
     val out = sents.flatMap { sent =>
       // tagged mode (P1): the deterministic bigram tagger assigns one
       // category per word; tags drive chunk membership (P5 analogue) and
@@ -111,6 +120,7 @@ object DocKernel {
         // stop-phrase analogue: single closed-class or 1-char phrases skip
         if (phrase.words.isEmpty ||
           (phrase.words.length == 1 && phrase.words.head.word.length <= 1) ||
+          inAaDef(phrase.words.head.start, phrase.words.last.end) ||
           stopAnalysis(phrase)) Vector.empty
         else {
           // a reference-exact composite phrase evaluates under
@@ -163,15 +173,25 @@ object DocKernel {
     if (text.isEmpty) return Vector.empty
     val toks = Tokenizer.tokenize(text)
     val sents = Sentences.split(toks)
-    val aas = AaDetector.findAas(toks, sents) ++ opts.udas
+    val aaRecs = AaDetector.findAaRecords(toks, sents)
+    val aas = AaDetector.toMap(aaRecs) ++ opts.udas
+    val defSpans: Vector[(Int, Int)] =
+      if (opts.aaDefExact) aaRecs.map(r => (r.defStart, r.defEnd)).distinct
+      else Vector.empty
     sents.flatMap { sent =>
       val phrasesR = PhraseChunker.chunk(sent.toks, umls, Map.empty,
         if (opts.compositeExact) 0 else opts.compositePhrases, opts.taglessExact)
-      val phrases =
+      val phrases0 =
         if (opts.compositeExact)
           PhraseChunker.compositeGlomExact(phrasesR, sent.toks, umls,
             opts.compositePhrases)
         else phrasesR
+      // --aadef_exact: the defining parenthetical's phrases never exist
+      // in the reference EXP stream (lib/pos_info.pl:410-470)
+      val phrases =
+        if (defSpans.isEmpty) phrases0
+        else phrases0.filterNot(p => p.words.nonEmpty && defSpans.exists(s =>
+          p.words.head.start >= s._1 && p.words.last.end <= s._2))
       // stop_analysis applies here exactly as in [[mentions]]: MMO shows
       // a skipped phrase with 0 candidates
       def stopAnalysis(phrase: Phrase): Boolean =

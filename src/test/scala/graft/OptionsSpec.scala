@@ -684,6 +684,25 @@ class OptionsSpec extends AnyFunSuite {
       Vector(("C0005823", 861)))
   }
 
+  test("--aadef_exact: the defining parenthetical produces no mention") {
+    // create_EXP_raw_token_list's aadef clause (lib/pos_info.pl:410-470):
+    // the reference EXP stream keeps the expansion text, DROPS the
+    // "(CA)" tokens at the definition site, and still expands later
+    // occurrences — so only the definition-site mention disappears
+    val text = "Coronary artery (CA) disease. CA was severe."
+    val default = DocKernel.mentions("u:aa", text, umls)
+    assert(default.exists(m => m.start == 17 && m.len == 2 &&
+      m.cui == "C0205042"), default.toString) // definition site links
+    val exact = DocKernel.mentions("u:aa", text, umls,
+      LinkOptions(aaDefExact = true))
+    assert(!exact.exists(m => m.start == 17 && m.len == 2),
+      exact.toString) // ...and vanishes under the flag
+    // the expansion text and the REUSE occurrence still link
+    assert(exact.exists(m => m.start == 0 && m.cui == "C0205042"))
+    assert(exact.exists(m => m.sentNo == 1 && m.len == 2 &&
+      m.cui == "C0205042"), exact.toString)
+  }
+
   test("kg_option_profiles: cross-mode count relations hold") {
     // pins the gate entry's RELATIONSHIPS, which survive corpus growth:
     // cascade prunes beyond bare restrict; exclude+cascade == exclude
@@ -717,6 +736,9 @@ class OptionsSpec extends AnyFunSuite {
     // rows exist either way)
     assert(rows.contains("composite_exact"))
     assert(rows.contains("tagless_exact"))
+    // --aadef_exact only REMOVES phrases (the defining parenthetical's),
+    // and strictly so on a corpus whose AA pages link the definition site
+    assert(rows("aadef_exact") < rows("default"))
     assert(rows("negex_negated_gated") <= rows("negex_negated_default"))
     assert(rows("negex_negated_default") <= rows("default"))
   }
