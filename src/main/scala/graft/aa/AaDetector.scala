@@ -120,7 +120,11 @@ object AaDetector {
     * through their English number word (1-20), others by first lc char.
     */
   private def tokenMatchesChar(t: Tok, ch: Char): Boolean =
-    if (t.typ == "nu") {
+    // a pe placeholder can never anchor (the reference pe token's third
+    // arg is the integer nesting level, which never unifies with a char
+    // list; ours stores it in lc, so exclude explicitly)
+    if (isPe(t)) false
+    else if (t.typ == "nu") {
       if (t.text.length > 2) false
       else {
         val v = t.lc.toInt

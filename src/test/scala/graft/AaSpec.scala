@@ -81,6 +81,16 @@ class AaSpec extends AnyFunSuite {
     assert(aas("alpha (beta) gamma delta (AGD) rose.").isEmpty)
   }
 
+  test("a pe placeholder never anchors a digit-initial AA") {
+    // our pe placeholder stores the nesting LEVEL in its lc slot, so the
+    // top-level "(beta)" unit reads "1" there; a '1'-initial AA must walk
+    // PAST it to the real "1x" anchor (the reference pe token's integer
+    // arg can never match a char) — if the pe anchored, the walk would
+    // stop and every candidate scope would die, losing this AA
+    val m = aas("dosed 1x times (beta) (1XT) here.")
+    assert(m.get("1xt").contains(Vector("1x", "times")), m.toString)
+  }
+
   test("number words: a nu scope token anchors through its English name") {
     // token_matches_char (text_objects.pl:2327-2334): "3" anchors 't'
     // via "three", and the state-1 extension carries it into the scope
