@@ -75,10 +75,15 @@ object GraphOps {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // NO distinct here (r7): the output is bounded by |sym| = 2|E|
+    // regardless (one row per v>u edge), so skipping the dedup exchange
+    // cannot blow up a later stage — smallStar's min-agg is duplicate-
+    // insensitive and its own trailing distinct restores canonical form.
+    // One full shuffle less per contraction round.
     sym.join(m, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
   }
 
   private[graft] def smallStar(e: DataFrame): DataFrame = {
@@ -92,11 +97,18 @@ object GraphOps {
       .select(col("x").as("u"), col("m").as("v")).distinct()
   }
 
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    def orient(df: DataFrame): DataFrame = df
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+  /** @param preOriented callers whose edge table is ALREADY oriented
+    *   u > v and distinct (the materialized near-dup pair table: a < b
+    *   distinct by construction) skip the normalizing orient shuffle.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
+      preOriented: Boolean = false): DataFrame = {
+    def orient(df: DataFrame): DataFrame =
+      if (preOriented) df
+      else df
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
 
     // convergence = the edge set IS a star forest, tested directly:
     // every child has exactly one parent AND no parent is itself a
@@ -119,8 +131,15 @@ object GraphOps {
           min(col("c")).as("minC"), max(col("c")).as("maxC"))
         .filter(col("nParents") > 1 || (col("minC") === 0 && col("maxC") === 1))
         .isEmpty
+    // r7: no pre-loop probe (the initial isEmpty + isStarForest jobs).
+    // Contraction is the identity on a star forest (largeStar and
+    // smallStar both map a star to itself — see the orientation
+    // argument above), so running round 1 unconditionally is correct;
+    // the common case (a fresh pair graph with chains, never a star
+    // forest) saves two driver round-trips, the rare already-converged
+    // case pays one cheap identity round.
     var cur = orient(edges).localCheckpoint()
-    var converged = cur.isEmpty || isStarForest(cur)
+    var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       cur = smallStar(largeStar(cur)).localCheckpoint()

@@ -252,7 +252,10 @@ object CorpusOps {
       transform(sequence(lit(1), size(t) - (DecontamN - 1)),
         i => concat_ws(" ", slice(t, i, lit(DecontamN)))))
       .otherwise(array().cast("array<string>"))
-    val d = Tables.load(spark, sfDir, "documents")
+    // spread the narrow test scan before the 5-gram explode: gram
+    // assembly + the broadcast-join probe are the per-row CPU here
+    // (measured 1.7 s single-task at sf0.1, r7); no-op at scale
+    val d = Tables.loadSpread(spark, sfDir, "documents", "doc_id")
       .select(col("doc_id"), grams.as("g"))
     val bench = d.filter(col("doc_id") % 97 === 0)
       .select(explode(col("g")).as("bg")).distinct()

@@ -189,7 +189,10 @@ object DocOps {
   private def minhashBands(spark: SparkSession, sfDir: String,
       unigram: Boolean = false,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    // spread the narrow test scan across the cores BEFORE the shingle
+    // explode: the two md5 digests per shingle dominate this operator's
+    // CPU (guide §2.5 — measured 2.3 s single-task at sf0.1, r7)
+    val d = Tables.loadSpread(spark, sfDir, "documents", "doc_id")
     // unigram=true minhashes the distinct TOKEN set — the right feature
     // space when the downstream verify measure is unigram-token Jaccard
     // (banded collision prob = J^2 per 2-row band); default trigram
@@ -362,18 +365,30 @@ object DocOps {
     // the verify filter below
     val cand = minhashCandidatePairs(spark, sfDir, unigram = true,
       blockCols = Seq("source", "lang"))
-    val d = Tables.load(spark, sfDir, "documents")
+    val narrow = Tables.narrowScan(spark, sfDir, "documents")
+    val dRaw = Tables.load(spark, sfDir, "documents")
+    val d = Tables.spreadIf(narrow, spark, dRaw, Seq(dRaw("doc_id")))
       .select(col("doc_id"), col("source"), col("lang"),
         array_distinct(toks(col("text"))).as("ts"))
-    // two linear equi-joins on doc_id fetch the token sets per candidate
-    cand
+    // two linear equi-joins on doc_id fetch the token sets per candidate.
+    // On the narrow test corpus every side is tiny, so the planner
+    // broadcasts both token-set sides and AQE coalesces the candidate
+    // exchange to ONE partition — serializing the exact-measure stage,
+    // which is this op's CPU (array_intersect per pair; 1.3 s single-task
+    // at sf0.1, r7). The gated spread pins core-count parallelism for the
+    // verify stage; at production scale the candidate table arrives
+    // already wide and no exchange is added.
+    Tables.spreadIf(narrow, spark, cand, Seq(cand("a")))
       .join(d.select(col("doc_id").as("a"), col("source").as("src_a"),
         col("lang").as("lang_a"), col("ts").as("ta")), Seq("a"))
       .join(d.select(col("doc_id").as("b"), col("source").as("src_b"),
         col("lang").as("lang_b"), col("ts").as("tb")), Seq("b"))
       .filter(col("src_a") === col("src_b") && col("lang_a") === col("lang_b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("uni", size(array_union(col("ta"), col("tb"))))
+      // |A ∪ B| = |A| + |B| − |A ∩ B| for the already-distinct token
+      // sets: same value as size(array_union(ta, tb)) without allocating
+      // the union array per pair (guide §1.2 per-task work)
+      .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.6)
       .select(col("a"), col("b"), col("jaccard"))
@@ -427,9 +442,12 @@ object DocOps {
     */
   private[graft] def ccClustersCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    // the pair table is a < b distinct by construction, so (b, a) is
+    // already oriented u > v — skip the normalizing orient shuffle
     val members = graft.graph.GraphOps.connectedComponents(
       pairsTable(spark, sfDir)
-        .select(col("b").as("u"), col("a").as("v")))
+        .select(col("b").as("u"), col("a").as("v")),
+      preOriented = true)
       .select(col("node").as("doc_id"), col("rep").as("cluster_id"))
     docs.join(members, Seq("doc_id"), "left")
       .select(col("doc_id"),
