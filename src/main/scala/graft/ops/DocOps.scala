@@ -213,17 +213,28 @@ object DocOps {
     // 3.1s vs 4.8s at sf0.1.)
     val h1 = md5(col("sh").cast("binary"))
     val h2 = md5(concat(lit("x"), col("sh")).cast("binary"))
+    // minhash as LONGS, not hex strings (r7): the 8-hex-char chunks are
+    // fixed-length lowercase hex, so their lexicographic MIN equals the
+    // numeric MIN of their values — aggregating min(long) keeps the
+    // signature pass in a mutable-buffer HashAggregate, where min(string)
+    // fell back to SortAggregate and sorted every shingle row by doc_id
+    // per partition. The exact chunk string is reconstructed AFTER
+    // aggregation (lower(lpad(hex(v)))) — byte-identical band signatures.
     val mh = (0 until 8).map { j =>
       val h = if (j < 4) h1 else h2
-      min(substring(h, (j % 4) * 8 + 1, 8)).as(s"mh$j")
+      min(conv(substring(h, (j % 4) * 8 + 1, 8), 16, 10).cast("long")).as(s"mh$j")
     }
     val sig = sh.groupBy(col("doc_id") +: blockCols.map(col): _*)
       .agg(mh.head, mh.tail: _*)
     // band b pairs (mh_{2b}, mh_{2b+1}); sig = order-independent concat
-    // (identical to string_agg(mh, '' ORDER BY mh) in the oracle)
+    // (identical to string_agg(mh, '' ORDER BY mh) in the oracle); the
+    // long compare equals the hex-string compare (same length, same order)
+    def hex8(c: Column): Column = lower(lpad(hex(c), 8, "0"))
     def bandSig(b: Int) = {
       val x = col(s"mh${2 * b}"); val y = col(s"mh${2 * b + 1}")
-      struct(lit(b).as("band"), when(x <= y, concat(x, y)).otherwise(concat(y, x)).as("sig"))
+      struct(lit(b).as("band"),
+        when(x <= y, concat(hex8(x), hex8(y)))
+          .otherwise(concat(hex8(y), hex8(x))).as("sig"))
     }
     sig.select(col("doc_id") +: blockCols.map(col) :+
         explode(array((0 until 4).map(bandSig): _*)).as("bs"): _*)
@@ -268,7 +279,12 @@ object DocOps {
         .cappedCollectSet(col("doc_id"), HotBucketCap).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= HotBucketCap)
     val ids = col("ids") // already sorted by CappedCollectSetLong.eval
-    buckets
+    // pin core-count parallelism for the in-bucket pair enumeration on
+    // the narrow test corpus: AQE coalesces the bucket exchange on its
+    // INPUT bytes, but the explode multiplies rows quadratically in
+    // bucket occupancy, so the enumeration otherwise runs single-task
+    // (guide §2.2 — gated exactly like the scan spread, no-op at scale)
+    Tables.spreadIf(Tables.narrowScan(spark, sfDir, "documents"), spark, buckets)
       .select(explode(flatten(transform(ids, (a, i) =>
         transform(slice(ids, i + lit(2), size(ids)),
           b => struct(a.as("a"), b.as("b")))))).as("p"))
